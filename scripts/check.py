@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 scripts/check.py <verify_out_dir> <sf_dir>
+
+For each query: load Spark's parquet result, run the oracle SQL in DuckDB
+over the same sf dir, sort columns by name, sort rows, compare values.
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True,
+                        key=lambda s: s.astype(str))
+    return df
+
+
+def cell_eq(a, b) -> bool:
+    if isinstance(a, (list, np.ndarray)) or isinstance(b, (list, np.ndarray)):
+        a, b = list(a), list(b)
+        return len(a) == len(b) and all(cell_eq(x, y) for x, y in zip(a, b))
+    if (a is None or a != a) and (b is None or b != b):  # both null/NaN
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            af, bf = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+        if af != af and bf != bf:
+            return True
+        return af == bf or abs(af - bf) <= 1e-9 * max(1.0, abs(af), abs(bf))
+    return str(a) == str(b)
+
+
+def main():
+    outdir, sfdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    results = {}
+    for name in sorted(os.listdir(outdir)):
+        d = os.path.join(outdir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True) \
+            if files else pd.DataFrame()
+        if name not in oracle:
+            results[name] = f"ROWS_ONLY rows={len(got)}" + ("  ⚠ EMPTY" if len(got) == 0 else "")
+            continue
+        try:
+            exp = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            results[name] = f"ORACLE_SQL_ERROR: {e}"
+            continue
+        g, e = canon(got), canon(exp)
+        if list(g.columns) != list(e.columns):
+            results[name] = f"SCHEMA_MISMATCH spark={list(g.columns)} duck={list(e.columns)}"
+            continue
+        if len(g) != len(e):
+            results[name] = f"ROWCOUNT_MISMATCH spark={len(g)} duck={len(e)}"
+            continue
+        bad = None
+        for ci, c in enumerate(g.columns):
+            gv, ev = g[c].tolist(), e[c].tolist()
+            for ri in range(len(gv)):
+                if not cell_eq(gv[ri], ev[ri]):
+                    bad = f"VALUE_MISMATCH col={c} row={ri} spark={gv[ri]!r} duck={ev[ri]!r}"
+                    break
+            if bad:
+                break
+        results[name] = bad or f"OK rows={len(g)}"
+    n_ok = sum(1 for v in results.values() if v.startswith("OK"))
+    n_rows_only = sum(1 for v in results.values() if v.startswith("ROWS_ONLY"))
+    for k, v in results.items():
+        mark = "✓" if v.startswith("OK") else ("·" if v.startswith("ROWS_ONLY") else "✗")
+        print(f"{mark} {k}: {v}")
+    print(f"\n{n_ok} OK, {n_rows_only} rows-only, "
+          f"{len(results) - n_ok - n_rows_only} FAILED of {len(results)}")
+    sys.exit(0 if n_ok + n_rows_only == len(results) else 1)
+
+
+if __name__ == "__main__":
+    main()

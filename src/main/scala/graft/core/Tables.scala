@@ -1,0 +1,45 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Schema-registry-backed table access (SURVEY.md §1.3).
+  *
+  * The reference discovers schemas at runtime from
+  * information_schema (reference: src/_utils/database.py:101-138); here the
+  * registry is static: every table the engine reads is named, and reads are
+  * plain parquet scans so Catalyst gets pushdown + pruning for free.
+  */
+object Tables {
+  /** All driver-generated test tables (TESTDATA.md). */
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Parquet scan with column pruning / predicate pushdown left to Catalyst. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS); Spark has no
+    * nanosecond timestamp type. If the scan surfaces it as LongType (via
+    * `spark.sql.legacy.parquet.nanosAsLong`), truncate to micros — the same
+    * thing DuckDB's `epoch_ms`/`date_trunc` comparisons see.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    // Runtime-settable session conf; without it the scan aborts with
+    // PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      case _ => df
+    }
+  }
+
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
+}

@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Aggregation operators — SURVEY.md §2.5 (A1–A17).
+  *
+  * Each query is a declarative DataFrame plan: partial (map-side)
+  * aggregation, no collect, no UDFs — the whole thing stays in
+  * whole-stage codegen and scales by adding executors.
+  */
+object CoreQueries extends QueryBase {
+
+  val all: Seq[Q] = Seq(
+    // A1/A7-style multi-aggregate rollup (TPC-H Q1 shape). Decimal sums are
+    // exact and shuffle-order-independent (oracle hash parity at any SF).
+    Q(
+      "agg_pricing_summary",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val disc = col("l_extendedprice").cast(DecimalType(18, 4)) *
+          (lit(1) - col("l_discount").cast(DecimalType(8, 4)))
+        val charge = disc * (lit(1) + col("l_tax").cast(DecimalType(8, 4)))
+        li.groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            sum(disc).cast("double").as("sum_disc_price"),
+            sum(charge).cast("double").as("sum_charge"),
+            davg(col("l_quantity")).as("avg_qty"),
+            davg(col("l_discount")).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS sum_disc_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(8,4))) * (1 + CAST(l_tax AS DECIMAL(8,4)))) AS DOUBLE) AS sum_charge,
+               CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+               CAST(sum(CAST(l_discount AS DECIMAL(30,4))) AS DOUBLE) / count(l_discount) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+      doc = "A1/A7 groupBy().agg() rollup; reference src/absa/post_sentiments.py:63-89"),
+
+    // A2: polarity-weighted "max-biased" sentiment
+    // (reference src/absa/post_aspect_sentiments.py:52-55).
+    Q(
+      "agg_weighted_bias",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val v = col("value")
+        val num = sum((v * v).cast(DecimalType(30, 6))).cast("double")
+        val den = sum(v.cast(DecimalType(30, 6))).cast("double")
+        ev.groupBy("event_type")
+          .agg(when(den === 0d, lit(null)).otherwise(round(num / den, 6)).as("biased_value"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type,
+               CASE WHEN CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) = 0 THEN NULL
+                    ELSE round(CAST(sum(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE)
+                             / CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 6) END AS biased_value,
+               count(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      doc = "A2 sum(x^2)/sum(x) max-biased mean; reference post_aspect_sentiments.py:52-55"),
+
+    // A3/A4: Gaussian distance-weighted aggregate
+    // (reference src/absa/post_aspect_sentiments.py:158-202, alpha=5).
+    Q(
+      "agg_gaussian_weight",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val w = exp(-pow(col("l_linenumber").cast("double") / 5d, 2))
+        li.groupBy("l_orderkey")
+          .agg(
+            round(sum(col("l_quantity") * col("l_quantity") * w) /
+              sum(col("l_quantity") * w), 6).as("weighted_qty"),
+            count(lit(1)).as("n_lines"))
+          .filter(col("n_lines") >= 4)
+          .orderBy("l_orderkey")
+      },
+      Some("""
+        SELECT l_orderkey,
+               round(sum(l_quantity * l_quantity * exp(-pow(CAST(l_linenumber AS DOUBLE)/5, 2)))
+                   / sum(l_quantity * exp(-pow(CAST(l_linenumber AS DOUBLE)/5, 2))), 6) AS weighted_qty,
+               count(*) AS n_lines
+        FROM lineitem GROUP BY l_orderkey HAVING count(*) >= 4 ORDER BY l_orderkey"""),
+      doc = "A3 Gaussian distance weighting exp(-(d/a)^2); reference post_aspect_sentiments.py:158-202"),
+
+    // A6: mode / most-common-per-group via deterministic ranked window
+    // (reference customer_characteristics migration_032.sql:31-49).
+    Q(
+      "agg_mode_per_group",
+      (s, dir) => {
+        val cnt = t(s, dir, "customer")
+          .groupBy("c_nationkey", "c_mktsegment").agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(col("cnt").desc, col("c_mktsegment").asc)
+        cnt.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("c_nationkey"), col("c_mktsegment").as("most_common_segment"),
+            col("cnt").as("segment_count"))
+          .orderBy("c_nationkey")
+      },
+      Some("""
+        SELECT c_nationkey, c_mktsegment AS most_common_segment, cnt AS segment_count
+        FROM (SELECT c_nationkey, c_mktsegment, count(*) AS cnt,
+                     row_number() OVER (PARTITION BY c_nationkey
+                                        ORDER BY count(*) DESC, c_mktsegment ASC) AS rn
+              FROM customer GROUP BY c_nationkey, c_mktsegment)
+        WHERE rn = 1 ORDER BY c_nationkey"""),
+      doc = "A6 array_agg-ordered mode; reference migration_032.sql:31-49"),
+
+    // A8: daily entries rollup — prediction input
+    // (reference src/visitor_prediction/predict.py:75-84).
+    Q(
+      "agg_daily_rollup",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        // Dates emitted as yyyy-MM-dd strings: a DATE column round-trips
+        // differently through parquet (Spark) vs fetchdf (DuckDB).
+        ev.filter(col("ts") > lit("2024-01-02").cast("timestamp"))
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(dsum(col("value")).as("total_value"), count(lit(1)).as("n_events"))
+          .orderBy("day")
+      },
+      Some("""
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS total_value,
+               count(*) AS n_events
+        FROM events WHERE ts > TIMESTAMP '2024-01-02'
+        GROUP BY 1 ORDER BY day"""),
+      doc = "A8 SELECT DATE(datetime), SUM(...) GROUP BY; reference predict.py:75-84"),
+
+    // A14: log-report pivot (groupby + unstack) as conditional aggregation
+    // (reference src/diagnostics/log_report.py:114-132).
+    Q(
+      "agg_pivot_report",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.groupBy("o_orderpriority")
+          .agg(
+            count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+            count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+            count(when(col("o_orderstatus") === "P", 1)).as("n_p"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority,
+               count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+               count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+               count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      doc = "A14 groupBy().pivot().count(); reference log_report.py:114-132"),
+
+    // Exact distinct counts (the reference uses no approx-distinct —
+    // SURVEY §2.5 note; migration_038.sql:157,177).
+    Q(
+      "agg_count_distinct",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+               count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "A15/§2.5 exact COUNT(DISTINCT); reference migration_038.sql:157"),
+
+    // A1 avg + stddev_samp rollup (reference post_sentiments.py:255-283).
+    Q(
+      "agg_avg_stddev",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            round(davg(col("l_discount")), 6).as("avg_disc"),
+            round(stddev_samp(col("l_discount")), 6).as("stddev_disc"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               round(CAST(sum(CAST(l_discount AS DECIMAL(30,4))) AS DOUBLE) / count(l_discount), 6) AS avg_disc,
+               round(stddev_samp(l_discount), 6) AS stddev_disc
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+      doc = "A1 avg/stddev sentiment rollup; reference post_sentiments.py:255-283"))
+}
