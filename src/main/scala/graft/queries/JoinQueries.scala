@@ -1,5 +1,252 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators — SURVEY.md §2.4 (J1–J14).
+  *
+  * Scale posture: dimension tables (nation/region, inline lexicons) are
+  * always broadcast; fact-fact joins shuffle on their keys; interval joins
+  * are rewritten to the shuffle-linear explode form instead of a
+  * broadcast-nested-loop range join; the as-of join is a single window
+  * pass per key — no cross join anywhere on a fact×fact pair.
+  */
 object JoinQueries extends QueryBase {
-  val all: Seq[Q] = Seq()
+
+  val all: Seq[Q] = Seq(
+    // J1: inner equi-join, fact×fact, aggregated.
+    // reference src/gomus/daily_entries.py:115-120.
+    Q(
+      "join_inner_equi",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        SELECT c_mktsegment, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      doc = "J1 inner equi-join; reference daily_entries.py:115-120"),
+
+    // J10/J12: multi-way join with broadcast dimensions (TPC-H Q5 shape).
+    // The nation/region dims broadcast; the lineitem⋈orders⋈customer spine
+    // shuffles on its keys. Replaces the reference's row-at-a-time lookup
+    // join pathology (src/gomus/orders.py:89-101).
+    Q(
+      "join_multiway_broadcast",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val n = broadcast(t(s, dir, "nation"))
+        val r = broadcast(t(s, dir, "region"))
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(n, c("c_nationkey") === n("n_nationkey"))
+          .join(r, n("n_regionkey") === r("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast(org.apache.spark.sql.types.DecimalType(30, 6))).cast("double")
+              .as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""
+        SELECT r_name, n_name,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation   ON c_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name ORDER BY r_name, n_name"""),
+      doc = "J10/J12 broadcast dim joins; reference orders.py:89-101, cleanse_data.py:131-138"),
+
+    // J3: latest-snapshot join (greatest-n-per-group then right join to base).
+    // reference fb_post_rich migration_015.sql:53-83.
+    Q(
+      "join_latest_snapshot",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val c = t(s, dir, "customer")
+        val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+        val latest = ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type").as("latest_type"),
+            round(col("value"), 6).as("latest_value"))
+        c.join(latest, c("c_custkey") === latest("user_id"), "left")
+          .select(col("c_custkey"), col("latest_type"), col("latest_value"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, latest_type, latest_value
+        FROM customer LEFT JOIN (
+          SELECT user_id, event_type AS latest_type, round(value, 6) AS latest_value
+          FROM events
+          QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        ) ON c_custkey = user_id
+        ORDER BY c_custkey"""),
+      doc = "J3 greatest-n-per-group latest join; reference migration_015.sql:53-83"),
+
+    // As-of join: each purchase matched to the user's most recent prior
+    // signup — one window pass per user partition, no range join. The
+    // Spark-native form of the operator class the reference approximates
+    // with max-timestamp subqueries (migration_015.sql:53-83).
+    Q(
+      "join_asof",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("signup_ts",
+            last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+            date_format(col("signup_ts"), "yyyy-MM-dd HH:mm:ss").as("signup_ts"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT p.event_id, p.user_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+               strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS signup_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+          ON p.user_id = s.user_id AND p.ts >= s.ts
+        ORDER BY p.event_id"""),
+      doc = "as-of join via single window pass; DuckDB ASOF JOIN oracle"),
+
+    // J8/J13: interval join rewritten shuffle-linear — instead of
+    // grid×facts BETWEEN (broadcast-nested-loop at scale), each fact
+    // explodes to the bounded set of grid days it covers, then a plain
+    // groupBy. reference exhibition_day migration_018.sql:32-41.
+    Q(
+      "join_range_interval",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.select(explode(sequence(
+            to_date(col("l_shipdate")),
+            date_add(to_date(col("l_shipdate")), 6))).as("day"))
+          .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n_active"))
+          .orderBy("day")
+      },
+      Some("""
+        SELECT strftime(day, '%Y-%m-%d') AS day, count(*) AS n_active
+        FROM (SELECT unnest(generate_series(CAST(l_shipdate AS DATE),
+                                            CAST(l_shipdate AS DATE) + 6,
+                                            INTERVAL 1 DAY)) AS day
+              FROM lineitem)
+        GROUP BY 1 ORDER BY day"""),
+      doc = "J8 interval join, explode-rewrite; reference migration_018.sql:32-41"),
+
+    // J9: theta join with word-boundary regex over an inline keyword dim
+    // (broadcast) + HAVING filter. reference migration_045.sql:12-36.
+    Q(
+      "join_theta_regex",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val terms = s.createDataFrame(Seq(
+          Tuple1("spark"), Tuple1("merge"), Tuple1("window"), Tuple1("stream")
+        )).toDF("term")
+        d.crossJoin(broadcast(terms))
+          .filter(expr("""text rlike concat('(?i)\\b', term, '\\b')"""))
+          .groupBy("term")
+          .agg(countDistinct(col("doc_id")).as("n_docs"))
+          .filter(col("n_docs") > 10)
+          .orderBy("term")
+      },
+      Some("""
+        SELECT term, count(DISTINCT doc_id) AS n_docs
+        FROM documents CROSS JOIN (VALUES ('spark'),('merge'),('window'),('stream')) t(term)
+        WHERE regexp_matches(text, '(?i)\b' || term || '\b')
+        GROUP BY term HAVING count(DISTINCT doc_id) > 10
+        ORDER BY term"""),
+      doc = "J9 regex theta join; reference migration_045.sql:12-36, collect_tweets.py:46-80"),
+
+    // J6: fuzzy lexicon match via levenshtein — lexicon broadcast, best
+    // match per probe with threshold post-filter.
+    // reference src/absa/post_aspects.py:152-199 (levenshtein algorithm).
+    Q(
+      "join_fuzzy_levenshtein",
+      (s, dir) => {
+        val p = t(s, dir, "part")
+        val lex = s.createDataFrame(Seq(
+          Tuple1("Brnd#13"), Tuple1("Brand#5"), Tuple1("Brund#19"), Tuple1("brand#33")
+        )).toDF("probe")
+        val brands = p.select(col("p_brand")).distinct()
+        brands.crossJoin(broadcast(lex))
+          .withColumn("dist", levenshtein(lower(col("p_brand")), lower(col("probe"))))
+          .withColumn("best", min(col("dist")).over(Window.partitionBy("probe")))
+          .filter(col("dist") === col("best") && col("dist") <= 2)
+          .select(col("probe"), col("p_brand").as("matched"), col("dist"))
+          .orderBy("probe", "matched")
+      },
+      Some("""
+        SELECT probe, p_brand AS matched, dist FROM (
+          SELECT probe, p_brand,
+                 levenshtein(lower(p_brand), lower(probe)) AS dist,
+                 min(levenshtein(lower(p_brand), lower(probe)))
+                   OVER (PARTITION BY probe) AS best
+          FROM (SELECT DISTINCT p_brand FROM part)
+          CROSS JOIN (VALUES ('Brnd#13'),('Brand#5'),('Brund#19'),('brand#33')) t(probe))
+        WHERE dist = best AND dist <= 2
+        ORDER BY probe, matched"""),
+      doc = "J6 fuzzy levenshtein best-match; reference post_aspects.py:152-199"),
+
+    // J2: FK-violation filter — one pass, broadcast of the referenced key
+    // set, kept/dropped accounting instead of the reference's drop+log.
+    // reference src/_utils/data_preparation.py:76-159.
+    Q(
+      "join_fkey_violations",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val keys = t(s, dir, "customer").select(col("c_custkey"))
+        ev.join(broadcast(keys), ev("user_id") === keys("c_custkey"), "left")
+          .groupBy("event_type")
+          .agg(
+            count(when(col("c_custkey").isNotNull, 1)).as("n_kept"),
+            count(when(col("c_custkey").isNull, 1)).as("n_dropped"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type,
+               count(CASE WHEN c_custkey IS NOT NULL THEN 1 END) AS n_kept,
+               count(CASE WHEN c_custkey IS NULL THEN 1 END) AS n_dropped
+        FROM events LEFT JOIN customer ON user_id = c_custkey
+        GROUP BY event_type ORDER BY event_type"""),
+      doc = "J2 FK-violation semi/anti filter; reference data_preparation.py:76-159"),
+
+    // J4: performance condenser — keep only snapshot rows whose value
+    // changed vs the previous row of the same key (null-safe compare).
+    // reference condense_performance_values data_preparation.py:242-365.
+    Q(
+      "join_change_detect",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+        val bucket = floor(col("value") / 100).cast("long")
+        ev.withColumn("bucket", bucket)
+          .withColumn("prev", lag(col("bucket"), 1).over(w))
+          .filter(not(col("bucket") <=> col("prev")))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_changed"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, count(*) AS n_changed FROM (
+          SELECT event_type,
+                 CAST(floor(value / 100) AS BIGINT) AS bucket,
+                 lag(CAST(floor(value / 100) AS BIGINT), 1)
+                   OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev
+          FROM events)
+        WHERE bucket IS DISTINCT FROM prev
+        GROUP BY event_type ORDER BY event_type"""),
+      doc = "J4 snapshot change-detection condenser; reference data_preparation.py:242-365"))
 }

@@ -1,5 +1,245 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text analysis — SURVEY.md §2.10 (N1–N12) + training-data-pipeline text
+  * ops (language ID, quality scoring, token counting, fingerprinting).
+  *
+  * Tokenization is expression-only (`split` + higher-order functions), so
+  * the whole path is codegen'd and shuffle-free until the aggregation; the
+  * per-doc token arrays never round-trip through a UDF.
+  */
 object TextQueries extends QueryBase {
-  val all: Seq[Q] = Seq()
+
+  /** Lowercased whitespace tokens of `text` (shared tokenizer base). */
+  private def toks = split(lower(col("text")), "\\s+")
+
+  val all: Seq[Q] = Seq(
+    // N1/W5: tokenize + 1-based positional explode, global term counts.
+    // reference src/absa/post_words.py:126-231.
+    Q(
+      "text_token_positions",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        d.select(col("doc_id"), posexplode(toks).as(Seq("pos0", "word")))
+          .select(col("doc_id"), (col("pos0") + 1).as("word_index"), col("word"))
+          .groupBy("word")
+          .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"),
+            min(col("word_index")).as("min_pos"))
+          .orderBy(col("n_occ").desc, col("word").asc)
+          .limit(50)
+      },
+      Some("""
+        SELECT word, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs,
+               min(word_index) AS min_pos
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\s+')) AS word,
+                     generate_subscripts(string_split_regex(lower(text), '\s+'), 1)
+                       AS word_index
+              FROM documents)
+        GROUP BY word ORDER BY n_occ DESC, word ASC LIMIT 50"""),
+      doc = "N1/W5 tokenizer + 1-based posexplode; reference post_words.py:126-231"),
+
+    // J5: n-gram phrases via array slicing — the shuffle-linear rewrite of
+    // the reference's n-1 self-join chain (src/absa/post_ngrams.py:111-168).
+    Q(
+      "text_ngram_phrases",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        // Guard: sequence(1, 0) would step BACKWARD in Spark; emit an empty
+        // index list for single-token docs instead.
+        val bigrams = when(size(toks) >= 2,
+          transform(
+            sequence(lit(1), size(toks) - 1),
+            i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+          .otherwise(array().cast("array<string>"))
+        d.select(col("doc_id"), explode(bigrams).as("phrase"))
+          .groupBy("phrase")
+          .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+          .filter(col("n_occ") >= 3)
+          .orderBy(col("n_occ").desc, col("phrase").asc)
+          .limit(50)
+      },
+      Some("""
+        SELECT phrase, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+        FROM (SELECT doc_id,
+                     unnest([array_to_string(tk[i:i+1], ' ')
+                             FOR i IN range(1, len(tk))]) AS phrase
+              FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk
+                    FROM documents))
+        GROUP BY phrase HAVING count(*) >= 3
+        ORDER BY n_occ DESC, phrase ASC LIMIT 50"""),
+      doc = "J5 ngram window rewrite (no self-join chain); reference post_ngrams.py:111-168"),
+
+    // N3/U3: stopword removal as a broadcast anti-join over exploded
+    // tokens. reference topic_modeling.py:270-335, stopwords.py:19-25.
+    Q(
+      "text_stopword_filter",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val stop = s.createDataFrame(Seq("the", "a", "of", "and", "to")
+          .map(Tuple1(_))).toDF("sw")
+        d.select(col("source"), explode(toks).as("word"))
+          .join(broadcast(stop), col("word") === col("sw"), "left_anti")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_content_tokens"),
+            countDistinct(col("word")).as("n_distinct"))
+          .orderBy("source")
+      },
+      Some("""
+        SELECT source, count(*) AS n_content_tokens,
+               count(DISTINCT word) AS n_distinct
+        FROM (SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS word
+              FROM documents)
+        WHERE word NOT IN ('the', 'a', 'of', 'and', 'to')
+        GROUP BY source ORDER BY source"""),
+      doc = "N3 stopword anti-join; reference topic_modeling.py:270-335"),
+
+    // Quality scoring: length/punct/stopword ratios + composite — the
+    // training-data filter stage. All built-ins, rounded for parity.
+    Q(
+      "text_quality_score",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val nTok = size(toks).cast("double")
+        val nStop = size(filter(toks,
+          w => w.isin("the", "a", "of", "and", "to"))).cast("double")
+        val nPunct = (length(col("text")) -
+          length(regexp_replace(col("text"), "[^a-zA-Z0-9\\s]", ""))).cast("double")
+        val avgWordLen = (length(col("text")) + 1).cast("double") / greatest(nTok, lit(1.0))
+        d.select(col("doc_id"),
+            col("n_chars"),
+            size(toks).as("n_tokens"),
+            round(nStop / greatest(nTok, lit(1.0)), 6).as("stopword_ratio"),
+            round(nPunct / greatest(length(col("text")).cast("double"), lit(1.0)), 6)
+              .as("punct_ratio"),
+            round(avgWordLen, 6).as("avg_word_len"))
+          .withColumn("quality",
+            round(when(col("n_tokens") >= 20 && col("stopword_ratio") < 0.5,
+              lit(1.0) - col("punct_ratio")).otherwise(0.0), 6))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, n_chars, n_tokens, stopword_ratio, punct_ratio, avg_word_len,
+               round(CASE WHEN n_tokens >= 20 AND stopword_ratio < 0.5
+                          THEN 1.0 - punct_ratio ELSE 0.0 END, 6) AS quality
+        FROM (
+          SELECT doc_id, n_chars, len(tk) AS n_tokens,
+                 round(len([w FOR w IN tk IF w IN ('the','a','of','and','to')]) /
+                       greatest(len(tk), 1), 6) AS stopword_ratio,
+                 round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) /
+                       greatest(length(text), 1), 6) AS punct_ratio,
+                 round((length(text) + 1) / greatest(len(tk), 1), 6) AS avg_word_len
+          FROM (SELECT doc_id, n_chars, text,
+                       string_split_regex(lower(text), '\s+') AS tk
+                FROM documents))
+        ORDER BY doc_id"""),
+      doc = "training-pipeline quality scoring (length/punct/stopword ratios)"),
+
+    // Language ID via stopword-profile scoring (n-gram heuristic class).
+    Q(
+      "text_langid",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        def score(words: Seq[String]) =
+          size(filter(toks, w => w.isin(words: _*)))
+        val en = score(Seq("the", "a", "of", "and"))
+        val de = score(Seq("der", "die", "das", "und"))
+        val es = score(Seq("el", "la", "los", "de"))
+        d.select(col("doc_id"), col("lang").as("labeled"),
+            en.as("s_en"), de.as("s_de"), es.as("s_es"))
+          .withColumn("predicted",
+            when(greatest(col("s_en"), col("s_de"), col("s_es")) === 0, "unk")
+              .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es"), "en")
+              .when(col("s_de") >= col("s_es"), "de")
+              .otherwise("es"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, lang AS labeled, s_en, s_de, s_es,
+               CASE WHEN greatest(s_en, s_de, s_es) = 0 THEN 'unk'
+                    WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+                    WHEN s_de >= s_es THEN 'de'
+                    ELSE 'es' END AS predicted
+        FROM (SELECT doc_id, lang,
+                     len([w FOR w IN tk IF w IN ('the','a','of','and')]) AS s_en,
+                     len([w FOR w IN tk IF w IN ('der','die','das','und')]) AS s_de,
+                     len([w FOR w IN tk IF w IN ('el','la','los','de')]) AS s_es
+              FROM (SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS tk
+                    FROM documents))
+        ORDER BY doc_id"""),
+      doc = "language-ID heuristic via stopword profiles (training pipeline)"),
+
+    // BPE-ish regex token counting — the reference's token accounting
+    // (A15) generalized to a subword-style regex.
+    Q(
+      "text_token_count",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val bpeish = size(regexp_extract_all(col("text"),
+          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+        d.select(col("source"), size(toks).as("ws_tokens"), bpeish.as("bpe_tokens"))
+          .groupBy("source")
+          .agg(sum(col("ws_tokens")).as("total_ws"),
+            sum(col("bpe_tokens")).as("total_bpe"),
+            round(avg(col("bpe_tokens").cast("double")), 6).as("avg_bpe"))
+          .orderBy("source")
+      },
+      Some("""
+        SELECT source, sum(ws_tokens) AS total_ws, sum(bpe_tokens) AS total_bpe,
+               round(avg(CAST(bpe_tokens AS DOUBLE)), 6) AS avg_bpe
+        FROM (SELECT source,
+                     len(string_split_regex(lower(text), '\s+')) AS ws_tokens,
+                     len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+                       AS bpe_tokens
+              FROM documents)
+        GROUP BY source ORDER BY source"""),
+      doc = "token counting, whitespace + BPE-ish regex (training pipeline); A15 analog"),
+
+    // Document fingerprinting: md5 over the normalized text (lower,
+    // punctuation stripped, whitespace collapsed) — the canonical-form
+    // hash used for exact dedup at scale.
+    Q(
+      "text_fingerprint",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val normalized = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""), "\\s+", " "))
+        d.select(col("doc_id"), md5(normalized).as("fingerprint"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                   '\s+', ' ', 'g'))) AS fingerprint
+        FROM documents ORDER BY doc_id"""),
+      doc = "document fingerprint via normalized md5 (training pipeline)"),
+
+    // A11: document-frequency pruning — tokens occurring in only one doc
+    // are noise; anti-join them out (the reference's df==1 prune).
+    Q(
+      "text_df_prune",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val tokens = d.select(col("doc_id"), explode(toks).as("word"))
+        val dfOne = tokens.groupBy("word")
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") === 1)
+        // No broadcast hint: the df==1 hapax set is roughly half the vocab
+        // at corpus scale — let AQE pick broadcast only when it truly fits.
+        tokens.join(dfOne.select("word"), Seq("word"), "left_anti")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_kept_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH tokens AS (
+          SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
+          FROM documents)
+        SELECT doc_id, count(*) AS n_kept_tokens
+        FROM tokens
+        WHERE word NOT IN (SELECT word FROM tokens
+                           GROUP BY word HAVING count(DISTINCT doc_id) = 1)
+        GROUP BY doc_id ORDER BY doc_id"""),
+      doc = "A11 document-frequency prune; reference topic_modeling.py:322-330"))
 }

@@ -1,5 +1,170 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window / ordered computation — SURVEY.md §2.6 (W1–W5).
+  *
+  * Every window partitions by a key that the data is keyed on naturally
+  * (user_id, customer), so at scale each partition's state fits one task;
+  * there is no global unpartitioned window except over already-aggregated
+  * small frames (daily rollups).
+  */
 object WindowQueries extends QueryBase {
-  val all: Seq[Q] = Seq()
+
+  val all: Seq[Q] = Seq(
+    // W1: lag feature columns for the prediction input.
+    // reference src/visitor_prediction/predict.py:163-164 (entries.shift(i)).
+    Q(
+      "window_lag_features",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val daily = ev.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(dsum(col("value")).as("total"))
+        val w = Window.orderBy("day")
+        daily
+          .withColumn("lag_1", lag(col("total"), 1).over(w))
+          .withColumn("lag_7", lag(col("total"), 7).over(w))
+          .orderBy("day")
+      },
+      Some("""
+        SELECT day, total,
+               lag(total, 1) OVER (ORDER BY day) AS lag_1,
+               lag(total, 7) OVER (ORDER BY day) AS lag_7
+        FROM (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                     CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS total
+              FROM events GROUP BY 1)
+        ORDER BY day"""),
+      doc = "W1 lag features; reference predict.py:163-164"),
+
+    // W2: gap-based sessionization (gaps-and-islands): a >30 min silence
+    // starts a new session. reference keyword_intervals.py:117-141.
+    Q(
+      "window_sessionize",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val gapSec = col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long")
+        val newSession = when(gapSec.isNull || gapSec > 1800, 1).otherwise(0)
+        ev.withColumn("new_s", newSession)
+          .withColumn("session_id", sum(col("new_s")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"), max(col("n_events")).as("longest_session"))
+          .orderBy("user_id")
+      },
+      Some("""
+        SELECT user_id, count(*) AS n_sessions, max(n_events) AS longest_session
+        FROM (
+          SELECT user_id, session_id, count(*) AS n_events
+          FROM (
+            SELECT user_id,
+                   sum(CASE WHEN gap_sec IS NULL OR gap_sec > 1800 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM (SELECT user_id, ts, event_id,
+                         date_diff('second',
+                                   lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                                   ts) AS gap_sec
+                  FROM events))
+          GROUP BY user_id, session_id)
+        GROUP BY user_id ORDER BY user_id"""),
+      doc = "W2 gaps-and-islands sessionization; reference keyword_intervals.py:117-141"),
+
+    // W3: top-k per group with deterministic tiebreak.
+    // reference events.py:125-129 (ORDER BY ... DESC LIMIT 2).
+    Q(
+      "window_topk_per_group",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        o.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 2)
+          .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy("o_custkey", "rk")
+      },
+      Some("""
+        SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+          FROM orders)
+        WHERE rk <= 2 ORDER BY o_custkey, rk"""),
+      doc = "W3 top-k per group; reference events.py:125-129"),
+
+    // Running cumulative total per customer over order history — decimal
+    // accumulation so the running values are exact at any parallelism.
+    Q(
+      "window_running_total",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        o.withColumn("running_spend",
+            sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(30, 4)))
+              .over(w).cast("double"))
+          .select(col("o_custkey"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"),
+            col("running_spend"))
+          .orderBy("o_custkey", "order_day", "o_orderkey")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(30,4)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 AS running_spend
+        FROM orders ORDER BY o_custkey, order_day, o_orderkey"""),
+      doc = "running total frame window; §2.6 frame-spec"),
+
+    // Moving average over an explicit ROWS frame on the (small) daily
+    // rollup — frame-spec window (§2.6 note on rowsBetween).
+    Q(
+      "window_moving_avg",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val daily = ev.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 4)))
+            .as("total_dec"))
+        val w = Window.orderBy("day").rowsBetween(-6, 0)
+        daily
+          .withColumn("ma_7", round(avg(col("total_dec")).over(w).cast("double"), 6))
+          .select(col("day"), col("total_dec").cast("double").as("total"), col("ma_7"))
+          .orderBy("day")
+      },
+      Some("""
+        SELECT day, CAST(total_dec AS DOUBLE) AS total,
+               round(CAST(avg(total_dec) OVER (ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS ma_7
+        FROM (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                     sum(CAST(value AS DECIMAL(30,4))) AS total_dec
+              FROM events GROUP BY 1)
+        ORDER BY day"""),
+      doc = "frame-spec moving average; §2.6"),
+
+    // W5: ordinal row positions — ntile quartiles of customers by balance
+    // within nation (ordered-computation bucket assignment).
+    Q(
+      "window_ntile_bucket",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+        c.withColumn("quartile", ntile(4).over(w))
+          .groupBy("c_nationkey", "quartile")
+          .agg(count(lit(1)).as("n"), round(davg(col("c_acctbal")), 6).as("avg_bal"))
+          .orderBy("c_nationkey", "quartile")
+      },
+      Some("""
+        SELECT c_nationkey, quartile, count(*) AS n,
+               round(CAST(sum(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) / count(c_acctbal), 6) AS avg_bal
+        FROM (SELECT c_nationkey, c_acctbal,
+                     ntile(4) OVER (PARTITION BY c_nationkey
+                                    ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
+              FROM customer)
+        GROUP BY c_nationkey, quartile ORDER BY c_nationkey, quartile"""),
+      doc = "W5 ordinal bucketing via ntile; §2.6"))
 }
