@@ -78,6 +78,11 @@ def main():
             if bad:
                 break
         results[name] = bad or f"OK rows={len(g)}"
+    # A query whose Spark run threw writes no result dir at all — surface
+    # those instead of silently shrinking the denominator.
+    for name in oracle:
+        if name not in results:
+            results[name] = "MISSING_RESULT (Spark-side failure — see verify stderr)"
     n_ok = sum(1 for v in results.values() if v.startswith("OK"))
     n_rows_only = sum(1 for v in results.values() if v.startswith("ROWS_ONLY"))
     for k, v in results.items():

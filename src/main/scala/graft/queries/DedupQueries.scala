@@ -1,5 +1,279 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the large-scale training-data pipeline:
+  * exact (hash-groupBy), MinHash+LSH, SimHash, n-gram Jaccard with
+  * length-bucket blocking, and embedding-cosine near-dup via banded
+  * random-hyperplane LSH.
+  *
+  * Scale posture: every variant is blocking-based — candidate pairs only
+  * ever form inside a bucket (LSH band, length bucket), so the join is a
+  * plain shuffle on the bucket key and the quadratic blow-up is bounded by
+  * bucket size; nothing ever compares all pairs globally. Hashes are
+  * md5-derived so the DuckDB oracle reproduces them bit-for-bit; a
+  * production deployment would swap `h64` to `xxhash64` (one line) for
+  * ~10x cheaper hashing with the same plan shape.
+  */
 object DedupQueries extends QueryBase {
-  val all: Seq[Q] = Seq()
+
+  /** Deterministic 60-bit hash from md5 — identical in Spark and DuckDB. */
+  private def h64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Distinct word-3-shingles of lower(text). */
+  private def shingles3: Column = {
+    val tk = split(lower(col("text")), "\\s+")
+    array_distinct(
+      when(size(tk) >= 3,
+        transform(sequence(lit(1), size(tk) - 2),
+          i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
+            element_at(tk, i + 2))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  val all: Seq[Q] = Seq(
+    // Exact dedup: canonical-form fingerprint → hash-groupBy, keep the
+    // minimum id (deterministic keeper). Input is documents ∪ a re-keyed
+    // copy of every 10th doc, so the dup groups are non-trivial.
+    // reference A13 drop_duplicates (src/twitter.py:68 etc.).
+    Q(
+      "dedup_exact",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val dup = d.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000)
+        val incoming = d.unionByName(dup)
+        val fp = md5(trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""), "\\s+", " ")))
+        incoming.withColumn("fp", fp)
+          .groupBy("fp")
+          .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+          .orderBy("keeper_id")
+      },
+      Some("""
+        SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                    '\s+', ' ', 'g'))) AS fp,
+               min(doc_id) AS keeper_id, count(*) AS n_copies
+        FROM (SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
+        GROUP BY fp ORDER BY keeper_id"""),
+      doc = "exact dedup via fingerprint hash-groupBy; A13 drop_duplicates analog"),
+
+    // MinHash + LSH near-dup: word-3-shingles → 12-hash minhash signature
+    // → 4 bands × 3 rows → bucket self-join for candidates → exact
+    // shingle-Jaccard verify ≥ 0.5. Finds exactly the planted near-dup
+    // pairs at sf0.01. Candidates form only inside (band, bucket) groups:
+    // the pair join shuffles on the band key, never crosses buckets.
+    Q(
+      "dedup_minhash_lsh",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val shingled = d.select(col("doc_id"), shingles3.as("sh"))
+        val sig = transform(sequence(lit(0), lit(11)),
+          j => array_min(transform(col("sh"),
+            x => h64(concat(x, lit("#"), j.cast("string"))))))
+        val bands = shingled.withColumn("sig", sig)
+          .select(col("doc_id"), explode(transform(sequence(lit(0), lit(3)),
+            b => struct(b.as("bd"), md5(concat_ws(",",
+              element_at(col("sig"), b * 3 + 1).cast("string"),
+              element_at(col("sig"), b * 3 + 2).cast("string"),
+              element_at(col("sig"), b * 3 + 3).cast("string"))).as("bkey"))))
+            .as("b"))
+          .select(col("doc_id"), col("b.bd").as("bd"), col("b.bkey").as("bkey"))
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.bd") === col("b.bd") && col("a.bkey") === col("b.bkey") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"))
+          .distinct()
+        val jac = size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))).cast("double")
+        cand
+          .join(shingled.select(col("doc_id").as("lid"), col("sh").as("sa")),
+            col("left_id") === col("lid"))
+          .join(shingled.select(col("doc_id").as("rid"), col("sh").as("sb")),
+            col("right_id") === col("rid"))
+          .select(col("left_id"), col("right_id"), round(jac, 6).as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+          .orderBy("left_id", "right_id")
+      },
+      Some("""
+        WITH tk AS (
+          SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(tk) >= 3
+                   THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                         FOR i IN range(1, len(tk) - 1)]
+                   ELSE CAST([] AS VARCHAR[]) END) AS sh
+          FROM tk),
+        sig AS (
+          SELECT doc_id, sh,
+                 [list_min([CAST(concat('0x', substr(md5(x || '#' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT)
+                            FOR x IN sh]) FOR j IN range(0, 12)] AS sig
+          FROM sh),
+        bands AS (
+          SELECT doc_id, bd,
+                 md5(concat(CAST(sig[bd*3+1] AS VARCHAR), ',',
+                            CAST(sig[bd*3+2] AS VARCHAR), ',',
+                            CAST(sig[bd*3+3] AS VARCHAR))) AS bkey
+          FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS bd) t),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+          FROM bands a JOIN bands b
+            ON a.bd = b.bd AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+        SELECT left_id, right_id,
+               round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+                     len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+        FROM cand
+          JOIN sh sa ON cand.left_id = sa.doc_id
+          JOIN sh sb ON cand.right_id = sb.doc_id
+        WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+              len(list_distinct(sa.sh || sb.sh)) >= 0.5
+        ORDER BY left_id, right_id"""),
+      doc = "MinHash(12) + LSH(4x3) near-dup with exact-Jaccard verify (training pipeline)"),
+
+    // SimHash: 32-bit signature over the distinct-token set; docs sharing
+    // a signature form a near-dup cluster. Output is the cluster summary
+    // (signature, size, representative) — one shuffle on the signature.
+    Q(
+      "dedup_simhash",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val simhash = expr("""
+          CAST(aggregate(sequence(0, 31), 0L, (acc, j) -> acc +
+            IF(aggregate(toks, 0L, (a, w) ->
+                 a + IF(((CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)
+                          div CAST(pow(2, j) AS BIGINT)) % 2) = 1, 1L, -1L)) > 0,
+               CAST(pow(2, j) AS BIGINT), 0L)) AS BIGINT)""")
+        d.withColumn("toks", array_distinct(split(lower(col("text")), "\\s+")))
+          .withColumn("simhash", simhash)
+          .groupBy("simhash")
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+          .filter(col("n_docs") > 1)
+          .orderBy("simhash")
+      },
+      Some("""
+        SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc
+        FROM (
+          SELECT doc_id,
+                 CAST(list_sum([CASE WHEN CAST(list_sum(
+                     [CASE WHEN (CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT)
+                                 // CAST(pow(2, j) AS BIGINT)) % 2 = 1
+                           THEN 1 ELSE -1 END FOR w IN toks]) AS BIGINT) > 0
+                       THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END
+                     FOR j IN range(0, 32)]) AS BIGINT) AS simhash
+          FROM (SELECT doc_id, list_distinct(string_split_regex(lower(text), '\s+')) AS toks
+                FROM documents))
+        GROUP BY simhash HAVING count(*) > 1 ORDER BY simhash"""),
+      doc = "SimHash-32 near-dup clustering (training pipeline)"),
+
+    // Character-3-gram Jaccard near-dup with length-bucket blocking: each
+    // doc lands in two adjacent 25-char buckets (so no boundary misses for
+    // similar-length pairs); exact Jaccard only inside a bucket. The
+    // all-pairs cost is bounded per bucket — never global.
+    Q(
+      "dedup_ngram_jaccard",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val txt = lower(col("text"))
+        val grams = array_distinct(transform(sequence(lit(1), length(txt) - 2),
+          i => txt.substr(i, lit(3))))
+        val g = d.select(col("doc_id"), col("n_chars"), grams.as("grams"))
+        val blocked = g.select(col("doc_id"), col("grams"),
+            explode(array((col("n_chars") / 25).cast("long"),
+              (col("n_chars") / 25).cast("long") + 1)).as("bucket"))
+        val jac = size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
+          size(array_union(col("a.grams"), col("b.grams"))).cast("double")
+        blocked.as("a").join(blocked.as("b"),
+            col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"),
+            round(jac, 6).as("jaccard"))
+          .filter(col("jaccard") >= 0.8)
+          .distinct()
+          .orderBy("left_id", "right_id")
+      },
+      Some("""
+        WITH g AS (
+          SELECT doc_id, n_chars,
+                 list_distinct([substr(txt, i, 3) FOR i IN range(1, length(txt) - 1)]) AS grams
+          FROM (SELECT doc_id, n_chars, lower(text) AS txt FROM documents)),
+        blocked AS (
+          SELECT doc_id, grams, n_chars // 25 + bo AS bucket
+          FROM g CROSS JOIN (SELECT unnest(range(0, 2)) AS bo) t)
+        SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id,
+               round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+                     len(list_distinct(a.grams || b.grams)), 6) AS jaccard
+        FROM blocked a JOIN blocked b
+          ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
+              len(list_distinct(a.grams || b.grams)) >= 0.8
+        ORDER BY left_id, right_id"""),
+      doc = "char-3-gram Jaccard near-dup, length-bucket blocking (training pipeline)"),
+
+    // Embedding-cosine near-dup: banded random-hyperplane LSH (8 bands x
+    // 4 bits, hyperplanes derived deterministically from md5) buckets the
+    // vectors; exact cosine ≥ 0.4 verifies candidates. The brute-force
+    // O(n^2) compare never happens — only bucket-mates meet.
+    Q(
+      "dedup_embedding_cosine",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val v = e.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("vv"))
+        val buckets = v.select(col("vec_id"), col("vv"),
+            explode(sequence(lit(0), lit(7))).as("bd"))
+          .withColumn("bkey", expr("""
+            CAST(aggregate(sequence(0, 3), 0L, (acc, j) -> acc +
+              IF(aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), (a, d) ->
+                   a + element_at(vv, d + 1) *
+                     CAST((CAST(conv(substring(md5(concat(CAST(bd * 4 + j AS STRING), '_',
+                       CAST(d AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2001) - 1000 AS DOUBLE)) > 0,
+                 CAST(pow(2, j) AS BIGINT), 0L)) AS BIGINT)"""))
+        val cand = buckets.as("a").join(buckets.as("b"),
+            col("a.bd") === col("b.bd") && col("a.bkey") === col("b.bkey") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("left_id"), col("b.vec_id").as("right_id"))
+          .distinct()
+        val dot = expr(
+          "aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), (a, i) -> a + element_at(va, i + 1) * element_at(vb, i + 1))")
+        val na = expr(
+          "sqrt(aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), (a, i) -> a + element_at(va, i + 1) * element_at(va, i + 1)))")
+        val nb = expr(
+          "sqrt(aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), (a, i) -> a + element_at(vb, i + 1) * element_at(vb, i + 1)))")
+        cand
+          .join(v.select(col("vec_id").as("lid"), col("vv").as("va")), col("left_id") === col("lid"))
+          .join(v.select(col("vec_id").as("rid"), col("vv").as("vb")), col("right_id") === col("rid"))
+          .withColumn("cosine", dot / (na * nb))
+          .filter(col("cosine") >= 0.4)
+          .select(col("left_id"), col("right_id"), round(col("cosine"), 6).as("cosine"))
+          .orderBy("left_id", "right_id")
+      },
+      Some("""
+        WITH v AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS vv FROM embeddings),
+        buckets AS (
+          SELECT vec_id, vv, bd,
+                 CAST(list_sum([CASE WHEN list_sum([vv[d+1] *
+                     CAST((CAST(concat('0x', substr(md5(CAST(bd*4+j AS VARCHAR) || '_' ||
+                       CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % 2001) - 1000 AS DOUBLE)
+                     FOR d IN range(0, 64)]) > 0
+                   THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END FOR j IN range(0, 4)]) AS BIGINT) AS bkey
+          FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS bd) t),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS left_id, b.vec_id AS right_id
+          FROM buckets a JOIN buckets b
+            ON a.bd = b.bd AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+        j AS (
+          SELECT left_id, right_id,
+                 list_sum([va.vv[i+1] * vb.vv[i+1] FOR i IN range(0, 64)]) /
+                 (sqrt(list_sum([va.vv[i+1] * va.vv[i+1] FOR i IN range(0, 64)])) *
+                  sqrt(list_sum([vb.vv[i+1] * vb.vv[i+1] FOR i IN range(0, 64)]))) AS cosine
+          FROM cand JOIN v va ON cand.left_id = va.vec_id
+                    JOIN v vb ON cand.right_id = vb.vec_id)
+        SELECT left_id, right_id, round(cosine, 6) AS cosine
+        FROM j WHERE cosine >= 0.4 ORDER BY left_id, right_id"""),
+      doc = "embedding near-dup via banded hyperplane LSH + cosine verify (training pipeline)"))
 }

@@ -1,5 +1,141 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding column (`Array[Float]`, 64-dim):
+  * brute-force cosine top-k as the exact baseline, and an IVF-partitioned
+  * variant as the scale path (probe only the nearest cells instead of the
+  * whole corpus).
+  *
+  * Scale posture: the query set is always the broadcast side; the corpus
+  * never shuffles for brute force (map-side join + per-query top-k via
+  * window on the small joined result). IVF cuts the scanned fraction to
+  * nprobe/ncells and its centroid build is a single exact-decimal
+  * aggregation (order-independent, so deterministic under any
+  * parallelism).
+  */
 object SimilarityQueries extends QueryBase {
-  val all: Seq[Q] = Seq()
+
+  private val dims = 64
+
+  private def vv(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("vv"))
+
+  /** Sequential-fold cosine between array columns `a` and `b` (matches the
+    * DuckDB list_sum fold closely enough for 6-decimal parity). */
+  private def cosine(a: String, b: String): Column = {
+    def dot(x: String, y: String) = expr(
+      s"aggregate(sequence(0, ${dims - 1}), CAST(0.0 AS DOUBLE), (acc, i) -> acc + element_at($x, i + 1) * element_at($y, i + 1))")
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  val all: Seq[Q] = Seq(
+    // Brute-force cosine top-k: 5 query vectors broadcast against the
+    // corpus; exact answer, the recall baseline for the ANN variants.
+    Q(
+      "sim_ann_bruteforce",
+      (s, dir) => {
+        val v = vv(t(s, dir, "embeddings"))
+        val q = broadcast(v.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("vv").as("qv")))
+        val w = Window.partitionBy("qid")
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+        v.crossJoin(q)
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("cosine", cosine("qv", "vv"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("rank"), col("vec_id"), round(col("cosine"), 6).as("cosine"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS vv FROM embeddings),
+        q AS (SELECT vec_id AS qid, vv AS qv FROM v WHERE vec_id < 5),
+        scored AS (
+          SELECT qid, vec_id,
+                 list_sum([qv[i+1] * vv[i+1] FOR i IN range(0, $dims)]) /
+                 (sqrt(list_sum([qv[i+1] * qv[i+1] FOR i IN range(0, $dims)])) *
+                  sqrt(list_sum([vv[i+1] * vv[i+1] FOR i IN range(0, $dims)]))) AS cosine
+          FROM v CROSS JOIN q WHERE vec_id <> qid)
+        SELECT qid, rank, vec_id, round(cosine, 6) AS cosine FROM (
+          SELECT qid, vec_id, cosine,
+                 row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rank
+          FROM scored)
+        WHERE rank <= 5 ORDER BY qid, rank"""),
+      doc = "brute-force cosine top-k ANN baseline (training pipeline)"),
+
+    // IVF-partitioned ANN: cells = label, centroid = exact-decimal mean
+    // vector per cell; each query probes its 2 nearest cells only. At
+    // scale this reads nprobe/ncells of the corpus instead of all of it.
+    Q(
+      "sim_ann_ivf",
+      (s, dir) => {
+        val v = vv(t(s, dir, "embeddings"))
+        // Exact (order-independent) centroid build: explode to (label,
+        // dim, value), decimal-sum, re-assemble ordered.
+        val cent = v.select(col("label"), posexplode(col("vv")).as(Seq("d", "x")))
+          .groupBy("label", "d")
+          .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+            .cast("double") / count(lit(1))).as("cx"))
+          .groupBy("label")
+          .agg(transform(array_sort(collect_list(struct(col("d"), col("cx")))),
+            s => s.getField("cx")).as("cv"))
+        val q = v.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("vv").as("qv"))
+        // Top-2 cells per query by centroid cosine.
+        val wc = Window.partitionBy("qid").orderBy(col("ccos").desc, col("label").asc)
+        val cells = q.crossJoin(broadcast(cent))
+          .withColumn("ccos", cosine("qv", "cv"))
+          .withColumn("crank", row_number().over(wc))
+          .filter(col("crank") <= 2)
+          .select(col("qid"), col("qv"), col("label").as("probe_label"))
+        // Probe only those cells.
+        val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id").asc)
+        v.join(broadcast(cells), v("label") === cells("probe_label"))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("cosine", cosine("qv", "vv"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("rank"), col("vec_id"), col("label"),
+            round(col("cosine"), 6).as("cosine"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS vv FROM embeddings),
+        cent AS (
+          SELECT label, list(cx ORDER BY d) AS cv FROM (
+            SELECT label, d,
+                   CAST(sum(CAST(vv[d+1] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cx
+            FROM v CROSS JOIN (SELECT unnest(range(0, $dims)) AS d) t
+            GROUP BY label, d)
+          GROUP BY label),
+        q AS (SELECT vec_id AS qid, vv AS qv FROM v WHERE vec_id < 5),
+        cells AS (
+          SELECT qid, qv, label AS probe_label FROM (
+            SELECT qid, qv, label,
+                   row_number() OVER (PARTITION BY qid ORDER BY
+                     list_sum([qv[i+1] * cv[i+1] FOR i IN range(0, $dims)]) /
+                     (sqrt(list_sum([qv[i+1] * qv[i+1] FOR i IN range(0, $dims)])) *
+                      sqrt(list_sum([cv[i+1] * cv[i+1] FOR i IN range(0, $dims)]))) DESC,
+                     label ASC) AS crank
+            FROM q CROSS JOIN cent)
+          WHERE crank <= 2),
+        scored AS (
+          SELECT qid, vec_id, label,
+                 list_sum([qv[i+1] * vv[i+1] FOR i IN range(0, $dims)]) /
+                 (sqrt(list_sum([qv[i+1] * qv[i+1] FOR i IN range(0, $dims)])) *
+                  sqrt(list_sum([vv[i+1] * vv[i+1] FOR i IN range(0, $dims)]))) AS cosine
+          FROM v JOIN cells ON v.label = cells.probe_label
+          WHERE vec_id <> qid)
+        SELECT qid, rank, vec_id, label, round(cosine, 6) AS cosine FROM (
+          SELECT qid, vec_id, label, cosine,
+                 row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rank
+          FROM scored)
+        WHERE rank <= 5 ORDER BY qid, rank"""),
+      doc = "IVF-partitioned ANN (label cells, nprobe=2, exact-decimal centroids)"))
 }
