@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration of graft's custom Catalyst expressions.
+  *
+  * Two paths to the same registry entries:
+  *  - [[GraftFunctions.register]] for an existing session (used by the
+  *    query catalog / tests);
+  *  - [[GraftExtensions]] for `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    (the SparkSessionExtensions route for cluster deployments).
+  *
+  * After registration the functions are plain SQL functions —
+  * `trigram_sim(a, b)` and `murmur3_seeded(s, seed)` — usable from
+  * `expr(...)` and `spark.sql(...)`, and they participate in whole-stage
+  * codegen like built-ins.
+  */
+object GraftFunctions {
+  private def seedOf(e: Expression): Int = e.eval() match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"murmur3_seeded seed must be an integer literal, got $other")
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "trigram_sim" -> (exprs => TrigramSimilarity(exprs(0), exprs(1))),
+    "murmur3_seeded" -> (exprs => Murmur3Seeded(exprs(0), seedOf(exprs(1)))))
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
+  }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, b) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[TrigramSimilarity].getName, name),
+        b))
+    }
+}

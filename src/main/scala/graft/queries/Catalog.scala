@@ -23,7 +23,8 @@ object Catalog {
   lazy val all: Seq[Q] =
     CoreQueries.all ++ JoinQueries.all ++ WindowQueries.all ++
       SetQueries.all ++ ScalarQueries.all ++ TextQueries.all ++
-      DedupQueries.all ++ SimilarityQueries.all ++ PipelineQueries.all
+      DedupQueries.all ++ SimilarityQueries.all ++ PipelineQueries.all ++
+      FunctionQueries.all
 
   lazy val byName: Map[String, Q] = {
     val m = all.map(q => q.name -> q).toMap

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Queries exercising graft's custom Catalyst expressions (SURVEY.md §4):
+  * `trigram_sim` (pg_trgm semantics, J6/N11) and `murmur3_seeded`
+  * (P4 privacy hash, seed 666).
+  *
+  * The trigram oracle replicates pg_trgm's padded-word trigram extraction
+  * in DuckDB list SQL, so the custom expression is value-checked against
+  * an independent implementation — not just rows-counted.
+  */
+object FunctionQueries extends QueryBase {
+
+  val all: Seq[Q] = Seq(
+    // J6/N11: fuzzy lexicon match via trigram similarity — lexicon
+    // broadcast, per-probe best match, threshold post-filter (the
+    // reference's trigram algorithm, post_aspects.py:120-150, runs at
+    // 0.65 on full words; 0.3 here because the probe set includes
+    // hash-suffixed brand tokens).
+    Q(
+      "func_trigram_match",
+      (s, dir) => {
+        GraftFunctions.register(s)
+        val p = t(s, dir, "part")
+        val lex = s.createDataFrame(Seq(
+          Tuple1("brnad#13"), Tuple1("brand 45"), Tuple1("brnd#55"),
+          Tuple1("bramd#21"), Tuple1("zzzz"))).toDF("probe")
+        val brands = p.select(col("p_brand")).distinct()
+        brands.crossJoin(broadcast(lex))
+          .withColumn("sim", round(expr("trigram_sim(p_brand, probe)"), 6))
+          .withColumn("best", max(col("sim")).over(Window.partitionBy("probe")))
+          .filter(col("sim") === col("best") && col("sim") >= 0.3)
+          .select(col("probe"), col("p_brand").as("matched"), col("sim"))
+          .orderBy("probe", "matched")
+      },
+      Some("""
+        WITH brands AS (SELECT DISTINCT p_brand FROM part),
+        probes AS (SELECT unnest(['brnad#13','brand 45','brnd#55','bramd#21','zzzz']) AS probe),
+        tg AS (
+          SELECT p_brand, probe,
+                 list_distinct(flatten([[substr(concat('  ', w, ' '), i, 3)
+                     FOR i IN range(1, length(w) + 2)]
+                   FOR w IN [x FOR x IN regexp_split_to_array(lower(p_brand), '[^a-z0-9]+')
+                             IF x <> '']])) AS t1,
+                 list_distinct(flatten([[substr(concat('  ', w, ' '), i, 3)
+                     FOR i IN range(1, length(w) + 2)]
+                   FOR w IN [x FOR x IN regexp_split_to_array(lower(probe), '[^a-z0-9]+')
+                             IF x <> '']])) AS t2
+          FROM brands CROSS JOIN probes),
+        scored AS (
+          SELECT p_brand, probe,
+                 round(CASE WHEN len(list_distinct(t1 || t2)) = 0 THEN 0.0
+                       ELSE len(list_intersect(t1, t2)) * 1.0 /
+                            len(list_distinct(t1 || t2)) END, 6) AS sim
+          FROM tg)
+        SELECT probe, p_brand AS matched, sim FROM (
+          SELECT probe, p_brand, sim, max(sim) OVER (PARTITION BY probe) AS best
+          FROM scored)
+        WHERE sim = best AND sim >= 0.3
+        ORDER BY probe, matched"""),
+      doc = "J6/N11 trigram-similarity fuzzy match via custom Catalyst expression; reference post_aspects.py:120-150"),
+
+    // P4: seeded Murmur3 privacy hash (seed 666, signed-int parity with
+    // the reference's mmh3). No SQL oracle (murmur3 is not expressible in
+    // DuckDB SQL) → rows-only driver check; unit-tested against canonical
+    // vectors in Murmur3Spec instead.
+    Q(
+      "func_murmur3_hash",
+      (s, dir) => {
+        GraftFunctions.register(s)
+        val c = t(s, dir, "customer")
+        c.select(col("c_custkey"),
+            expr("murmur3_seeded(c_name, 666)").as("privacy_hash"))
+          .withColumn("bucket", pmod(col("privacy_hash"), lit(64)))
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+          .orderBy("bucket")
+      },
+      None,
+      doc = "P4 murmur3(seed=666) privacy hash; reference extract_customers.py:135-140"))
+}
