@@ -21,16 +21,23 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warm-up outside the timed region.
-    SparkEntry.queries.headOption.foreach { case (_, fn) =>
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
+    // JVM/codegen warm-up outside the timed region: touch every hot code
+    // path (parquet scan, hash agg, shuffle, window, regex, broadcast
+    // join) so the timed queries measure the plan, not C2 compilation.
+    Seq("agg_pricing_summary", "window_topk_per_group", "join_multiway_broadcast",
+        "text_fingerprint", "set_union_dedup").foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => }
+      }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}") }
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-28s $sec%8.2f s")
+      name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

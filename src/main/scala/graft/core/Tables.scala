@@ -20,6 +20,23 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scan-parallelism guard for compute-heavy consumers (hashing,
+    * tokenization, pairwise similarity): a parquet file is splittable only
+    * at row-group boundaries, so a file written as ONE row group scans as
+    * one task no matter how many cores exist — and every map-side
+    * expression downstream runs single-threaded. Production tables at
+    * 100 TB have thousands of row groups and never hit this; the
+    * benchmark fixtures are single-row-group, so heavy pipelines insert
+    * one explicit round-robin repartition (which Catalyst still pushes
+    * filters and pruning through). Cheap scans must NOT use this — for a
+    * plain aggregation the extra shuffle costs more than the parallelism
+    * buys. */
+  def parallelize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val cores = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   /** `events.ts` is written as parquet TIMESTAMP(NANOS); Spark has no
     * nanosecond timestamp type. If the scan surfaces it as LongType (via
     * `spark.sql.legacy.parquet.nanosAsLong`), truncate to micros — the same

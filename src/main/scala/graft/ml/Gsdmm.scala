@@ -1,0 +1,93 @@
+package graft.ml
+
+/** GSDMM short-text topic modeling (N8; reference
+  * src/topic_modeling.py:181-245: movie-group process, K=10/12,
+  * alpha=beta=0.1, 30 iterations). Spark's LDA is not
+  * semantics-equivalent for short texts (SURVEY §2.10), so the collapsed
+  * Gibbs sampler is ported directly; the corpus reaching it is the
+  * already-tokenized, already-filtered output of the distributed text
+  * pipeline and is collected once.
+  *
+  * Deterministic for a fixed seed: documents are swept in order with a
+  * seeded RNG.
+  */
+object Gsdmm {
+
+  final case class Result(labels: Array[Int], clusterDocCount: Array[Int],
+      topWords: Map[Int, Seq[(String, Int)]])
+
+  def fit(docs: Array[Array[String]], k: Int, alpha: Double, beta: Double,
+      iters: Int, seed: Long = 42L): Result = {
+    val rnd = new scala.util.Random(seed)
+    val n = docs.length
+    val vocab = docs.flatten.distinct.length.max(1)
+
+    val mz = new Array[Int](k)                 // docs per cluster
+    val nz = new Array[Int](k)                 // words per cluster
+    val nzw = Array.fill(k)(collection.mutable.HashMap.empty[String, Int]) // word counts per cluster
+
+    val labels = new Array[Int](n)
+    // init: random assignment
+    var i = 0
+    while (i < n) {
+      val z = rnd.nextInt(k)
+      labels(i) = z
+      mz(z) += 1
+      nz(z) += docs(i).length
+      docs(i).foreach(w => nzw(z)(w) = nzw(z).getOrElse(w, 0) + 1)
+      i += 1
+    }
+
+    def unassign(d: Int): Unit = {
+      val z = labels(d)
+      mz(z) -= 1
+      nz(z) -= docs(d).length
+      docs(d).foreach { w =>
+        val c = nzw(z)(w) - 1
+        if (c == 0) nzw(z).remove(w) else nzw(z)(w) = c
+      }
+    }
+
+    def score(d: Int, z: Int): Double = {
+      // log p(z | rest) per the movie-group process (Yin & Wang 2014 eq. 4)
+      var s = math.log(mz(z) + alpha)
+      var j = 0
+      val seen = collection.mutable.HashMap.empty[String, Int]
+      while (j < docs(d).length) {
+        val w = docs(d)(j)
+        val prior = seen.getOrElse(w, 0)
+        s += math.log(nzw(z).getOrElse(w, 0) + beta + prior)
+        s -= math.log(nz(z) + vocab * beta + j)
+        seen(w) = prior + 1
+        j += 1
+      }
+      s
+    }
+
+    var it = 0
+    while (it < iters) {
+      var d = 0
+      while (d < n) {
+        unassign(d)
+        val logs = Array.tabulate(k)(score(d, _))
+        val mx = logs.max
+        val ps = logs.map(l => math.exp(l - mx))
+        val total = ps.sum
+        var r = rnd.nextDouble() * total
+        var z = 0
+        while (z < k - 1 && r > ps(z)) { r -= ps(z); z += 1 }
+        labels(d) = z
+        mz(z) += 1
+        nz(z) += docs(d).length
+        docs(d).foreach(w => nzw(z)(w) = nzw(z).getOrElse(w, 0) + 1)
+        d += 1
+      }
+      it += 1
+    }
+
+    val top = (0 until k).map { z =>
+      z -> nzw(z).toSeq.sortBy { case (w, c) => (-c, w) }.take(10)
+    }.toMap
+    Result(labels, mz, top)
+  }
+}

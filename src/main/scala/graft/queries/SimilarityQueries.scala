@@ -38,7 +38,7 @@ object SimilarityQueries extends QueryBase {
     Q(
       "sim_ann_bruteforce",
       (s, dir) => {
-        val v = vv(t(s, dir, "embeddings"))
+        val v = vv(th(s, dir, "embeddings"))
         val q = broadcast(v.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("vv").as("qv")))
         val w = Window.partitionBy("qid")
@@ -74,7 +74,7 @@ object SimilarityQueries extends QueryBase {
     Q(
       "sim_ann_ivf",
       (s, dir) => {
-        val v = vv(t(s, dir, "embeddings"))
+        val v = vv(th(s, dir, "embeddings"))
         // Exact (order-independent) centroid build: explode to (label,
         // dim, value), decimal-sum, re-assemble ordered.
         val cent = v.select(col("label"), posexplode(col("vv")).as(Seq("d", "x")))

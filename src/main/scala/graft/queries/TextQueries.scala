@@ -21,7 +21,7 @@ object TextQueries extends QueryBase {
     Q(
       "text_token_positions",
       (s, dir) => {
-        val d = t(s, dir, "documents")
+        val d = th(s, dir, "documents")
         d.select(col("doc_id"), posexplode(toks).as(Seq("pos0", "word")))
           .select(col("doc_id"), (col("pos0") + 1).as("word_index"), col("word"))
           .groupBy("word")
@@ -46,7 +46,7 @@ object TextQueries extends QueryBase {
     Q(
       "text_ngram_phrases",
       (s, dir) => {
-        val d = t(s, dir, "documents")
+        val d = th(s, dir, "documents")
         // Guard: sequence(1, 0) would step BACKWARD in Spark; emit an empty
         // index list for single-token docs instead.
         val bigrams = when(size(toks) >= 2,
@@ -77,7 +77,7 @@ object TextQueries extends QueryBase {
     Q(
       "text_stopword_filter",
       (s, dir) => {
-        val d = t(s, dir, "documents")
+        val d = th(s, dir, "documents")
         val stop = s.createDataFrame(Seq("the", "a", "of", "and", "to")
           .map(Tuple1(_))).toDF("sw")
         d.select(col("source"), explode(toks).as("word"))
@@ -101,7 +101,7 @@ object TextQueries extends QueryBase {
     Q(
       "text_quality_score",
       (s, dir) => {
-        val d = t(s, dir, "documents")
+        val d = th(s, dir, "documents")
         val nTok = size(toks).cast("double")
         val nStop = size(filter(toks,
           w => w.isin("the", "a", "of", "and", "to"))).cast("double")
@@ -141,7 +141,7 @@ object TextQueries extends QueryBase {
     Q(
       "text_langid",
       (s, dir) => {
-        val d = t(s, dir, "documents")
+        val d = th(s, dir, "documents")
         def score(words: Seq[String]) =
           size(filter(toks, w => w.isin(words: _*)))
         val en = score(Seq("the", "a", "of", "and"))
@@ -176,7 +176,7 @@ object TextQueries extends QueryBase {
     Q(
       "text_token_count",
       (s, dir) => {
-        val d = t(s, dir, "documents")
+        val d = th(s, dir, "documents")
         val bpeish = size(regexp_extract_all(col("text"),
           lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
         d.select(col("source"), size(toks).as("ws_tokens"), bpeish.as("bpe_tokens"))
@@ -203,7 +203,7 @@ object TextQueries extends QueryBase {
     Q(
       "text_fingerprint",
       (s, dir) => {
-        val d = t(s, dir, "documents")
+        val d = th(s, dir, "documents")
         val normalized = trim(regexp_replace(
           regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""), "\\s+", " "))
         d.select(col("doc_id"), md5(normalized).as("fingerprint"))
@@ -221,7 +221,7 @@ object TextQueries extends QueryBase {
     Q(
       "text_df_prune",
       (s, dir) => {
-        val d = t(s, dir, "documents")
+        val d = th(s, dir, "documents")
         val tokens = d.select(col("doc_id"), explode(toks).as("word"))
         val dfOne = tokens.groupBy("word")
           .agg(countDistinct(col("doc_id")).as("df"))

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming forms of the reference's incremental-batch
+  * patterns (SURVEY.md §2.9).
+  *
+  * The reference has no true streaming — "hourly" is a cron re-run
+  * (src/_fill_db.py:48-54) with a high-watermark predicate
+  * (src/absa/post_words.py:106-115). `Trigger.AvailableNow` is the exact
+  * Spark-native equivalent: process everything new since the last
+  * checkpoint, then stop — same cadence semantics, but exactly-once and
+  * restartable from state instead of re-deriving a watermark per run.
+  */
+object Incremental {
+
+  /** File-stream source over a parquet table directory with an enforced
+    * schema (the streaming analog of graft.core.Tables.load). */
+  def readStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Watermarked tumbling-window rollup — the streaming form of the daily
+    * entries rollup (A8, reference predict.py:75-84): per-window sums that
+    * tolerate `late` out-of-order data before finalizing. */
+  def windowedRollup(events: DataFrame, window_ : String, late: String): DataFrame =
+    events
+      .withWatermark("ts", late)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(sum("value").as("total_value"), count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("total_value"), col("n_events"))
+
+  /** Gap-based sessionization (W2, reference keyword_intervals.py:117-141)
+    * via the native session_window — state-backed in streaming, plain
+    * aggregation in batch. */
+  def sessionized(events: DataFrame, gap: String, late: String): DataFrame =
+    events
+      .withWatermark("ts", late)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+
+  /** Run a streaming transform over everything currently unprocessed, then
+    * stop (the FillDbHourly cadence). Restart with the same checkpoint to
+    * pick up only new files. */
+  def runAvailableNow(out: DataFrame, checkpoint: String, outPath: String): StreamingQuery =
+    out.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .format("parquet")
+      .start(outPath)
+}

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.streaming.Incremental
+
+/** Streaming/batch parity: the AvailableNow streaming rollup over the
+  * events table must equal the equivalent batch aggregation, and a
+  * restart with the same checkpoint must process nothing new.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("availableNow windowed rollup matches batch aggregation") {
+    val batchEvents = graft.core.Tables.events(spark, sfDir)
+    val tmp = Files.createTempDirectory("graft-stream").toString
+
+    // Stage the (nanos-converted) events as a plain parquet stream source.
+    batchEvents.write.mode("overwrite").parquet(s"$tmp/src")
+    val src = Incremental.readStream(spark, s"$tmp/src",
+      spark.read.parquet(s"$tmp/src").schema)
+
+    val q = Incremental.runAvailableNow(
+      Incremental.windowedRollup(src, "1 day", "2 hours"),
+      s"$tmp/ckpt", s"$tmp/out")
+    q.awaitTermination()
+
+    // Append mode only emits a window once the watermark passes its end;
+    // the final day's windows are still in state when AvailableNow stops.
+    // Parity therefore holds for every window whose end <= maxTs - 2h.
+    val maxTs = spark.read.parquet(s"$tmp/src")
+      .agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .select(date_format(col("window_start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n_events"))
+      .orderBy("day", "event_type").collect()
+    val batch = spark.read.parquet(s"$tmp/src")
+      .groupBy(date_trunc("day", col("ts")).as("day_ts"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("day_ts") + expr("INTERVAL 26 HOURS") <= lit(maxTs))
+      .select(date_format(col("day_ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n_events"))
+      .orderBy("day", "event_type").collect()
+    assert(batch.nonEmpty)
+    val streamedSet = streamed.map(_.toSeq).toSet
+    assert(batch.map(_.toSeq).forall(streamedSet.contains),
+      "every finalized batch window must appear in the streamed output")
+
+    // Second AvailableNow run from the same checkpoint: no new input.
+    val q2 = Incremental.runAvailableNow(
+      Incremental.windowedRollup(src, "1 day", "2 hours"),
+      s"$tmp/ckpt", s"$tmp/out")
+    q2.awaitTermination()
+    assert(spark.read.parquet(s"$tmp/out").count() === streamed.length.toLong)
+  }
+
+  test("session_window gap sessionization runs in streaming mode") {
+    val batchEvents = graft.core.Tables.events(spark, sfDir)
+    val tmp = Files.createTempDirectory("graft-stream-sess").toString
+    batchEvents.write.mode("overwrite").parquet(s"$tmp/src")
+    val src = Incremental.readStream(spark, s"$tmp/src",
+      spark.read.parquet(s"$tmp/src").schema)
+    val q = Incremental.runAvailableNow(
+      Incremental.sessionized(src, "30 minutes", "1 hour"),
+      s"$tmp/ckpt", s"$tmp/out")
+    q.awaitTermination()
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.count() > 0)
+    assert(out.schema.fieldNames.toSeq ===
+      Seq("session_start", "user_id", "n_events"))
+  }
+}
