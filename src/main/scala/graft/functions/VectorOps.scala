@@ -1,0 +1,84 @@
+package graft.functions
+
+/** Compiled kernels for the vector / hashing inner loops of the dedup and
+  * similarity operators.
+  *
+  * Spark's higher-order array functions (`transform`/`aggregate` lambdas)
+  * run INTERPRETED — fine for occasional array surgery, ~100x too slow for
+  * a 64-dim dot product evaluated millions of times. These helpers are
+  * plain Scala (primitive loops, no boxing inside) wrapped as UDFs at the
+  * query layer: the one place where a UDF beats expressions. All folds are
+  * sequential left-to-right so results are bit-identical to the DuckDB
+  * oracle's list_sum replication.
+  */
+object VectorOps {
+
+  /** First 60 bits of md5 as a non-negative long — the compiled twin of
+    * the SQL `CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)`. */
+  def md5Long(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s.getBytes("UTF-8"))
+    // first 15 hex chars = 7.5 bytes: take 8 bytes big-endian, drop low nibble
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** Sequential-fold cosine (dot and norms each folded left-to-right). */
+  def cosine(a: Seq[Double], b: Seq[Double]): Double = {
+    val n = a.length
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) { dot += a(i) * b(i); i += 1 }
+    i = 0
+    while (i < n) { na += a(i) * a(i); i += 1 }
+    i = 0
+    while (i < n) { nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** MinHash signature: seed j hashes shingle x as
+    * ((2j+1) * (md5Long(x) mod 2^28) + 7919 j) mod (2^31 - 1) — one md5
+    * per shingle total, the per-seed family is overflow-free affine
+    * arithmetic reproducible in any SQL engine. */
+  def minhashSig(sh: Seq[String], nSeeds: Int): Array[Long] = {
+    if (sh.isEmpty) return Array.fill(nSeeds)(-1L)
+    val hs = sh.map(x => md5Long(x) % 268435456L).toArray
+    Array.tabulate(nSeeds) { j =>
+      var mn = Long.MaxValue
+      var i = 0
+      while (i < hs.length) {
+        val v = ((2L * j + 1L) * hs(i) + 7919L * j) % 2147483647L
+        if (v < mn) mn = v
+        i += 1
+      }
+      mn
+    }
+  }
+
+  /** Random-hyperplane coefficients, md5-derived (plane p, dim d →
+    * md5Long("p_d") % 2001 - 1000) — computed once per JVM, identical to
+    * the oracle's per-row SQL derivation. */
+  lazy val planes: Array[Array[Double]] = Array.tabulate(32, 64) { (p, d) =>
+    ((md5Long(s"${p}_$d") % 2001L) - 1000L).toDouble
+  }
+
+  /** 8 banded 4-bit hyperplane bucket keys for a 64-dim vector. */
+  def bandKeys(vv: Seq[Double]): Array[Long] = {
+    val v = vv.toArray
+    Array.tabulate(8) { bd =>
+      var key = 0L
+      var j = 0
+      while (j < 4) {
+        val plane = planes(bd * 4 + j)
+        var dot = 0.0
+        var d = 0
+        while (d < 64) { dot += v(d) * plane(d); d += 1 }
+        if (dot > 0) key |= (1L << j)
+        j += 1
+      }
+      key
+    }
+  }
+}

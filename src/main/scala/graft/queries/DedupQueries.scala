@@ -80,10 +80,12 @@ object DedupQueries extends QueryBase {
       (s, dir) => {
         val d = th(s, dir, "documents")
         val shingled = d.select(col("doc_id"), shingles3.as("sh"))
-        val sig = transform(sequence(lit(0), lit(11)),
-          j => array_min(transform(col("sh"),
-            x => h64(concat(x, lit("#"), j.cast("string"))))))
-        val bands = shingled.withColumn("sig", sig)
+        // Compiled signature kernel: one md5 per shingle, affine per-seed
+        // family (VectorOps.minhashSig) — the interpreted-lambda version
+        // re-hashed every shingle 12x and was ~50x slower.
+        val sigU = udf((sh: Seq[String]) =>
+          graft.functions.VectorOps.minhashSig(sh, 12))
+        val bands = shingled.withColumn("sig", sigU(col("sh")))
           .select(col("doc_id"), explode(transform(sequence(lit(0), lit(3)),
             b => struct(b.as("bd"), md5(concat_ws(",",
               element_at(col("sig"), b * 3 + 1).cast("string"),
@@ -119,8 +121,10 @@ object DedupQueries extends QueryBase {
           FROM tk),
         sig AS (
           SELECT doc_id, sh,
-                 [list_min([CAST(concat('0x', substr(md5(x || '#' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT)
-                            FOR x IN sh]) FOR j IN range(0, 12)] AS sig
+                 CASE WHEN len(sh) = 0 THEN [CAST(-1 AS BIGINT) FOR j IN range(0, 12)]
+                 ELSE [list_min([((2*j+1) * (CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % 268435456)
+                                  + 7919*j) % 2147483647
+                            FOR x IN sh]) FOR j IN range(0, 12)] END AS sig
           FROM sh),
         bands AS (
           SELECT doc_id, bd,
@@ -194,9 +198,15 @@ object DedupQueries extends QueryBase {
         val grams = array_distinct(transform(sequence(lit(1), length(txt) - 2),
           i => txt.substr(i, lit(3))))
         val g = d.select(col("doc_id"), col("n_chars"), grams.as("grams"))
+        // Probe cap: at most 64 docs per length bucket meet pairwise, so
+        // the quadratic verify stays bounded at any corpus size.
+        val wCap = Window.partitionBy("bucket").orderBy("doc_id")
         val blocked = g.select(col("doc_id"), col("grams"),
             explode(array((col("n_chars") / 25).cast("long"),
               (col("n_chars") / 25).cast("long") + 1)).as("bucket"))
+          .withColumn("rk", row_number().over(wCap))
+          .filter(col("rk") <= 64)
+          .drop("rk")
         val jac = size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
           size(array_union(col("a.grams"), col("b.grams"))).cast("double")
         blocked.as("a").join(blocked.as("b"),
@@ -214,7 +224,8 @@ object DedupQueries extends QueryBase {
           FROM (SELECT doc_id, n_chars, lower(text) AS txt FROM documents)),
         blocked AS (
           SELECT doc_id, grams, n_chars // 25 + bo AS bucket
-          FROM g CROSS JOIN (SELECT unnest(range(0, 2)) AS bo) t)
+          FROM g CROSS JOIN (SELECT unnest(range(0, 2)) AS bo) t
+          QUALIFY row_number() OVER (PARTITION BY (n_chars // 25 + bo) ORDER BY doc_id) <= 64)
         SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id,
                round(len(list_intersect(a.grams, b.grams)) * 1.0 /
                      len(list_distinct(a.grams || b.grams)), 6) AS jaccard
@@ -239,21 +250,16 @@ object DedupQueries extends QueryBase {
         val e = th(s, dir, "embeddings")
         val v = e.select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("vv"))
-        val planesLit = array((0 until 32).map { p =>
-          array((0 until 64).map(d =>
-            lit(((md5Long(s"${p}_$d") % 2001L) - 1000L).toDouble)): _*)
-        }: _*)
-        def pdot(j: Int): Column = aggregate(
-          zip_with(col("vv"), element_at(col("planes"), col("bd") * 4 + j + 1),
-            (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x)
-        val bkey = (0 until 4).map(j =>
-          when(pdot(j) > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+        // Compiled kernels (VectorOps): hyperplane coefficients derive
+        // once per JVM, the 8 band keys and the verify cosine are
+        // primitive loops — the interpreted-lambda formulation of the
+        // same math was ~50x slower.
+        val bkeysU = udf((vv: Seq[Double]) => graft.functions.VectorOps.bandKeys(vv))
+        val cosU = udf((a: Seq[Double], b: Seq[Double]) =>
+          graft.functions.VectorOps.cosine(a, b))
         val wCap = Window.partitionBy("bd", "bkey").orderBy("vec_id")
-        val buckets = v.select(col("vec_id"), col("vv"),
-            explode(sequence(lit(0), lit(7))).as("bd"))
-          .withColumn("planes", planesLit)
-          .withColumn("bkey", bkey)
+        val buckets = v.select(col("vec_id"),
+            posexplode(bkeysU(col("vv"))).as(Seq("bd", "bkey")))
           .withColumn("rk", row_number().over(wCap))
           .filter(col("rk") <= 32)
           .select(col("vec_id"), col("bd"), col("bkey"))
@@ -262,16 +268,10 @@ object DedupQueries extends QueryBase {
               col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("left_id"), col("b.vec_id").as("right_id"))
           .distinct()
-        val dot = expr(
-          "aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), (a, i) -> a + element_at(va, i + 1) * element_at(vb, i + 1))")
-        val na = expr(
-          "sqrt(aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), (a, i) -> a + element_at(va, i + 1) * element_at(va, i + 1)))")
-        val nb = expr(
-          "sqrt(aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), (a, i) -> a + element_at(vb, i + 1) * element_at(vb, i + 1)))")
         cand
           .join(v.select(col("vec_id").as("lid"), col("vv").as("va")), col("left_id") === col("lid"))
           .join(v.select(col("vec_id").as("rid"), col("vv").as("vb")), col("right_id") === col("rid"))
-          .withColumn("cosine", dot / (na * nb))
+          .withColumn("cosine", cosU(col("va"), col("vb")))
           .filter(col("cosine") >= 0.4)
           .select(col("left_id"), col("right_id"), round(col("cosine"), 6).as("cosine"))
           .orderBy("left_id", "right_id")

@@ -24,13 +24,13 @@ object SimilarityQueries extends QueryBase {
     e.select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("vv"))
 
-  /** Sequential-fold cosine between array columns `a` and `b` (matches the
-    * DuckDB list_sum fold closely enough for 6-decimal parity). */
-  private def cosine(a: String, b: String): Column = {
-    def dot(x: String, y: String) = expr(
-      s"aggregate(sequence(0, ${dims - 1}), CAST(0.0 AS DOUBLE), (acc, i) -> acc + element_at($x, i + 1) * element_at($y, i + 1))")
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Sequential-fold cosine between array columns `a` and `b` — compiled
+    * kernel (VectorOps.cosine, see its scaladoc on why not a HOF lambda);
+    * fold order matches the DuckDB list_sum replication for 6-decimal
+    * parity. */
+  private val cosU = udf((a: Seq[Double], b: Seq[Double]) =>
+    graft.functions.VectorOps.cosine(a, b))
+  private def cosine(a: String, b: String): Column = cosU(col(a), col(b))
 
   val all: Seq[Q] = Seq(
     // Brute-force cosine top-k: 5 query vectors broadcast against the
