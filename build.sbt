@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen emits one or more classes per query stage; a
+  // 60-query run overflows the default 240 MB code cache, silently
+  // disabling JIT mid-run (late queries then execute interpreted, 10-50x
+  // slower). Size it for the full catalog and let it flush.
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:+UseCodeCacheFlushing",
 )

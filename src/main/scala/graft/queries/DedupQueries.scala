@@ -85,6 +85,10 @@ object DedupQueries extends QueryBase {
         // re-hashed every shingle 12x and was ~50x slower.
         val sigU = udf((sh: Seq[String]) =>
           graft.functions.VectorOps.minhashSig(sh, 12))
+        // Probe cap (see dedup_embedding_cosine): near-identical template
+        // docs collide on whole signatures, so an uncapped bucket join
+        // goes quadratic in the hottest bucket.
+        val wCap = Window.partitionBy("bd", "bkey").orderBy("doc_id")
         val bands = shingled.withColumn("sig", sigU(col("sh")))
           .select(col("doc_id"), explode(transform(sequence(lit(0), lit(3)),
             b => struct(b.as("bd"), md5(concat_ws(",",
@@ -93,6 +97,9 @@ object DedupQueries extends QueryBase {
               element_at(col("sig"), b * 3 + 3).cast("string"))).as("bkey"))))
             .as("b"))
           .select(col("doc_id"), col("b.bd").as("bd"), col("b.bkey").as("bkey"))
+          .withColumn("rk", row_number().over(wCap))
+          .filter(col("rk") <= 32)
+          .drop("rk")
         val cand = bands.as("a").join(bands.as("b"),
             col("a.bd") === col("b.bd") && col("a.bkey") === col("b.bkey") &&
               col("a.doc_id") < col("b.doc_id"))
@@ -127,11 +134,13 @@ object DedupQueries extends QueryBase {
                             FOR x IN sh]) FOR j IN range(0, 12)] END AS sig
           FROM sh),
         bands AS (
-          SELECT doc_id, bd,
-                 md5(concat(CAST(sig[bd*3+1] AS VARCHAR), ',',
-                            CAST(sig[bd*3+2] AS VARCHAR), ',',
-                            CAST(sig[bd*3+3] AS VARCHAR))) AS bkey
-          FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS bd) t),
+          SELECT doc_id, bd, bkey FROM (
+            SELECT doc_id, bd,
+                   md5(concat(CAST(sig[bd*3+1] AS VARCHAR), ',',
+                              CAST(sig[bd*3+2] AS VARCHAR), ',',
+                              CAST(sig[bd*3+3] AS VARCHAR))) AS bkey
+            FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS bd) t)
+          QUALIFY row_number() OVER (PARTITION BY bd, bkey ORDER BY doc_id) <= 32),
         cand AS (
           SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
           FROM bands a JOIN bands b
@@ -154,17 +163,23 @@ object DedupQueries extends QueryBase {
       "dedup_simhash",
       (s, dir) => {
         val d = th(s, dir, "documents")
-        // Token hashes once per token (NOT once per bit — the md5 is 32x
-        // hotter than the bit loop), then the 32-bit sign aggregation runs
-        // over plain longs.
-        val simhash = expr("""
-          CAST(aggregate(sequence(0, 31), 0L, (acc, j) -> acc +
-            IF(aggregate(th, 0L, (a, h) ->
-                 a + IF(((h div CAST(pow(2, j) AS BIGINT)) % 2) = 1, 1L, -1L)) > 0,
-               CAST(pow(2, j) AS BIGINT), 0L)) AS BIGINT)""")
+        // Compiled kernel: one md5 per distinct token, 32-bit sign
+        // aggregation in a primitive loop (VectorOps-style; the
+        // interpreted-lambda form of the same math was ~50x slower).
+        val simU = udf((toks: Seq[String]) => {
+          val hs = toks.map(graft.functions.VectorOps.md5Long)
+          var sig = 0L
+          var j = 0
+          while (j < 32) {
+            var bal = 0L
+            hs.foreach(h => bal += (if (((h >> j) & 1L) == 1L) 1L else -1L))
+            if (bal > 0) sig |= (1L << j)
+            j += 1
+          }
+          sig
+        })
         d.withColumn("toks", array_distinct(split(lower(col("text")), "\\s+")))
-          .withColumn("th", transform(col("toks"), w => h64(w)))
-          .withColumn("simhash", simhash)
+          .withColumn("simhash", simU(col("toks")))
           .groupBy("simhash")
           .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
           .filter(col("n_docs") > 1)

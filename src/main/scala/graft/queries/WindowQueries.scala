@@ -104,8 +104,7 @@ object WindowQueries extends QueryBase {
         val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         o.withColumn("running_spend",
-            sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(30, 4)))
-              .over(w).cast("double"))
+            sum(round(col("o_totalprice") * 10000).cast("long")).over(w) / lit(1e4))
           .select(col("o_custkey"), col("o_orderkey"),
             date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"),
             col("running_spend"))
