@@ -64,6 +64,29 @@ object VectorOps {
     ((md5Long(s"${p}_$d") % 2001L) - 1000L).toDouble
   }
 
+  /** Distinct character 3-grams of a string (compiled; the HOF-lambda
+    * substr loop is interpreted and ~50x slower at corpus scale). */
+  def charTrigrams(s: String): Array[String] = {
+    if (s.length < 3) return Array.empty
+    val set = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + 3 <= s.length) { set.add(s.substring(i, i + 3)); i += 1 }
+    set.toArray(new Array[String](set.size))
+  }
+
+  /** Set-Jaccard of two string arrays (inputs need not be distinct). */
+  def jaccard(a: Seq[String], b: Seq[String]): Double = {
+    val sa = new java.util.HashSet[String]()
+    a.foreach(sa.add)
+    val sb = new java.util.HashSet[String]()
+    b.foreach(sb.add)
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) inter += 1
+    val union = sa.size + sb.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
   /** 8 banded 4-bit hyperplane bucket keys for a 64-dim vector. */
   def bandKeys(vv: Seq[Double]): Array[Long] = {
     val v = vv.toArray

@@ -105,14 +105,15 @@ object DedupQueries extends QueryBase {
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"))
           .distinct()
-        val jac = size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_union(col("sa"), col("sb"))).cast("double")
+        val jacU = udf((a: Seq[String], b: Seq[String]) =>
+          graft.functions.VectorOps.jaccard(a, b))
         cand
           .join(shingled.select(col("doc_id").as("lid"), col("sh").as("sa")),
             col("left_id") === col("lid"))
           .join(shingled.select(col("doc_id").as("rid"), col("sh").as("sb")),
             col("right_id") === col("rid"))
-          .select(col("left_id"), col("right_id"), round(jac, 6).as("jaccard"))
+          .select(col("left_id"), col("right_id"),
+            round(jacU(col("sa"), col("sb")), 6).as("jaccard"))
           .filter(col("jaccard") >= 0.5)
           .orderBy("left_id", "right_id")
       },
@@ -209,10 +210,12 @@ object DedupQueries extends QueryBase {
       "dedup_ngram_jaccard",
       (s, dir) => {
         val d = th(s, dir, "documents")
-        val txt = lower(col("text"))
-        val grams = array_distinct(transform(sequence(lit(1), length(txt) - 2),
-          i => txt.substr(i, lit(3))))
-        val g = d.select(col("doc_id"), col("n_chars"), grams.as("grams"))
+        val gramsU = udf((txt: String) =>
+          graft.functions.VectorOps.charTrigrams(txt))
+        val jacU = udf((a: Seq[String], b: Seq[String]) =>
+          graft.functions.VectorOps.jaccard(a, b))
+        val g = d.select(col("doc_id"), col("n_chars"),
+          gramsU(lower(col("text"))).as("grams"))
         // Probe cap: at most 64 docs per length bucket meet pairwise, so
         // the quadratic verify stays bounded at any corpus size.
         val wCap = Window.partitionBy("bucket").orderBy("doc_id")
@@ -222,12 +225,10 @@ object DedupQueries extends QueryBase {
           .withColumn("rk", row_number().over(wCap))
           .filter(col("rk") <= 64)
           .drop("rk")
-        val jac = size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
-          size(array_union(col("a.grams"), col("b.grams"))).cast("double")
         blocked.as("a").join(blocked.as("b"),
             col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"),
-            round(jac, 6).as("jaccard"))
+            round(jacU(col("a.grams"), col("b.grams")), 6).as("jaccard"))
           .filter(col("jaccard") >= 0.8)
           .distinct()
           .orderBy("left_id", "right_id")

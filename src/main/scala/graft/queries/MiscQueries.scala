@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Remaining §2 inventory operators: equality lexicon joins (J7),
+  * announcement fuzzy-containment join (J14), term counting (A9),
+  * max-with-global-fallback (A12), ordered collect_list aggregation (A16).
+  */
+object MiscQueries extends QueryBase {
+
+  val all: Seq[Q] = Seq(
+    // J7: equality lexicon join through lower() on both sides — the
+    // inflection-table join shape (reference post_sentiments.py:189-214,
+    // inflection view migration_028.sql:67-80). Lexicon broadcasts.
+    Q(
+      "join_lexicon_equality",
+      (s, dir) => {
+        val p = t(s, dir, "part")
+        val lex = s.createDataFrame(Seq(
+          Tuple1("PROMO"), Tuple1("Economy"), Tuple1("small"), Tuple1("LARGE")))
+          .toDF("lex_word")
+        val tokens = p.select(col("p_partkey"),
+          explode(split(lower(col("p_type")), " ")).as("token"))
+        tokens.join(broadcast(lex), col("token") === lower(col("lex_word")))
+          .groupBy("lex_word")
+          .agg(count(lit(1)).as("n_parts"), countDistinct(col("p_partkey")).as("n_distinct"))
+          .orderBy("lex_word")
+      },
+      Some("""
+        SELECT lex_word, count(*) AS n_parts, count(DISTINCT p_partkey) AS n_distinct
+        FROM (SELECT p_partkey, unnest(string_split(lower(p_type), ' ')) AS token
+              FROM part)
+        JOIN (SELECT unnest(['PROMO','Economy','small','LARGE']) AS lex_word) lex
+          ON token = lower(lex_word)
+        GROUP BY lex_word ORDER BY lex_word"""),
+      doc = "J7 equality lexicon join via lower(); reference post_sentiments.py:189-214"),
+
+    // J14: announcement fuzzy-containment join — substring match against a
+    // small campaign dim inside a bounded id-window, ambiguous matches
+    // (doc matching >1 campaign) dropped.
+    // reference exhibition_popularity.py:57-74.
+    Q(
+      "join_fuzzy_containment",
+      (s, dir) => {
+        val d = th(s, dir, "documents")
+        val camp = s.createDataFrame(Seq(
+          ("spark", 0L, 3000L), ("stream", 100L, 4500L), ("vector", 200L, 5000L)))
+          .toDF("campaign", "lo", "hi")
+        val matched = d.crossJoin(broadcast(camp))
+          .filter(col("text").contains(col("campaign")) &&
+            col("doc_id").between(col("lo"), col("hi")))
+        val w = Window.partitionBy("doc_id")
+        matched.withColumn("nm", count(lit(1)).over(w))
+          .filter(col("nm") === 1)
+          .select(col("doc_id"), col("campaign"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, campaign FROM (
+          SELECT doc_id, campaign, count(*) OVER (PARTITION BY doc_id) AS nm
+          FROM documents
+          JOIN (VALUES ('spark', 0, 3000), ('stream', 100, 4500), ('vector', 200, 5000))
+            c(campaign, lo, hi)
+            ON contains(text, campaign) AND doc_id BETWEEN lo AND hi)
+        WHERE nm = 1 ORDER BY doc_id"""),
+      doc = "J14 announcement containment join with ambiguity drop; reference exhibition_popularity.py:57-74"),
+
+    // A9: term counting with at-most-one count per document (the hashtag
+    // counting semantics: a term counts once per tweet regardless of
+    // repeats). reference keyword_intervals.py:144-201.
+    Q(
+      "agg_term_count",
+      (s, dir) => {
+        val d = th(s, dir, "documents")
+        val terms = s.createDataFrame(Seq(
+          Tuple1("data"), Tuple1("query"), Tuple1("table"), Tuple1("join")))
+          .toDF("term")
+        d.select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("token"))
+          .join(broadcast(terms), col("token") === col("term"))
+          .groupBy("term")
+          .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_raw"))
+          .orderBy("term")
+      },
+      Some("""
+        SELECT term, count(DISTINCT doc_id) AS n_docs, count(*) AS n_raw
+        FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+              FROM documents)
+        JOIN (SELECT unnest(['data','query','table','join']) AS term)
+          ON token = term
+        GROUP BY term ORDER BY term"""),
+      doc = "A9 once-per-doc term counting; reference keyword_intervals.py:144-201"),
+
+    // A12: per-group max with global-mean fallback for empty groups.
+    // reference exhibition_popularity.py:79-92.
+    Q(
+      "agg_max_fallback",
+      (s, dir) => {
+        val n = t(s, dir, "nation")
+        val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val perNation = c.groupBy("c_nationkey")
+          .agg(max(col("c_acctbal")).as("max_bal"))
+        val globalMean = c.agg(round(davg(col("c_acctbal")), 6).as("mean_bal"))
+        n.join(perNation, n("n_nationkey") === perNation("c_nationkey"), "left")
+          .crossJoin(broadcast(globalMean))
+          .select(col("n_nationkey"), col("n_name"),
+            coalesce(col("max_bal"), col("mean_bal")).as("popularity"))
+          .orderBy("n_nationkey")
+      },
+      Some("""
+        SELECT n_nationkey, n_name,
+               coalesce(max_bal, (SELECT round(CAST(sum(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) / count(c_acctbal), 6)
+                                  FROM customer WHERE c_mktsegment = 'BUILDING')) AS popularity
+        FROM nation LEFT JOIN (
+          SELECT c_nationkey, max(c_acctbal) AS max_bal
+          FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY c_nationkey)
+          ON n_nationkey = c_nationkey
+        ORDER BY n_nationkey"""),
+      doc = "A12 max with global-mean fallback; reference exhibition_popularity.py:79-92"),
+
+    // A16: grouped aggregation with an ordered collect_list (the
+    // aggregated-opinion shape: list of phrases + mean + sum per group).
+    // reference post_opinion_patterns.py:140-148.
+    Q(
+      "agg_collect_list",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.filter(col("o_custkey") < 200)
+          .groupBy("o_custkey")
+          .agg(
+            array_sort(collect_list(col("o_orderpriority"))).as("priorities"),
+            round(davg(col("o_totalprice"), 10000L), 6).as("avg_price"),
+            count(lit(1)).as("n_orders"))
+          .orderBy("o_custkey")
+      },
+      Some("""
+        SELECT o_custkey,
+               list(o_orderpriority ORDER BY o_orderpriority) AS priorities,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) / count(o_totalprice), 6) AS avg_price,
+               count(*) AS n_orders
+        FROM orders WHERE o_custkey < 200
+        GROUP BY o_custkey ORDER BY o_custkey"""),
+      doc = "A16 ordered collect_list aggregation; reference post_opinion_patterns.py:140-148"))
+}
