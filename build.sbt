@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout straight through: the bench/verify
+// drivers parse a bare JSON line, which sbt's logger would prefix with
+// "[info] " otherwise.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,7 +30,17 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Fixed-size heap + ParallelGC. This host zeroes fresh pages
+  // pathologically slowly (~100 MB/s serial), so ANY walk into uncommitted
+  // heap (G1 growing, G1 recommitting regions it gave back) stalls
+  // allocation ~100x — round-1 bench queries swung 2 s <-> 350 s from this
+  // alone. ParallelGC never uncommits, so each page faults in at most
+  // once; Xms=Xmx keeps the generation sizes stable; Bench additionally
+  // faults the heap in with a 32-way parallel touch before timing
+  // (serial AlwaysPreTouch would cost minutes here).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  "-XX:+UseParallelGC",
   // Whole-stage codegen emits one or more classes per query stage; a
   // 60-query run overflows the default 240 MB code cache, silently
   // disabling JIT mid-run (late queries then execute interpreted, 10-50x

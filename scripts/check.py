@@ -84,9 +84,13 @@ def main():
         if name not in results:
             results[name] = "MISSING_RESULT (Spark-side failure — see verify stderr)"
     n_ok = sum(1 for v in results.values() if v.startswith("OK"))
-    n_rows_only = sum(1 for v in results.values() if v.startswith("ROWS_ONLY"))
+    # An EMPTY rows-only result is a failure: a crashed run that still wrote
+    # an empty dir (or a query that degenerated to 0 rows) must not pass.
+    n_rows_only = sum(1 for v in results.values()
+                      if v.startswith("ROWS_ONLY") and "EMPTY" not in v)
     for k, v in results.items():
-        mark = "✓" if v.startswith("OK") else ("·" if v.startswith("ROWS_ONLY") else "✗")
+        mark = "✓" if v.startswith("OK") else (
+            "·" if v.startswith("ROWS_ONLY") and "EMPTY" not in v else "✗")
         print(f"{mark} {k}: {v}")
     print(f"\n{n_ok} OK, {n_rows_only} rows-only, "
           f"{len(results) - n_ok - n_rows_only} FAILED of {len(results)}")

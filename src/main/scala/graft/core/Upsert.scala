@@ -18,9 +18,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * absent from the batch): a plain snapshot overwrite.
   *
   * Durability: `upsertWrite` stages the merged result into a sibling
-  * directory and swaps it in via rename, so readers never observe a
-  * half-written table (the moral equivalent of the reference's
-  * single-transaction COPY+merge).
+  * directory, moves the live table aside, renames the staged directory in,
+  * then deletes the old copy — so a live table directory exists at every
+  * instant except the sub-millisecond gap between the two renames (a
+  * single filesystem rename is not transactional across two paths; a true
+  * zero-gap swap needs a catalog indirection, which is out of scope).
+  * A crash mid-swap leaves either the original table or the new one plus
+  * a recoverable `.bak-*`; a failed stage write is cleaned up eagerly.
   */
 object Upsert {
 
@@ -30,7 +34,7 @@ object Upsert {
     existing.join(incoming.select(pk.head, pk.tail: _*), pk, "left_anti")
       .unionByName(incoming)
 
-  /** K1 against a parquet table path, with staged atomic swap. */
+  /** K1 against a parquet table path, with staged swap. */
   def upsertWrite(spark: SparkSession, tablePath: String, incoming: DataFrame,
       pk: Seq[String]): Unit = {
     val path = new Path(tablePath)
@@ -38,25 +42,41 @@ object Upsert {
     val merged =
       if (fs.exists(path)) merge(spark.read.parquet(tablePath), incoming, pk)
       else incoming
-    val staged = new Path(tablePath + ".staged-" + java.util.UUID.randomUUID())
-    merged.write.mode("overwrite").parquet(staged.toString)
-    if (fs.exists(path)) fs.delete(path, true)
-    if (!fs.rename(staged, path))
-      throw new java.io.IOException(s"atomic swap failed: $staged -> $path")
+    swapIn(spark, tablePath, merged)
   }
 
   /** K2 replace-content: full-snapshot overwrite of the table. */
   def replaceWrite(spark: SparkSession, tablePath: String, snapshot: DataFrame): Unit =
-    upsertOverwrite(spark, tablePath, snapshot)
+    swapIn(spark, tablePath, snapshot)
 
-  private def upsertOverwrite(spark: SparkSession, tablePath: String,
+  /** Write `df` to a staging dir, then old → .bak, staged → live,
+    * delete .bak. Readers see the old table until the instant of the
+    * staged→live rename; the old data survives (as .bak) until the new
+    * table is in place. Stage/bak leftovers are cleaned on failure. */
+  private def swapIn(spark: SparkSession, tablePath: String,
       df: DataFrame): Unit = {
     val path = new Path(tablePath)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staged = new Path(tablePath + ".staged-" + java.util.UUID.randomUUID())
-    df.write.mode("overwrite").parquet(staged.toString)
-    if (fs.exists(path)) fs.delete(path, true)
-    if (!fs.rename(staged, path))
-      throw new java.io.IOException(s"atomic swap failed: $staged -> $path")
+    val suffix = java.util.UUID.randomUUID().toString
+    val staged = new Path(tablePath + ".staged-" + suffix)
+    try df.write.mode("overwrite").parquet(staged.toString)
+    catch {
+      case e: Throwable =>
+        if (fs.exists(staged)) fs.delete(staged, true)
+        throw e
+    }
+    val bak = new Path(tablePath + ".bak-" + suffix)
+    val hadOld = fs.exists(path)
+    if (hadOld && !fs.rename(path, bak)) {
+      fs.delete(staged, true)
+      throw new java.io.IOException(s"swap failed moving live aside: $path -> $bak")
+    }
+    if (!fs.rename(staged, path)) {
+      // Restore the original table before surfacing the error.
+      if (hadOld) fs.rename(bak, path)
+      fs.delete(staged, true)
+      throw new java.io.IOException(s"swap failed: $staged -> $path")
+    }
+    if (hadOld) fs.delete(bak, true)
   }
 }

@@ -28,8 +28,13 @@ object CoreQueries extends QueryBase {
           .agg(
             dsum(col("l_quantity")).as("sum_qty"),
             dsum(col("l_extendedprice")).as("sum_base_price"),
-            (sum(priceC * discC) / lit(1e4)).as("sum_disc_price"),
-            (sum(priceC * discC * taxC) / lit(1e6)).as("sum_charge"),
+            // Product terms reach ~1e11 per row — their sums go through the
+            // digit-split wsum, exact to ~4e12 rows/group (a plain long sum
+            // would wrap silently past ~9e7 rows/group).
+            (wsum(priceC * discC).cast(DecimalType(38, 6)) / lit(10000L))
+              .cast("double").as("sum_disc_price"),
+            (wsum(priceC * discC * taxC).cast(DecimalType(38, 6)) / lit(1000000L))
+              .cast("double").as("sum_charge"),
             davg(col("l_quantity")).as("avg_qty"),
             davg(col("l_discount")).as("avg_disc"),
             count(lit(1)).as("count_order"))
@@ -56,8 +61,8 @@ object CoreQueries extends QueryBase {
       (s, dir) => {
         val ev = t(s, dir, "events")
         val vc = round(col("value") * 100).cast("long")
-        val num = sum(vc * vc) / lit(1e4)
-        val den = sum(vc) / lit(100.0)
+        val num = (wsum(vc * vc).cast(DecimalType(38, 6)) / lit(10000L)).cast("double")
+        val den = (wsum(vc).cast(DecimalType(38, 6)) / lit(100L)).cast("double")
         ev.groupBy("event_type")
           .agg(when(den === 0d, lit(null)).otherwise(round(num / den, 6)).as("biased_value"),
             count(lit(1)).as("n"))

@@ -51,9 +51,12 @@ object JoinQueries extends QueryBase {
           .join(r, n("n_regionkey") === r("r_regionkey"))
           .groupBy("r_name", "n_name")
           .agg(
-            (sum(round(col("l_extendedprice") * 100).cast("long") *
-              (lit(100L) - round(col("l_discount") * 100).cast("long"))) / lit(1e4))
-              .as("revenue"),
+            // price*discount product term: digit-split exact sum (wsum) —
+            // a plain long sum wraps past ~9e9 rows/group at this scale.
+            (wsum(round(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - round(col("l_discount") * 100).cast("long")))
+              .cast(org.apache.spark.sql.types.DecimalType(38, 6)) / lit(10000L))
+              .cast("double").as("revenue"),
             count(lit(1)).as("n_items"))
           .orderBy("r_name", "n_name")
       },
@@ -102,7 +105,13 @@ object JoinQueries extends QueryBase {
       "join_asof",
       (s, dir) => {
         val ev = t(s, dir, "events")
-        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        // ASOF semantics are `purchase.ts >= signup.ts`: a signup at the
+        // SAME timestamp as the purchase must be visible, so signups sort
+        // before purchases at equal ts (kind asc), and among equal-ts
+        // signups the max event_id wins — the same total order the oracle's
+        // deduped ASOF side encodes.
+        val kind = when(col("event_type") === "signup", 0).otherwise(1)
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), kind, col("event_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ev.withColumn("signup_ts",
             last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true).over(w))
@@ -117,7 +126,9 @@ object JoinQueries extends QueryBase {
                strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
                strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS signup_ts
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup'
+                        QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                                   ORDER BY event_id DESC) = 1) s
           ON p.user_id = s.user_id AND p.ts >= s.ts
         ORDER BY p.event_id"""),
       doc = "as-of join via single window pass; DuckDB ASOF JOIN oracle"),

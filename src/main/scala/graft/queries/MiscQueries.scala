@@ -128,14 +128,18 @@ object MiscQueries extends QueryBase {
         o.filter(col("o_custkey") < 200)
           .groupBy("o_custkey")
           .agg(
-            array_sort(collect_list(col("o_orderpriority"))).as("priorities"),
+            // Joined to one string: the harness's row-sort cannot order
+            // list-typed cells, and the string form hash-compares the same.
+            array_join(array_sort(collect_list(col("o_orderpriority"))), "|")
+              .as("priorities"),
             round(davg(col("o_totalprice"), 10000L), 6).as("avg_price"),
             count(lit(1)).as("n_orders"))
           .orderBy("o_custkey")
       },
       Some("""
         SELECT o_custkey,
-               list(o_orderpriority ORDER BY o_orderpriority) AS priorities,
+               array_to_string(list(o_orderpriority ORDER BY o_orderpriority), '|')
+                 AS priorities,
                round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) / count(o_totalprice), 6) AS avg_price,
                count(*) AS n_orders
         FROM orders WHERE o_custkey < 200

@@ -197,7 +197,11 @@ object PipelineQueries extends QueryBase {
       Some("""
         SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
                lower(sha256(text)) AS payload_sha,
-               1.0 AS feature_l1
+               -- Mirrors the stub decoder: an empty payload yields the
+               -- all-zero histogram (L1 = 0.0); anything else normalizes
+               -- to L1 = 1.0 (float accumulation stays inside round(.,3)).
+               CASE WHEN octet_length(encode(text)) = 0 THEN 0.0 ELSE 1.0 END
+                 AS feature_l1
         FROM documents ORDER BY media_id"""),
       doc = "multimodal binary column + mapPartitions feature extraction (stub decode)"))
 }

@@ -24,18 +24,36 @@ trait QueryBase {
   def th(s: SparkSession, dir: String, name: String): DataFrame =
     graft.core.Tables.parallelize(t(s, dir, name))
 
-  /** Exact, order-independent sum of a fixed-point double column via
-    * scaled-long arithmetic (stays on the codegen'd long-sum path instead
-    * of Spark's BigDecimal-backed DECIMAL(>18) sum, ~2-3x faster at the
-    * same exactness). `scale` must make the column integral (money = 100);
-    * headroom: max|x|*scale*rows must fit int64 — at 1e5-magnitude money
-    * and 1e4 scale that is ~9e9 rows per group, far past any per-group
-    * cardinality here; the DECIMAL fallback remains the right choice for
-    * unbounded-magnitude columns. Produces bit-identical doubles to the
-    * oracle's exact DECIMAL sum (both are the exact rational rounded once
-    * to double). */
+  /** Exact, order-independent sum of an integral long expression with
+    * 100-TB-scale headroom, on the codegen'd long-sum path (2-20x faster
+    * than Spark's BigDecimal-backed DECIMAL(>18) sum).
+    *
+    * The per-row value is split into three digit sums (bits 0-20, 21-41,
+    * 42-63; arithmetic shift = floor division, so the identity
+    * `x == (x>>42)*2^42 + ((x>>21)&m)*2^21 + (x&m)` holds for negatives
+    * too). Each digit column sums as a plain long; the three per-group
+    * totals are recombined once in DECIMAL(38,0), which is exact.
+    * Headroom: the low/mid digit sums are < 2^21 per row, overflowing
+    * int64 only past 2^42 (~4.4e12) rows per group; the high digit sum
+    * overflows only when the TRUE total exceeds 2^63 * 2^21. A 100 TB
+    * lineitem (~7e11 rows) aggregated into one group stays exact. */
+  def wsum(x: Column): Column = {
+    val m = lit((1L << 21) - 1)
+    val dec = DecimalType(38, 0)
+    sum(shiftright(x, 42)).cast(dec) * lit(1L << 42) +
+      sum(shiftright(x, 21).bitwiseAND(m)).cast(dec) * lit(1L << 21) +
+      sum(x.bitwiseAND(m)).cast(dec)
+  }
+
+  /** Exact sum of a fixed-point double column via scaled-long arithmetic.
+    * `scale` must make the column integral (money = 100). The scaled total
+    * is exact at any group size (see [[wsum]]); the descale divides in
+    * DECIMAL (exact — quotients have <= 6 fractional digits) and rounds
+    * ONCE casting to double, bit-identical to the oracle's
+    * `CAST(sum(DECIMAL) AS DOUBLE)`. */
   def dsum(c: Column, scale: Long = 100L): Column =
-    sum(round(c * scale).cast("long")) / lit(scale.toDouble)
+    (wsum(round(c * scale).cast("long")).cast(DecimalType(38, 6)) / lit(scale))
+      .cast("double")
 
   /** Exact average = scaled-long sum / count. */
   def davg(c: Column, scale: Long = 100L): Column =

@@ -121,7 +121,7 @@ object ScalarQueries extends QueryBase {
       },
       Some("""
         SELECT event_type,
-               sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
                count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_k,
                max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
         FROM events GROUP BY event_type ORDER BY event_type"""),
@@ -138,15 +138,18 @@ object ScalarQueries extends QueryBase {
           .map(lit): _*)
         d.select(
             col("doc_id"),
-            filter(whitelist, kw => col("text").contains(kw)).as("tags"))
-          .withColumn("n_tags", size(col("tags")))
+            filter(whitelist, kw => col("text").contains(kw)).as("tags_arr"))
+          .withColumn("n_tags", size(col("tags_arr")))
           .filter(col("n_tags") > 0)
+          // String form: the harness's row-sort cannot order list cells.
+          .select(col("doc_id"), array_join(col("tags_arr"), "|").as("tags"),
+            col("n_tags"))
           .orderBy("doc_id")
       },
       Some("""
         SELECT doc_id,
-               [kw FOR kw IN ['spark','stream','vector','window','hash']
-                   IF contains(text, kw)] AS tags,
+               array_to_string([kw FOR kw IN ['spark','stream','vector','window','hash']
+                   IF contains(text, kw)], '|') AS tags,
                len([kw FOR kw IN ['spark','stream','vector','window','hash']
                    IF contains(text, kw)]) AS n_tags
         FROM documents

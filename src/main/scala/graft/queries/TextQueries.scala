@@ -183,12 +183,17 @@ object TextQueries extends QueryBase {
           .groupBy("source")
           .agg(sum(col("ws_tokens")).as("total_ws"),
             sum(col("bpe_tokens")).as("total_bpe"),
-            round(avg(col("bpe_tokens").cast("double")), 6).as("avg_bpe"))
+            // Exact mean: integer sum / count divided once as double —
+            // a parallel double avg() is summation-order-dependent and can
+            // land a half-ulp away from the oracle before round(…, 6).
+            round(sum(col("bpe_tokens")).cast("double") / count(lit(1)), 6)
+              .as("avg_bpe"))
           .orderBy("source")
       },
       Some("""
-        SELECT source, sum(ws_tokens) AS total_ws, sum(bpe_tokens) AS total_bpe,
-               round(avg(CAST(bpe_tokens AS DOUBLE)), 6) AS avg_bpe
+        SELECT source, CAST(sum(ws_tokens) AS BIGINT) AS total_ws,
+               CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe,
+               round(CAST(sum(bpe_tokens) AS DOUBLE) / count(*), 6) AS avg_bpe
         FROM (SELECT source,
                      len(string_split_regex(lower(text), '\s+')) AS ws_tokens,
                      len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
