@@ -1,0 +1,164 @@
+package graft.bronze
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Bronze-layer normalizers for the museum booking system ("gomus")
+  * report payloads — the SURVEY.md §2.1/§2.3 payload halves (S2 report
+  * shapes; P3–P10, P19 transforms). Each is a pure DataFrame → DataFrame
+  * function over the raw report columns (German headers exactly as
+  * fetched), so the network/scrape half stays out of engine scope while
+  * every transform the reference applies is reproduced and unit-tested.
+  *
+  * All expressions are built-ins or codegen'd custom expressions — no
+  * UDFs, no driver-side loops — so the normalizers inherit pushdown,
+  * pruning and whole-stage codegen at any input size.
+  */
+object Gomus {
+
+  /** mmh3-parity privacy hash (P4): seed-666 signed murmur3 over the
+    * expression given as SQL text (the `murmur3_seeded` codegen expression,
+    * registered on the session by the caller-facing extractors).
+    * Reference src/gomus/_utils/extract_customers.py:135-140. */
+  private def privacyHash(innerSql: String): Column =
+    expr(s"murmur3_seeded($innerSql, 666)")
+
+  /** Booking-report normalizer. Reference behavior
+    * (src/gomus/_utils/extract_bookings.py:35-108):
+    *  - `Guide`: first name of the comma list, lowercased, de-spaced,
+    *    murmur3(seed=666); missing guide → 0.
+    *  - `Startzeit` = `Datum` + `Uhrzeit von` as dd.MM.yyyy HH:mm.
+    *  - `Dauer` = minutes from `Uhrzeit von` to `Uhrzeit bis` (same-day,
+    *    Python `timedelta.seconds` semantics: a negative span wraps by
+    *    +24 h).
+    *  - `Angebot/Termin` coalesce; `Anzahl Teilnehmende` NaN→0.
+    */
+  def extractBookings(raw: DataFrame): DataFrame = {
+    GraftFunctions.register(raw.sparkSession)
+    val guideHash = privacyHash(
+      "element_at(split(replace(lower(Guide), ' ', ''), ','), 1)")
+    val startTs = to_timestamp(
+      concat_ws(" ", col("Datum"), col("Uhrzeit von")), "dd.MM.yyyy HH:mm")
+    val minsOf = (c: Column) =>
+      element_at(split(c, ":"), 1).cast("int") * 60 +
+        element_at(split(c, ":"), 2).cast("int")
+    val span = minsOf(col("Uhrzeit bis")) - minsOf(col("Uhrzeit von"))
+    raw.select(
+      col("Buchung").cast("int").as("booking_id"),
+      col("Angebotskategorie").as("category"),
+      coalesce(col("Anzahl Teilnehmende").cast("double").cast("int"), lit(0))
+        .as("participants"),
+      coalesce(guideHash, lit(0)).as("guide_id"),
+      (when(span < 0, span + 24 * 60).otherwise(span)).as("duration"),
+      col("Ausstellung").as("exhibition"),
+      coalesce(col("Angebot"), col("Termin")).as("title"),
+      col("Status").as("status"),
+      startTs.as("start_datetime"))
+  }
+
+  /** Customer-report normalizer. Reference behavior
+    * (src/gomus/_utils/extract_customers.py:36-140):
+    *  - `customer_id` = murmur3(email, 666) when the email is present,
+    *    else the numeric report id (`Nummer`).
+    *  - `postal_code`: trailing literal ".0" stripped (float-read codes).
+    *  - `newsletter` = (value == "ja"); `gender`: Frau→w, Herr→m, else ''.
+    *  - `register_date` parsed dd.MM.yyyy; unparseable rows are dropped
+    *    (the reference additionally aborts past 50% invalid — kept as a
+    *    caller-side assertion, not a silent behavior).
+    *  - `valid_mail` regex flag; `tourism_tags` = ordered whitelist tags
+    *    contained in the email (P9).
+    */
+  def extractCustomers(raw: DataFrame): DataFrame = {
+    GraftFunctions.register(raw.sparkSession)
+    val tags = Seq("reise", "kultur", "freunde", "förder", "foerder",
+      "guide", "hotel", "travel", "event", "visit", "verein", "stiftung")
+    val email = col("E-Mail")
+    // try_to_date = the reference's errors='coerce': bad rows → null → drop.
+    val regDate = try_to_date(col("Erstellt am"), "dd.MM.yyyy")
+    raw.select(
+      when(email.isNotNull, privacyHash("`E-Mail`"))
+        .otherwise(col("Nummer").cast("double").cast("int")).as("customer_id"),
+      regexp_replace(col("PLZ").cast("string"), "\\.0$", "").as("postal_code"),
+      (col("Newsletter") === "ja").as("newsletter"),
+      when(col("Anrede") === "Frau", "w")
+        .when(col("Anrede") === "Herr", "m")
+        .otherwise("").as("gender"),
+      col("Kategorie").as("category"),
+      col("Sprache").as("language"),
+      col("Land").as("country"),
+      col("Typ").as("type"),
+      regDate.as("register_date"),
+      coalesce(email.rlike("^\\S+@\\S+\\.\\S+$"), lit(false)).as("valid_mail"),
+      filter(array(tags.map(lit): _*),
+        t => coalesce(email, lit("")).contains(t)).as("tourism_tags"))
+      .filter(regDate.isNotNull)
+  }
+
+  /** Keep-last dedup by customer_id (reference A13 `keep='last'`): pandas
+    * row order is implicit, so the caller supplies an explicit ordinal
+    * column name — last ordinal per key wins. */
+  def dedupKeepLast(df: DataFrame, key: String, ordinal: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(key).orderBy(col(ordinal).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Order-report normalizer (reference src/gomus/orders.py:54-104):
+    *  - `order_date` from the Excel serial float (epoch 1899-12-30, P7).
+    *  - `customer_id` resolved through the gomus→customer mapping table —
+    *    as ONE broadcast join instead of the reference's per-row SQL
+    *    lookup (J10's documented pathology); unmapped → null, missing
+    *    gomus id → 0 semantics preserved.
+    *  - `valid` = (ist gültig? == 'Ja'), `paid` = (Bezahlstatus ==
+    *    'bezahlt') — case-insensitive like the reference.
+    */
+  def extractOrders(raw: DataFrame, mapping: DataFrame): DataFrame = {
+    val serial = col("Erstellt").cast("double")
+    val orders = raw.select(
+      col("Bestellnummer").cast("int").as("order_id"),
+      date_add(to_date(lit("1899-12-30")), floor(serial).cast("int"))
+        .as("order_date"),
+      coalesce(col("Kundennummer").cast("double").cast("int"), lit(0))
+        .as("gomus_id"),
+      (lower(col("ist gültig?")) === "ja").as("valid"),
+      (lower(col("Bezahlstatus")) === "bezahlt").as("paid"),
+      col("Herkunft").as("origin"))
+    orders
+      .join(broadcast(mapping.select(col("gomus_id"),
+        col("customer_id"))), Seq("gomus_id"), "left")
+      .select("order_id", "order_date", "customer_id", "valid", "paid",
+        "origin")
+  }
+
+  /** Daily-entries matrix unpivot (reference
+    * src/gomus/daily_entries.py:85-126): one row per (ID, Ticket) with 24
+    * hourly count columns → long form (id, ticket, datetime, count).
+    * `hourCols` are the raw matrix headers in hour order ("0.0".."23.0"
+    * actual, "0:00".."23:00" expected); `date` is the report date carried
+    * in sheet-0 metadata. The hourly stack is a generated projection
+    * (posexplode over an array literal), not 24 selects.
+    */
+  def unpivotDailyEntries(sheet: DataFrame, hourCols: Seq[String],
+      date: String, countName: String): DataFrame = {
+    val counts = array(hourCols.map(h =>
+      coalesce(col(s"`$h`").cast("double").cast("int"), lit(0))): _*)
+    sheet.select(
+        coalesce(col("ID").cast("double").cast("int"), lit(0)).as("id"),
+        col("Ticket").as("ticket"),
+        posexplode(counts).as(Seq("hour", countName)))
+      .select(col("id"), col("ticket"),
+        timestamp_seconds(
+          unix_timestamp(to_timestamp(lit(date))) + col("hour") * 3600L)
+          .as("datetime"),
+        col(countName))
+  }
+
+  /** Actual ∪ expected daily entries: natural inner join on
+    * (id, ticket, datetime) — reference J1 (daily_entries.py:115-120). */
+  def combineDailyEntries(actual: DataFrame, expected: DataFrame): DataFrame =
+    actual.join(expected, Seq("id", "ticket", "datetime"), "inner")
+}

@@ -38,6 +38,36 @@ object VectorOps {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Float-input cosine: embeddings stay raw `array<float>` in the plan
+    * (an interpreted `transform(_.cast("double"))` per use was the single
+    * largest cost of the embedding queries); each element widens to double
+    * inside the loop, which is exact, so the result is bit-identical to
+    * casting the whole array first. */
+  def cosineFF(a: Seq[Float], b: Seq[Float]): Double = {
+    val n = a.length
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
+    i = 0
+    while (i < n) { na += a(i).toDouble * a(i).toDouble; i += 1 }
+    i = 0
+    while (i < n) { nb += b(i).toDouble * b(i).toDouble; i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Mixed float/double cosine (query vector vs double centroid). */
+  def cosineFD(a: Seq[Float], b: Seq[Double]): Double = {
+    val n = a.length
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) { dot += a(i).toDouble * b(i); i += 1 }
+    i = 0
+    while (i < n) { na += a(i).toDouble * a(i).toDouble; i += 1 }
+    i = 0
+    while (i < n) { nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** MinHash signature: seed j hashes shingle x as
     * ((2j+1) * (md5Long(x) mod 2^28) + 7919 j) mod (2^31 - 1) — one md5
     * per shingle total, the per-seed family is overflow-free affine
@@ -87,9 +117,18 @@ object VectorOps {
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
+  /** Float-input twin of [[bandKeys]] (float→double widening is exact). */
+  def bandKeysF(vv: Seq[Float]): Array[Long] = {
+    val v = new Array[Double](vv.length)
+    var i = 0
+    while (i < v.length) { v(i) = vv(i).toDouble; i += 1 }
+    bandKeysArr(v)
+  }
+
   /** 8 banded 4-bit hyperplane bucket keys for a 64-dim vector. */
-  def bandKeys(vv: Seq[Double]): Array[Long] = {
-    val v = vv.toArray
+  def bandKeys(vv: Seq[Double]): Array[Long] = bandKeysArr(vv.toArray)
+
+  private def bandKeysArr(v: Array[Double]): Array[Long] = {
     Array.tabulate(8) { bd =>
       var key = 0L
       var j = 0

@@ -24,7 +24,8 @@ object Catalog {
     CoreQueries.all ++ JoinQueries.all ++ WindowQueries.all ++
       SetQueries.all ++ ScalarQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ PipelineQueries.all ++
-      FunctionQueries.all ++ MlQueries.all ++ MiscQueries.all
+      FunctionQueries.all ++ MlQueries.all ++ MiscQueries.all ++
+      GoldQueries.all
 
   lazy val byName: Map[String, Q] = {
     val m = all.map(q => q.name -> q).toMap

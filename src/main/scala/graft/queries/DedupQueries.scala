@@ -264,15 +264,18 @@ object DedupQueries extends QueryBase {
       "dedup_embedding_cosine",
       (s, dir) => {
         val e = th(s, dir, "embeddings")
-        val v = e.select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("vv"))
+        // Embeddings stay raw array<float>: the float→double widening
+        // happens inside the compiled kernels (exact), not as an
+        // interpreted transform-cast re-evaluated at every use of the
+        // column — that cast was the dominant cost of this query.
+        val v = e.select(col("vec_id"), col("embedding").as("vv"))
         // Compiled kernels (VectorOps): hyperplane coefficients derive
         // once per JVM, the 8 band keys and the verify cosine are
         // primitive loops — the interpreted-lambda formulation of the
         // same math was ~50x slower.
-        val bkeysU = udf((vv: Seq[Double]) => graft.functions.VectorOps.bandKeys(vv))
-        val cosU = udf((a: Seq[Double], b: Seq[Double]) =>
-          graft.functions.VectorOps.cosine(a, b))
+        val bkeysU = udf((vv: Seq[Float]) => graft.functions.VectorOps.bandKeysF(vv))
+        val cosU = udf((a: Seq[Float], b: Seq[Float]) =>
+          graft.functions.VectorOps.cosineFF(a, b))
         val wCap = Window.partitionBy("bd", "bkey").orderBy("vec_id")
         val buckets = v.select(col("vec_id"),
             posexplode(bkeysU(col("vv"))).as(Seq("bd", "bkey")))

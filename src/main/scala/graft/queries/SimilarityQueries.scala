@@ -20,17 +20,22 @@ object SimilarityQueries extends QueryBase {
 
   private val dims = 64
 
+  /** Corpus kept as raw `array<float>` — widening to double happens inside
+    * the compiled kernels (exact), never as an interpreted transform-cast
+    * in the plan (which would re-run per use of the column). */
   private def vv(e: DataFrame): DataFrame =
-    e.select(col("vec_id"), col("label"),
-      transform(col("embedding"), x => x.cast("double")).as("vv"))
+    e.select(col("vec_id"), col("label"), col("embedding").as("vv"))
 
-  /** Sequential-fold cosine between array columns `a` and `b` — compiled
-    * kernel (VectorOps.cosine, see its scaladoc on why not a HOF lambda);
-    * fold order matches the DuckDB list_sum replication for 6-decimal
-    * parity. */
-  private val cosU = udf((a: Seq[Double], b: Seq[Double]) =>
-    graft.functions.VectorOps.cosine(a, b))
+  /** Sequential-fold cosine between two float-array columns — compiled
+    * kernel (VectorOps, see its scaladoc on why not a HOF lambda); fold
+    * order matches the DuckDB list_sum replication for 6-decimal parity. */
+  private val cosU = udf((a: Seq[Float], b: Seq[Float]) =>
+    graft.functions.VectorOps.cosineFF(a, b))
   private def cosine(a: String, b: String): Column = cosU(col(a), col(b))
+
+  /** Float query vector vs double centroid. */
+  private val cosFD = udf((a: Seq[Float], b: Seq[Double]) =>
+    graft.functions.VectorOps.cosineFD(a, b))
 
   val all: Seq[Q] = Seq(
     // Brute-force cosine top-k: 5 query vectors broadcast against the
@@ -79,7 +84,10 @@ object SimilarityQueries extends QueryBase {
         // dim, value), decimal-sum, re-assemble ordered.
         val cent = v.select(col("label"), posexplode(col("vv")).as(Seq("d", "x")))
           .groupBy("label", "d")
-          .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+          // float → double → decimal: scalar codegen'd casts, same value
+          // chain the oracle's CAST(vv[d+1] AS DECIMAL) sees.
+          .agg((sum(col("x").cast("double")
+            .cast(org.apache.spark.sql.types.DecimalType(28, 10)))
             .cast("double") / count(lit(1))).as("cx"))
           .groupBy("label")
           .agg(transform(array_sort(collect_list(struct(col("d"), col("cx")))),
@@ -89,7 +97,7 @@ object SimilarityQueries extends QueryBase {
         // Top-2 cells per query by centroid cosine.
         val wc = Window.partitionBy("qid").orderBy(col("ccos").desc, col("label").asc)
         val cells = q.crossJoin(broadcast(cent))
-          .withColumn("ccos", cosine("qv", "cv"))
+          .withColumn("ccos", cosFD(col("qv"), col("cv")))
           .withColumn("crank", row_number().over(wc))
           .filter(col("crank") <= 2)
           .select(col("qid"), col("qv"), col("label").as("probe_label"))
