@@ -13,10 +13,18 @@ package graft.functions
   */
 object VectorOps {
 
+  /** Per-thread reusable digest: `MessageDigest.getInstance` dominates the
+    * hash cost when called once per shingle (millions of times per task). */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** First 60 bits of md5 as a non-negative long — the compiled twin of
     * the SQL `CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)`. */
   def md5Long(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5Local.get()
+    md.reset()
     val d = md.digest(s.getBytes("UTF-8"))
     // first 15 hex chars = 7.5 bytes: take 8 bytes big-endian, drop low nibble
     var v = 0L

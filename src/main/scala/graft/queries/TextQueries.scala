@@ -243,13 +243,19 @@ object TextQueries extends QueryBase {
       (s, dir) => {
         val d = th(s, dir, "documents")
         val tokens = d.select(col("doc_id"), explode(toks).as("word"))
-        val dfOne = tokens.groupBy("word")
-          .agg(countDistinct(col("doc_id")).as("df"))
+        // All shuffles run on the (word, doc_id) partial aggregate, never
+        // on raw tokens: the per-pair counts collapse map-side, the hapax
+        // set derives from pair counts, and the final per-doc total is a
+        // sum of pair counts — the raw explode volume never crosses the
+        // network.
+        val perDoc = tokens.groupBy("word", "doc_id").agg(count(lit(1)).as("c"))
+        val dfOne = perDoc.groupBy("word")
+          .agg(count(lit(1)).as("df"))
           .filter(col("df") === 1)
         // No broadcast hint: the df==1 hapax set is roughly half the vocab
         // at corpus scale — let AQE pick broadcast only when it truly fits.
-        tokens.join(dfOne.select("word"), Seq("word"), "left_anti")
-          .groupBy("doc_id").agg(count(lit(1)).as("n_kept_tokens"))
+        perDoc.join(dfOne.select("word"), Seq("word"), "left_anti")
+          .groupBy("doc_id").agg(sum(col("c")).as("n_kept_tokens"))
           .orderBy("doc_id")
       },
       Some("""
