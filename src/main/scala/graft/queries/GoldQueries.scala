@@ -265,5 +265,173 @@ object GoldQueries extends QueryBase {
                  AS BIGINT) AS n_txn,
                count(*) AS n_total
         FROM parsed GROUP BY task ORDER BY task"""),
-      doc = "N10/A14 log-line regex mining + per-level pivot rollup; reference log_report.py:25-132"))
+      doc = "N10/A14 log-line regex mining + per-level pivot rollup; reference log_report.py:25-132"),
+
+    // P11: the full postal-code cleansing pack — rare-symbol translation
+    // table, per-country validation regexes (rewritten RE2-safe: the
+    // reference's negative lookahead for DE sentinels becomes an explicit
+    // NOT IN, so DuckDB's RE2 and Java regex agree), zero-padding for
+    // short DE codes, and the ordered own-country-then-unique-countries
+    // fallback as a coalesce chain. Dirty inputs are synthesized
+    // per-customer so every path (symbol fix, padding, UK alpha format,
+    // FR space strip, sentinel reject, null) is exercised.
+    // reference src/gomus/_utils/cleanse_data.py:17-50,186-303.
+    Q(
+      "scalar_postal_cleanse",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val country = element_at(
+          array(lit("Deutschland"), lit("Vereinigtes Königreich"),
+            lit("Frankreich"), lit("Spanien")),
+          (col("c_nationkey") % 4 + 1).cast("int"))
+        val raw = when(col("c_custkey") % 6 === 0, "!4467")
+          .when(col("c_custkey") % 6 === 1, "1446")
+          .when(col("c_custkey") % 6 === 2, "SW1A 1AA")
+          .when(col("c_custkey") % 6 === 3, "75 008")
+          .when(col("c_custkey") % 6 === 4, "99999")
+          .otherwise(lit(null).cast("string"))
+        val t1 = translate(raw, "!\"§$%&/()=?ß^+* ´,.:;_@", "123456789000")
+        val deShape = "^(0[1-9][0-9]{3}|[1-9][0-9]{4})$"
+        val dePadded = when(t1.rlike("^[1-9][0-9]{3}$"),
+          concat(lit("0"), t1)).otherwise(t1)
+        val deRaw = regexp_extract(dePadded, deShape, 1)
+        val de = when(deRaw.isin("", "01000", "99999"),
+          lit(null).cast("string")).otherwise(deRaw)
+        val uk = nullif(regexp_extract(t1,
+          "^([A-Za-z][A-HJ-Ya-hj-y]?[0-9][A-Za-z0-9]?[0-9][A-Za-z]{2})$", 1),
+          lit(""))
+        val fr = nullif(regexp_extract(t1,
+          "^((0[0-9]|[1-8][0-9]|9[0-8])[0-9]{3})$", 1), lit(""))
+        val es = nullif(regexp_extract(t1,
+          "^((0[1-9]|[1-4][0-9]|5[0-2])[0-9]{3})$", 1), lit(""))
+        val own = when(country === "Deutschland", de)
+          .when(country === "Vereinigtes Königreich", uk)
+          .when(country === "Frankreich", fr)
+          .otherwise(es)
+        val cleansed = coalesce(own, de, uk)
+        c.select(col("c_custkey"), country.as("country"), raw.as("raw_code"),
+            cleansed.as("cleansed_code"),
+            when(own.isNotNull, country)
+              .when(de.isNotNull, "Deutschland")
+              .when(uk.isNotNull, "Vereinigtes Königreich")
+              .otherwise(country).as("cleansed_country"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        WITH base AS (
+          SELECT c_custkey,
+                 ['Deutschland', 'Vereinigtes Königreich', 'Frankreich',
+                  'Spanien'][CAST(c_nationkey % 4 + 1 AS INT)] AS country,
+                 CASE c_custkey % 6
+                   WHEN 0 THEN '!4467' WHEN 1 THEN '1446'
+                   WHEN 2 THEN 'SW1A 1AA' WHEN 3 THEN '75 008'
+                   WHEN 4 THEN '99999' ELSE NULL END AS raw_code
+          FROM customer),
+        cand AS (
+          SELECT *, translate(raw_code, '!"§$%&/()=?ß^+* ´,.:;_@',
+                              '123456789000') AS t1
+          FROM base),
+        m AS (
+          SELECT *,
+            CASE WHEN de_raw IN ('', '01000', '99999') THEN NULL
+                 ELSE de_raw END AS de,
+            nullif(regexp_extract(t1,
+              '^([A-Za-z][A-HJ-Ya-hj-y]?[0-9][A-Za-z0-9]?[0-9][A-Za-z]{2})$',
+              1), '') AS uk,
+            nullif(regexp_extract(t1,
+              '^((0[0-9]|[1-8][0-9]|9[0-8])[0-9]{3})$', 1), '') AS fr,
+            nullif(regexp_extract(t1,
+              '^((0[1-9]|[1-4][0-9]|5[0-2])[0-9]{3})$', 1), '') AS es
+          FROM (SELECT *,
+                  regexp_extract(CASE WHEN regexp_matches(t1, '^[1-9][0-9]{3}$')
+                                      THEN concat('0', t1) ELSE t1 END,
+                    '^(0[1-9][0-9]{3}|[1-9][0-9]{4})$', 1) AS de_raw
+                FROM cand)),
+        res AS (
+          SELECT *,
+            CASE country WHEN 'Deutschland' THEN de
+                         WHEN 'Vereinigtes Königreich' THEN uk
+                         WHEN 'Frankreich' THEN fr
+                         ELSE es END AS own
+          FROM m)
+        SELECT c_custkey, country, raw_code,
+               coalesce(own, de, uk) AS cleansed_code,
+               CASE WHEN own IS NOT NULL THEN country
+                    WHEN de IS NOT NULL THEN 'Deutschland'
+                    WHEN uk IS NOT NULL THEN 'Vereinigtes Königreich'
+                    ELSE country END AS cleansed_country
+        FROM res ORDER BY c_custkey"""),
+      doc = "P11 postal cleansing: symbol translation, RE2-safe country regexes, zero padding, fallback chain; reference cleanse_data.py:17-50,186-303"),
+
+    // ABSA end-to-end (J7 + A3 + A4 composite): tokenize with ordinals →
+    // broadcast aspect-lexicon and polarity-lexicon equality joins →
+    // same-doc aspect×polarity pairing with linear word distance →
+    // Gaussian distance-weighted max-biased sentiment per aspect. One
+    // declarative plan: the only shuffles are the doc-keyed pair join and
+    // the final per-aspect aggregation; both lexicons stay broadcast at
+    // any corpus size. reference src/absa/post_sentiments.py:189-283 +
+    // post_aspect_sentiments.py:158-255.
+    Q(
+      "pipe_absa_sentiment",
+      (s, dir) => {
+        import s.implicits._
+        val d = th(s, dir, "documents")
+        val words = d.select(col("doc_id"),
+            posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos0", "word")))
+          .select(col("doc_id"), (col("pos0") + 1).as("idx"), col("word"))
+        val aspects = Seq("data", "stream", "window", "hash")
+          .toDF("a_word")
+        val polarity = Seq(("fast", 1.0), ("slow", -1.0), ("big", 0.5),
+          ("small", -0.5)).toDF("p_word", "weight")
+        val am = words.join(broadcast(aspects), col("word") === col("a_word"))
+          .select(col("doc_id"), col("idx").as("a_idx"), col("a_word"))
+        val pm = words.join(broadcast(polarity), col("word") === col("p_word"))
+          .select(col("doc_id"), col("idx").as("p_idx"), col("weight"))
+        val dist = abs(col("a_idx") - col("p_idx"))
+        val gw = exp(-pow(col("dist").cast("double") / 5d, 2))
+        val den = sum(col("weight") * col("gw"))
+        am.join(pm, Seq("doc_id"))
+          .withColumn("dist", dist)
+          .filter(col("dist").between(1, 10))
+          .withColumn("gw", gw)
+          .groupBy("a_word")
+          .agg(
+            // Max-biased weighted sentiment; tolerance guard instead of
+            // =0 so both engines take the same branch on near-cancelling
+            // float sums.
+            when(abs(den) < 1e-12, lit(null))
+              .otherwise(round(sum(col("weight") * col("weight") * col("gw")) /
+                den, 6)).as("sentiment"),
+            count(lit(1)).as("n_pairs"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .orderBy("a_word")
+      },
+      Some("""
+        WITH words AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '\s+')) AS word,
+                 generate_subscripts(string_split_regex(lower(text), '\s+'), 1)
+                   AS idx
+          FROM documents),
+        am AS (
+          SELECT doc_id, idx AS a_idx, word AS a_word FROM words
+          WHERE word IN ('data', 'stream', 'window', 'hash')),
+        pm AS (
+          SELECT doc_id, idx AS p_idx,
+                 CASE word WHEN 'fast' THEN 1.0 WHEN 'slow' THEN -1.0
+                           WHEN 'big' THEN 0.5 ELSE -0.5 END AS weight
+          FROM words WHERE word IN ('fast', 'slow', 'big', 'small')),
+        pairs AS (
+          SELECT a_word, am.doc_id AS doc_id, weight,
+                 exp(-pow(CAST(abs(a_idx - p_idx) AS DOUBLE) / 5, 2)) AS gw
+          FROM am JOIN pm ON am.doc_id = pm.doc_id
+          WHERE abs(a_idx - p_idx) BETWEEN 1 AND 10)
+        SELECT a_word,
+               CASE WHEN abs(sum(weight * gw)) < 1e-12 THEN NULL
+                    ELSE round(sum(weight * weight * gw) / sum(weight * gw), 6)
+               END AS sentiment,
+               count(*) AS n_pairs,
+               count(DISTINCT doc_id) AS n_docs
+        FROM pairs GROUP BY a_word ORDER BY a_word"""),
+      doc = "ABSA composite: lexicon joins + linear distance + Gaussian-weighted sentiment; reference post_sentiments.py:189-283, post_aspect_sentiments.py:158-255"))
 }
