@@ -433,5 +433,41 @@ object GoldQueries extends QueryBase {
                count(*) AS n_pairs,
                count(DISTINCT doc_id) AS n_docs
         FROM pairs GROUP BY a_word ORDER BY a_word"""),
-      doc = "ABSA composite: lexicon joins + linear distance + Gaussian-weighted sentiment; reference post_sentiments.py:189-283, post_aspect_sentiments.py:158-255"))
+      doc = "ABSA composite: lexicon joins + linear distance + Gaussian-weighted sentiment; reference post_sentiments.py:189-283, post_aspect_sentiments.py:158-255"),
+
+    // Skew-salted shuffle join — the standard guard for hot keys at 100 TB
+    // (AQE skew-join handles sort-merge; explicit salting is the portable
+    // form that also covers shuffle-hash and streaming joins). A third of
+    // the fact rows are forced onto one key; the fact side carries a
+    // deterministic 8-way salt, the dim side explodes into all 8 salt
+    // copies, and the join key becomes (key, salt) — the hot key's rows
+    // spread over 8 partitions instead of one straggler task. The oracle
+    // is the UNSALTED join: salting must be a pure execution-level
+    // transform with zero semantic effect.
+    Q(
+      "join_skew_salted",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val skewKey = when(col("event_id") % 3 === 0, 0L)
+          .otherwise(col("user_id"))
+        val factS = ev.select(skewKey.as("k"), col("value"),
+          pmod(col("event_id"), lit(8L)).as("salt"))
+        val dimS = t(s, dir, "customer")
+          .select(col("c_custkey").as("k"), col("c_mktsegment"))
+          .withColumn("salt", explode(sequence(lit(0L), lit(7L))))
+        factS.join(dimS.hint("shuffle_hash"), Seq("k", "salt"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_events"),
+            dsum(col("value")).as("total_value"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        SELECT c_mktsegment, count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS total_value
+        FROM (SELECT CASE WHEN event_id % 3 = 0 THEN 0 ELSE user_id END AS k,
+                     value
+              FROM events) e
+        JOIN customer c ON c.c_custkey = e.k
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      doc = "skew mitigation: deterministic 8-way salt on a hot-key shuffle join, unsalted oracle"))
 }
