@@ -145,5 +145,74 @@ object SimilarityQueries extends QueryBase {
                  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rank
           FROM scored)
         WHERE rank <= 5 ORDER BY qid, rank"""),
-      doc = "IVF-partitioned ANN (label cells, nprobe=2, exact-decimal centroids)"))
+      doc = "IVF-partitioned ANN (label cells, nprobe=2, exact-decimal centroids)"),
+
+    // LSH-bucketed ANN: the same banded hyperplane buckets as the
+    // embedding dedup, used for search — a query probes only vectors
+    // sharing at least one (band, bucket) with it, so the scanned
+    // fraction is the buckets' occupancy instead of the whole corpus.
+    // Complements IVF: no training/centroid stage, recall from 8
+    // independent bands, per-bucket probe cap keeps hot buckets bounded.
+    Q(
+      "sim_ann_lsh",
+      (s, dir) => {
+        val v = vv(th(s, dir, "embeddings"))
+        val bkeysU = udf((vv: Seq[Float]) =>
+          graft.functions.VectorOps.bandKeysF(vv))
+        val wCap = Window.partitionBy("bd", "bkey").orderBy("vec_id")
+        val buckets = v.select(col("vec_id"),
+            posexplode(bkeysU(col("vv"))).as(Seq("bd", "bkey")))
+          .withColumn("rk", row_number().over(wCap))
+          .filter(col("rk") <= 64)
+          .select("vec_id", "bd", "bkey")
+        // Query ids are the lowest vec_ids, so the asc-ordered probe cap
+        // can never evict them from their own buckets.
+        val qb = buckets.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("bd"), col("bkey"))
+        val cand = broadcast(qb).join(buckets, Seq("bd", "bkey"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select("qid", "vec_id").distinct()
+        val w = Window.partitionBy("qid")
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+        cand
+          .join(v.select(col("vec_id").as("qid"), col("vv").as("qv")), Seq("qid"))
+          .join(v.select(col("vec_id"), col("vv")), Seq("vec_id"))
+          .withColumn("cosine", cosU(col("qv"), col("vv")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("rank"), col("vec_id"),
+            round(col("cosine"), 6).as("cosine"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS vv FROM embeddings),
+        buckets AS (
+          SELECT vec_id, bd, bkey FROM (
+            SELECT vec_id, bd,
+                   CAST(list_sum([CASE WHEN list_sum([vv[d+1] *
+                       CAST((CAST(concat('0x', substr(md5(CAST(bd*4+j AS VARCHAR) || '_' ||
+                         CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % 2001) - 1000 AS DOUBLE)
+                       FOR d IN range(0, $dims)]) > 0
+                     THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END FOR j IN range(0, 4)]) AS BIGINT) AS bkey
+            FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS bd) t)
+          QUALIFY row_number() OVER (PARTITION BY bd, bkey ORDER BY vec_id) <= 64),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS qid, b.vec_id AS vec_id
+          FROM buckets q JOIN buckets b
+            ON q.bd = b.bd AND q.bkey = b.bkey AND q.vec_id <> b.vec_id
+          WHERE q.vec_id < 5),
+        scored AS (
+          SELECT qid, cand.vec_id AS vec_id,
+                 list_sum([qv.vv[i+1] * cv.vv[i+1] FOR i IN range(0, $dims)]) /
+                 (sqrt(list_sum([qv.vv[i+1] * qv.vv[i+1] FOR i IN range(0, $dims)])) *
+                  sqrt(list_sum([cv.vv[i+1] * cv.vv[i+1] FOR i IN range(0, $dims)]))) AS cosine
+          FROM cand JOIN v qv ON cand.qid = qv.vec_id
+                    JOIN v cv ON cand.vec_id = cv.vec_id)
+        SELECT qid, rank, vec_id, round(cosine, 6) AS cosine FROM (
+          SELECT qid, vec_id, cosine,
+                 row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rank
+          FROM scored)
+        WHERE rank <= 5 ORDER BY qid, rank"""),
+      doc = "LSH-bucketed ANN over banded hyperplane buckets, probe-capped (training pipeline)"))
 }
