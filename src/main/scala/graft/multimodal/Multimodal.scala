@@ -54,6 +54,44 @@ object Multimodal {
     hist
   }
 
+  /** Video-style frame sampling as plan-level plumbing: the payload is
+    * split into fixed-size frames and every `stride`-th frame survives —
+    * all with codegen'd expressions (sequence + substring on binary), no
+    * UDF, so a 100 TB video table frame-samples inside the scan stage.
+    * A real deployment would swap the byte-slice "frame" for a container
+    *-aware keyframe index; the plan shape (explode of a per-row frame
+    * list, then slice) is exactly what that version uses too. */
+  def frameSample(media: DataFrame, frameSize: Int, stride: Int): DataFrame = {
+    val nFrames = ceil(col("n_bytes").cast("double") / frameSize).cast("int")
+    media
+      .filter(col("n_bytes") > 0)
+      .withColumn("frame_idx",
+        explode(filter(sequence(lit(0), nFrames - 1),
+          i => i % stride === 0)))
+      .select(col("media_id"), col("kind"), col("frame_idx"),
+        expr(s"substring(payload, frame_idx * $frameSize + 1, $frameSize)")
+          .as("frame"))
+  }
+
+  /** STUB resize: keeps every `factor`-th byte — the stand-in for an
+    * image/audio down-scale. Same contract as a real resizer: smaller
+    * payload, metadata updated, kind preserved. */
+  def stubResize(payload: Array[Byte], factor: Int): Array[Byte] = {
+    if (payload == null) return null
+    val out = new Array[Byte]((payload.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = payload(i * factor); i += 1 }
+    out
+  }
+
+  /** Resize pass over media rows (payload shrunk by `factor`). */
+  def resize(media: DataFrame, factor: Int): DataFrame = {
+    val rz = udf((p: Array[Byte]) => stubResize(p, factor))
+    media
+      .withColumn("payload", rz(col("payload")))
+      .withColumn("n_bytes", coalesce(length(col("payload")), lit(0)).cast("int"))
+  }
+
   /** Batched feature extraction over media rows: one decoder pass per
     * partition (amortizes per-batch model/codec setup, the reason
     * mapInPandas exists), emitting `(media_id, kind, n_bytes, feature)`. */

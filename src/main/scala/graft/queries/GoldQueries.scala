@@ -469,5 +469,34 @@ object GoldQueries extends QueryBase {
               FROM events) e
         JOIN customer c ON c.c_custkey = e.k
         GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
-      doc = "skew mitigation: deterministic 8-way salt on a hot-key shuffle join, unsalted oracle"))
+      doc = "skew mitigation: deterministic 8-way salt on a hot-key shuffle join, unsalted oracle"),
+
+    // Multimodal frame sampling: payloads split into 256-byte frames,
+    // every 4th kept (video keyframe-sampling plumbing, expression-only —
+    // see Multimodal.frameSample). The oracle recomputes the sampled
+    // frame count arithmetically and the first frame's sha over the same
+    // bytes (payloads are ASCII here, so text slices == byte slices).
+    Q(
+      "pipe_multimodal_frames",
+      (s, dir) => {
+        val media = graft.multimodal.Multimodal.asMedia(th(s, dir, "documents"))
+        graft.multimodal.Multimodal.frameSample(media, 256, 4)
+          .groupBy("media_id")
+          .agg(
+            count(lit(1)).as("n_sampled"),
+            max(col("frame_idx")).as("last_idx"),
+            min(when(col("frame_idx") === 0, lower(sha2(col("frame"), 256))))
+              .as("first_frame_sha"))
+          .orderBy("media_id")
+      },
+      Some("""
+        SELECT doc_id AS media_id,
+               CAST(floor((ceil(octet_length(encode(text)) / 256.0) - 1) / 4)
+                 AS BIGINT) + 1 AS n_sampled,
+               CAST(4 * floor((ceil(octet_length(encode(text)) / 256.0) - 1) / 4)
+                 AS INT) AS last_idx,
+               lower(sha256(substr(text, 1, 256))) AS first_frame_sha
+        FROM documents WHERE octet_length(encode(text)) > 0
+        ORDER BY media_id"""),
+      doc = "multimodal frame-sample plumbing (256-byte frames, stride 4), arithmetic + sha oracle"))
 }

@@ -26,4 +26,22 @@ class MultimodalSpec extends SparkSpec {
     val f2 = r2.getSeq[Float](r2.fieldIndex("feature"))
     assert(f2(4) === 1.0f && f2.sum === 1.0f)
   }
+
+  test("frameSample: fixed-size frames, stride keeps every Nth, exact slices") {
+    // 10-byte payload, frameSize 4 → frames 0..2; stride 2 keeps 0 and 2.
+    val docs = Seq((1L, "0123456789")).toDF("doc_id", "text")
+    val frames = Multimodal.frameSample(Multimodal.asMedia(docs), 4, 2)
+      .orderBy("frame_idx").collect()
+    assert(frames.map(_.getAs[Int]("frame_idx")).toSeq === Seq(0, 2))
+    assert(new String(frames(0).getAs[Array[Byte]]("frame"), "UTF-8") === "0123")
+    // Last frame is a short tail slice.
+    assert(new String(frames(1).getAs[Array[Byte]]("frame"), "UTF-8") === "89")
+  }
+
+  test("resize: every factor-th byte kept, metadata updated") {
+    val docs = Seq((1L, "abcdef")).toDF("doc_id", "text")
+    val out = Multimodal.resize(Multimodal.asMedia(docs), 2).collect().head
+    assert(new String(out.getAs[Array[Byte]]("payload"), "UTF-8") === "ace")
+    assert(out.getAs[Int]("n_bytes") === 3)
+  }
 }
