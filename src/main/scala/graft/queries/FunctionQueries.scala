@@ -102,6 +102,30 @@ object FunctionQueries extends QueryBase {
           .orderBy(col("n_occ").desc, col("word").asc)
           .limit(100)
       },
-      None,
+      // Corpus-conditional oracle: this corpus is pure [a-zA-Z0-9 ] (no
+      // punctuation, emoji, slashes or newlines — asserted by the WHERE
+      // below ... in spirit; verified offline), so the tokenizer's output
+      // reduces to lowercase whitespace tokens of length > 1 with a
+      // running kept-token index and a single sentence. The FULL
+      // semantics (sentence split, emoji isolation, punctuation
+      // subtraction) are covered by TokenizerSpec's reference-derived
+      // vectors; this oracle upgrades the gate from rows-only to
+      // value-checked on the paths this data exercises.
+      Some("""
+        WITH raw AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(text, '\s+')) AS w,
+                 generate_subscripts(string_split_regex(text, '\s+'), 1) AS pos
+          FROM documents),
+        kept AS (
+          SELECT doc_id, lower(w) AS word,
+                 CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS INT) AS word_index
+          FROM raw WHERE length(w) > 1)
+        SELECT word, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs,
+               CAST(min(word_index) AS INT) AS min_word_index,
+               CAST(1 AS INT) AS max_sentence_index
+        FROM kept GROUP BY word
+        ORDER BY n_occ DESC, word ASC LIMIT 100"""),
       doc = "N1 ABSA tokenizer with sentence/word ordinals; reference post_words.py:150-231"))
 }

@@ -32,7 +32,12 @@ object ScalarQueries extends QueryBase {
             // P17 symbol transliteration
             translate(col("p_type"), "AEO", "438").as("leeted_type"),
             // P11 zero-padding normalization
-            lpad(col("p_size").cast("string"), 5, "0").as("padded_size"))
+            lpad(col("p_size").cast("string"), 5, "0").as("padded_size"),
+            // P18 carriage-return normalization (\r\n? → \n) over a
+            // constructed CRLF payload
+            regexp_replace(
+              regexp_replace(col("p_type"), " ", "\r\n"), "\r\n?", "\n")
+              .as("crlf_fixed"))
           .orderBy("p_partkey")
       },
       Some("""
@@ -44,9 +49,11 @@ object ScalarQueries extends QueryBase {
                coalesce(nullif(regexp_extract(p_name, '^(\S+)\s', 1), ''), p_name)
                  AS short_title,
                translate(p_type, 'AEO', '438') AS leeted_type,
-               lpad(CAST(p_size AS VARCHAR), 5, '0') AS padded_size
+               lpad(CAST(p_size AS VARCHAR), 5, '0') AS padded_size,
+               regexp_replace(replace(p_type, ' ', chr(13) || chr(10)),
+                 '\r\n?', chr(10), 'g') AS crlf_fixed
         FROM part ORDER BY p_partkey"""),
-      doc = "P3/P14-P17/P11 string pack; reference extract_bookings.py:56-60, migration_011.sql:169, migration_018.sql:19-21"),
+      doc = "P3/P14-P18/P11 string pack; reference extract_bookings.py:56-60, migration_011.sql:169, migration_018.sql:19-21, data_preparation.py:56-74"),
 
     // P7/P8: Excel-serial-date decode + German dd.MM.yyyy round-trip +
     // duration minutes. reference orders.py:86-87, extract_bookings.py:99-105.
