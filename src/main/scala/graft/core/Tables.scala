@@ -54,6 +54,16 @@ object Tables {
     }
   }
 
+  /** JSONC config scan (SURVEY.md §2.1 S6; reference
+    * src/_utils/json_converters.py:25-32 strips comments by hand before
+    * json.load): Jackson's comment support makes it a reader option. */
+  def readJsonc(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("allowComments", "true")
+      .option("multiLine", "true")
+      .json(path)
+
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach { n =>
       val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
