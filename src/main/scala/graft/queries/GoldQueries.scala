@@ -498,5 +498,57 @@ object GoldQueries extends QueryBase {
                lower(sha256(substr(text, 1, 256))) AS first_frame_sha
         FROM documents WHERE octet_length(encode(text)) > 0
         ORDER BY media_id"""),
-      doc = "multimodal frame-sample plumbing (256-byte frames, stride 4), arithmetic + sha oracle"))
+      doc = "multimodal frame-sample plumbing (256-byte frames, stride 4), arithmetic + sha oracle"),
+
+    // A1's document-level sentiment + subjectivity: per-doc avg/stddev of
+    // matched polarity weights, and subjectivity = distinct matched word
+    // positions / total words in the doc (the reference's word_count CTE
+    // joined back in). Matches broadcast the lexicon; word counts partial-
+    // aggregate before the join.
+    Q(
+      "agg_subjectivity",
+      (s, dir) => {
+        import s.implicits._
+        val d = th(s, dir, "documents")
+        val words = d.select(col("doc_id"),
+            posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos0", "word")))
+          .select(col("doc_id"), (col("pos0") + 1).as("idx"), col("word"))
+        val polarity = Seq(("fast", 1.0), ("slow", -1.0), ("big", 0.5),
+          ("small", -0.5)).toDF("p_word", "weight")
+        val wc = words.groupBy("doc_id").agg(count(lit(1)).as("n_words"))
+        val matched = words.join(broadcast(polarity), col("word") === col("p_word"))
+        matched
+          .groupBy("doc_id")
+          .agg(
+            round(avg(col("weight")), 6).as("sentiment"),
+            round(coalesce(stddev_samp(col("weight")), lit(0d)), 6)
+              .as("sentiment_stddev"),
+            countDistinct(col("idx")).as("n_matched"))
+          .join(wc, Seq("doc_id"))
+          .select(col("doc_id"), col("sentiment"), col("sentiment_stddev"),
+            round(col("n_matched").cast("double") / col("n_words"), 6)
+              .as("subjectivity"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH words AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '\s+')) AS word,
+                 generate_subscripts(string_split_regex(lower(text), '\s+'), 1)
+                   AS idx
+          FROM documents),
+        wc AS (SELECT doc_id, count(*) AS n_words FROM words GROUP BY doc_id),
+        matched AS (
+          SELECT doc_id, idx,
+                 CASE word WHEN 'fast' THEN 1.0 WHEN 'slow' THEN -1.0
+                           WHEN 'big' THEN 0.5 ELSE -0.5 END AS weight
+          FROM words WHERE word IN ('fast', 'slow', 'big', 'small'))
+        SELECT doc_id,
+               round(avg(weight), 6) AS sentiment,
+               round(coalesce(stddev_samp(weight), 0), 6) AS sentiment_stddev,
+               round(CAST(count(DISTINCT idx) AS DOUBLE) / any_value(n_words), 6)
+                 AS subjectivity
+        FROM matched JOIN wc USING (doc_id)
+        GROUP BY doc_id ORDER BY doc_id"""),
+      doc = "A1 document sentiment + subjectivity ratio; reference post_sentiments.py:103-148"))
 }
