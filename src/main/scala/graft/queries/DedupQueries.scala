@@ -100,6 +100,11 @@ object DedupQueries extends QueryBase {
           .withColumn("rk", row_number().over(wCap))
           .filter(col("rk") <= 32)
           .drop("rk")
+          // Materialized once: the self-join below would otherwise
+          // recompute the signature UDF (the dominant map cost) for BOTH
+          // sides — the documented persist point for shared subplans
+          // (SURVEY §4).
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cand = bands.as("a").join(bands.as("b"),
             col("a.bd") === col("b.bd") && col("a.bkey") === col("b.bkey") &&
               col("a.doc_id") < col("b.doc_id"))
