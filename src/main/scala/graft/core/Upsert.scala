@@ -49,6 +49,18 @@ object Upsert {
   def replaceWrite(spark: SparkSession, tablePath: String, snapshot: DataFrame): Unit =
     swapIn(spark, tablePath, snapshot)
 
+  /** K3 query-cache sink (reference src/_utils/database.py:300-325:
+    * `TRUNCATE` + `INSERT INTO t SELECT …` entirely inside the DBMS so
+    * results never round-trip through the client, then `COUNT(*)` as the
+    * completion marker): materialize the result to the cache-table path —
+    * executors write parquet directly, nothing is collected to the
+    * driver — and return the row count of what was actually written
+    * (re-read from the files, not recomputed from the plan). */
+  def cacheQuery(spark: SparkSession, tablePath: String, result: DataFrame): Long = {
+    replaceWrite(spark, tablePath, result)
+    spark.read.parquet(tablePath).count()
+  }
+
   /** Write `df` to a staging dir, then old → .bak, staged → live,
     * delete .bak. Readers see the old table until the instant of the
     * staged→live rename; the old data survives (as .bak) until the new

@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Sources
+
+/** Source-scan coverage (SURVEY.md §2.1): each query first EMITS a file
+  * fixture of the reference's ingestion shape from the test tables (typed
+  * CSV report, cursor-paged JSON capture, static CSV catalog), then runs
+  * the real scan + downstream operators over those files — so the full
+  * scan path (schema application, converters, flattening, broadcast) is
+  * value-checked against a DuckDB oracle that computes the same result
+  * straight from the parquet tables. A lossy or mistyped scan cannot
+  * hash-match.
+  *
+  * Aggregated fingerprints use [[QueryBase.wsum]] (exact at any group
+  * size) emitted as decimal strings; DuckDB's HUGEINT sums cast to
+  * VARCHAR produce the same digits.
+  */
+object SourceQueries extends QueryBase {
+
+  /** Deterministic 60-bit hash from md5 — identical in Spark and DuckDB. */
+  private def h64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  private def sumStr(c: Column): Column =
+    wsum(c).cast(DecimalType(38, 0)).cast("string")
+
+  val all: Seq[Q] = Seq(
+    // S1: typed CSV scan. The reference reads every report through
+    // pandas read_csv with per-SQL-type converter callbacks (ARRAY →
+    // literal_eval, bools from 'ja'/'nein'); here the emitted report
+    // carries the same shapes (JSON-encoded array cell, German boolean)
+    // and the scan is an explicit-schema CSV read + typed column
+    // expressions — header honored, no inference pass (an inference pass
+    // over a 100 TB capture would double the IO).
+    Q(
+      "src_csv_typed_scan",
+      (s, dir) => {
+        val out = Sources.scratchDir(dir, "csv_docs")
+        t(s, dir, "documents").select(
+            col("doc_id"), col("lang"), col("n_chars"), col("text"),
+            to_json(slice(split(lower(col("text")), "\\s+"), 1, 3)).as("tags_json"),
+            when(col("n_chars") > 300, lit("ja")).otherwise(lit("nein"))
+              .as("newsletter"))
+          .write.mode("overwrite")
+          .option("header", "true").option("quoteAll", "true")
+          .csv(out)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("lang", StringType),
+          StructField("n_chars", LongType),
+          StructField("text", StringType),
+          StructField("tags_json", StringType),
+          StructField("newsletter", StringType)))
+        val r = Sources.typedCsv(s, out, schema)
+          .withColumn("tags", from_json(col("tags_json"), ArrayType(StringType)))
+          .withColumn("valid", col("newsletter") === "ja")
+        r.groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"),
+            sum(size(col("tags")).cast("long")).as("n_tags"),
+            min(when(size(col("tags")) >= 3, element_at(col("tags"), 3)))
+              .as("min_tag3"),
+            sumStr(h64(col("text"))).as("sum_fp"))
+          .orderBy("lang")
+      },
+      Some("""
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_valid,
+               CAST(sum(least(3, len(tk))) AS BIGINT) AS n_tags,
+               min(CASE WHEN len(tk) >= 3 THEN tk[3] END) AS min_tag3,
+               CAST(sum(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT))
+                 AS VARCHAR) AS sum_fp
+        FROM (SELECT lang, n_chars, text,
+                     string_split_regex(lower(text), '\s+') AS tk
+              FROM documents)
+        GROUP BY lang ORDER BY lang"""),
+      doc = "S1 typed CSV scan (converters: array cell, German bool) via " +
+        "emitted report roundtrip; reference database.py:208-221"),
+
+    // S3/S4: paginated REST/RSS JSON capture scan. Emits the capture as
+    // cursor-paged files ({"cursor": n, "data": [record…]}) exactly like
+    // the reference's saved Graph-API pages, then scans the directory
+    // with an explicit schema and flattens with explode — pagination is
+    // an ingestion artifact; the engine sees one declarative JSON scan.
+    Q(
+      "src_json_pages",
+      (s, dir) => {
+        val out = Sources.scratchDir(dir, "json_pages")
+        val ev = t(s, dir, "events")
+          .filter(pmod(col("event_id"), lit(20L)) === 0)
+          .select(col("event_id"), col("event_type"),
+            round(col("value") * 1e6).cast("long").as("value_u"),
+            pmod(col("user_id"), lit(8L)).as("page"))
+        ev.groupBy("page")
+          .agg(collect_list(struct(col("event_id"), col("event_type"),
+            col("value_u"))).as("data"))
+          .select(to_json(struct(col("page").as("cursor"), col("data")))
+            .as("value"))
+          .write.mode("overwrite").text(out)
+        val pageSchema = StructType(Seq(
+          StructField("cursor", LongType),
+          StructField("data", ArrayType(StructType(Seq(
+            StructField("event_id", LongType),
+            StructField("event_type", StringType),
+            StructField("value_u", LongType)))))))
+        Sources.jsonPages(s, out, pageSchema)
+          .select(explode(col("data")).as("e"))
+          .groupBy(col("e.event_type").as("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sumStr(col("e.value_u")).as("sum_value_u"),
+            max(col("e.event_id")).as("max_event_id"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, count(*) AS n_events,
+               CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS VARCHAR)
+                 AS sum_value_u,
+               max(event_id) AS max_event_id
+        FROM events WHERE event_id % 20 = 0
+        GROUP BY event_type ORDER BY event_type"""),
+      doc = "S3/S4 cursor-paged JSON capture scan + explode flatten; " +
+        "reference facebook.py:82-115, apple_appstore.py:131-167"),
+
+    // S9 + P12/J12: static CSV catalog broadcast join — the postal
+    // (plz → lat/lon) geocoding pattern. The catalog is emitted as one
+    // small CSV (its production analog ships with the job), scanned with
+    // a typed schema, and broadcast — the fact side never shuffles, which
+    // is what makes per-row geocoding viable against a 100 TB fact table.
+    Q(
+      "src_catalog_geocode",
+      (s, dir) => {
+        val out = Sources.scratchDir(dir, "plz_catalog")
+        val withPlz = t(s, dir, "customer").withColumn("plz",
+          lpad((pmod(col("c_custkey") * 7919, lit(900L)) + 100).cast("string"),
+            5, "0"))
+        withPlz.select("plz").distinct()
+          .select(col("plz"),
+            pmod(h64(concat(lit("lat:"), col("plz"))), lit(6000000L)).as("lat_u"),
+            pmod(h64(concat(lit("lon:"), col("plz"))), lit(9000000L)).as("lon_u"))
+          .coalesce(1)
+          .write.mode("overwrite").option("header", "true").csv(out)
+        val cat = Sources.staticCatalog(s, out, StructType(Seq(
+          StructField("plz", StringType),
+          StructField("lat_u", LongType),
+          StructField("lon_u", LongType))))
+        withPlz.join(cat, Seq("plz"), "left")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_cust"),
+            sumStr(col("lat_u")).as("sum_lat_u"),
+            sumStr(col("lon_u")).as("sum_lon_u"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        WITH plzd AS (
+          SELECT c_mktsegment,
+                 lpad(CAST((c_custkey * 7919) % 900 + 100 AS VARCHAR), 5, '0')
+                   AS plz
+          FROM customer),
+        cat AS (
+          SELECT DISTINCT plz,
+                 CAST(concat('0x', substr(md5('lat:' || plz), 1, 15)) AS BIGINT)
+                   % 6000000 AS lat_u,
+                 CAST(concat('0x', substr(md5('lon:' || plz), 1, 15)) AS BIGINT)
+                   % 9000000 AS lon_u
+          FROM plzd)
+        SELECT c_mktsegment, count(*) AS n_cust,
+               CAST(sum(lat_u) AS VARCHAR) AS sum_lat_u,
+               CAST(sum(lon_u) AS VARCHAR) AS sum_lon_u
+        FROM plzd JOIN cat USING (plz)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      doc = "S9 static CSV catalog + P12/J12 broadcast geocode join; " +
+        "reference german_postal_codes.py:10-28, cleanse_data.py:114-138"),
+
+    // N6: word-embedding lookup join. The reference resolves tokens
+    // against a gensim word2vec keyed-vector store on the driver; the
+    // scale-correct engine form is a broadcast join token → (word,
+    // vector) lexicon — out-of-vocabulary tokens drop out of the join
+    // exactly like a missing word2vec key. Vectors here are derived
+    // deterministically from the word (md5 per dimension) so the oracle
+    // reproduces the whole lookup, vocabulary cut included.
+    Q(
+      "text_embedding_lookup",
+      (s, dir) => {
+        val tok = th(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(split(lower(col("text")), "\\s+")).as("word"))
+        val dims = (0 to 3).map(d =>
+          (pmod(h64(concat(col("word"), lit(s":$d"))), lit(2001L)) - 1000)
+            .as(s"v$d"))
+        val lex = tok.groupBy("word").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 10)
+          .select(col("word") +: dims: _*)
+        tok.join(broadcast(lex), Seq("word"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_hits"),
+            sumStr(col("v0")).as("sum_v0"), sumStr(col("v1")).as("sum_v1"),
+            sumStr(col("v2")).as("sum_v2"), sumStr(col("v3")).as("sum_v3"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, lang,
+                 unnest(string_split_regex(lower(text), '\s+')) AS word
+          FROM documents),
+        lex AS (
+          SELECT word,
+                 CAST(concat('0x', substr(md5(word || ':0'), 1, 15)) AS BIGINT)
+                   % 2001 - 1000 AS v0,
+                 CAST(concat('0x', substr(md5(word || ':1'), 1, 15)) AS BIGINT)
+                   % 2001 - 1000 AS v1,
+                 CAST(concat('0x', substr(md5(word || ':2'), 1, 15)) AS BIGINT)
+                   % 2001 - 1000 AS v2,
+                 CAST(concat('0x', substr(md5(word || ':3'), 1, 15)) AS BIGINT)
+                   % 2001 - 1000 AS v3
+          FROM tok GROUP BY word HAVING count(*) >= 10)
+        SELECT lang, count(*) AS n_hits,
+               CAST(sum(v0) AS VARCHAR) AS sum_v0,
+               CAST(sum(v1) AS VARCHAR) AS sum_v1,
+               CAST(sum(v2) AS VARCHAR) AS sum_v2,
+               CAST(sum(v3) AS VARCHAR) AS sum_v3
+        FROM tok JOIN lex USING (word)
+        GROUP BY lang ORDER BY lang"""),
+      doc = "N6 word2vec-style broadcast embedding lookup with vocabulary " +
+        "cut; reference post_opinion_patterns.py:104-113,150-167")
+  )
+}
