@@ -67,7 +67,8 @@ object Gomus {
     *  - `register_date` parsed dd.MM.yyyy; unparseable rows are dropped
     *    (the reference additionally aborts past 50% invalid — kept as a
     *    caller-side assertion, not a silent behavior).
-    *  - `valid_mail` regex flag; `tourism_tags` = ordered whitelist tags
+    *  - `valid_mail` = email present (non-null), reference parity —
+    *    NOT a shape check; `tourism_tags` = ordered whitelist tags
     *    contained in the email (P9).
     */
   def extractCustomers(raw: DataFrame): DataFrame = {
@@ -90,7 +91,10 @@ object Gomus {
       col("Land").as("country"),
       col("Typ").as("type"),
       regDate.as("register_date"),
-      coalesce(email.rlike("^\\S+@\\S+\\.\\S+$"), lit(false)).as("valid_mail"),
+      // Reference parity (extract_customers.py:40): 'Gültige E-Mail' is
+      // isinstance(email, str) — true for ANY non-null email, even a
+      // malformed one. No shape regex.
+      email.isNotNull.as("valid_mail"),
       filter(array(tags.map(lit): _*),
         t => coalesce(email, lit("")).contains(t)).as("tourism_tags"))
       .filter(regDate.isNotNull)

@@ -112,7 +112,7 @@ object DedupQueries extends QueryBase {
           .distinct()
         val jacU = udf((a: Seq[String], b: Seq[String]) =>
           graft.functions.VectorOps.jaccard(a, b))
-        cand
+        val out = cand
           .join(shingled.select(col("doc_id").as("lid"), col("sh").as("sa")),
             col("left_id") === col("lid"))
           .join(shingled.select(col("doc_id").as("rid"), col("sh").as("sb")),
@@ -121,6 +121,14 @@ object DedupQueries extends QueryBase {
             round(jacU(col("sa"), col("sb")), 6).as("jaccard"))
           .filter(col("jaccard") >= 0.5)
           .orderBy("left_id", "right_id")
+          // The verified-pair result is tiny (pairs that LSH-collided AND
+          // pass Jaccard ≥ 0.5); cache it eagerly so the big bands frame
+          // can be dropped here instead of squatting on executor memory
+          // for the rest of a multi-query session.
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        bands.unpersist()
+        out
       },
       Some("""
         WITH tk AS (

@@ -49,13 +49,20 @@ class BronzeSpec extends SparkSpec {
       ("1002", "Herr", null.asInstanceOf[String], "10115", "nein", "Firma",
         "en", "UK", "Firma", "15.07.2019"),
       ("1003", "", "bad@mail.com", "99999", "nein", "Privat", "de", "DE",
-        "Standard", "not-a-date"))
+        "Standard", "not-a-date"),
+      ("1004", "Herr", "malformed-no-at-sign", "10117", "nein", "Privat",
+        "de", "DE", "Standard", "20.05.2021"))
       .toDF("Nummer", "Anrede", "E-Mail", "PLZ", "Newsletter", "Kategorie",
         "Sprache", "Land", "Typ", "Erstellt am")
     val out = Gomus.extractCustomers(raw).orderBy("register_date").collect()
 
     // Row with unparseable register date is dropped.
-    assert(out.length === 2)
+    assert(out.length === 3)
+    // Reference parity: ANY non-null email counts as valid (the reference
+    // checks isinstance(email, str), not an address shape).
+    val r4 = out(2)
+    assert(r4.getAs[Boolean]("valid_mail") === true)
+    assert(r4.getAs[Int]("customer_id") === mm("malformed-no-at-sign"))
     val r2 = out(0) // 2019 row: null email → numeric fallback id
     assert(r2.getAs[Int]("customer_id") === 1002)
     assert(r2.getAs[String]("gender") === "m")

@@ -39,6 +39,20 @@ class FkFilterSpec extends SparkSpec {
     assert(outSelf.toSeq === Seq(20, 21))
   }
 
+  test("does not abort when only null-FK rows survive (reference parity)") {
+    // Reference raises only when the ENTIRE surviving set is empty —
+    // null-FK escapees count as valid there ('Null reference' branch).
+    val ref = Seq(1).toDF("id")
+    val incoming = Seq((10, Some(99)), (11, None), (12, None))
+      .toDF("row_id", "cust")
+    val drops = mutable.Buffer[Dropped]()
+    val out = FkFilter.filter(incoming,
+        Seq(Fk(Seq("cust"), "customer", ref, Seq("id"))), drops.append(_))
+      .select("row_id").as[Int].collect().sorted
+    assert(out.toSeq === Seq(11, 12))
+    assert(drops.toSeq === Seq(Dropped("cust -> customer", 1)))
+  }
+
   test("aborts when a constraint discards every row") {
     val ref = Seq(1).toDF("id")
     val incoming = Seq((10, 99), (11, 98)).toDF("row_id", "cust")
