@@ -18,9 +18,7 @@ object Dbscan {
   /** Returns cluster label per point: -1 = noise, clusters numbered from 0
     * in discovery order. */
   def fit(vecs: Array[Array[Double]], eps: Double, minPts: Int): Array[Int] = {
-    val n = vecs.length
     val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
-
     def cosDist(i: Int, j: Int): Double = {
       var dot = 0.0
       var d = 0
@@ -29,16 +27,32 @@ object Dbscan {
       val den = norms(i) * norms(j)
       if (den == 0) 1.0 else 1.0 - dot / den
     }
+    fitGraph(vecs.length, (i, j) => cosDist(i, j) <= eps, minPts)
+  }
+
+  /** Generalized (weighted) DBSCAN over an arbitrary neighbor predicate.
+    *
+    * `weight(i)` = how many identical points the vertex stands for — the
+    * post-aggregation distinct-vector frame collapses duplicates, and a
+    * vertex of multiplicity w contributes w to its own core test (its
+    * duplicates are at distance 0). With per-point weight 1 this is
+    * textbook DBSCAN. Deterministic: vertices visited in input order,
+    * neighbor lists ordered.
+    */
+  def fitGraph(n: Int, isNeighbor: (Int, Int) => Boolean, minPts: Int,
+      weight: Int => Int = _ => 1): Array[Int] = {
 
     def neighbors(i: Int): mutable.ArrayBuffer[Int] = {
       val out = mutable.ArrayBuffer.empty[Int]
       var j = 0
       while (j < n) {
-        if (j != i && cosDist(i, j) <= eps) out += j
+        if (j != i && isNeighbor(i, j)) out += j
         j += 1
       }
       out
     }
+    def coreMass(i: Int, nb: mutable.ArrayBuffer[Int]): Int =
+      weight(i) + nb.iterator.map(weight).sum
 
     val labels = Array.fill(n)(-2) // -2 unvisited, -1 noise
     var cluster = -1
@@ -46,7 +60,7 @@ object Dbscan {
     while (i < n) {
       if (labels(i) == -2) {
         val nb = neighbors(i)
-        if (nb.length + 1 < minPts) labels(i) = -1
+        if (coreMass(i, nb) < minPts) labels(i) = -1
         else {
           cluster += 1
           labels(i) = cluster
@@ -57,7 +71,7 @@ object Dbscan {
             if (labels(q) == -2) {
               labels(q) = cluster
               val qnb = neighbors(q)
-              if (qnb.length + 1 >= minPts) queue ++= qnb
+              if (coreMass(q, qnb) >= minPts) queue ++= qnb
             }
           }
         }

@@ -13,8 +13,14 @@ package graft.ml
   */
 object Gsdmm {
 
+  /** Fitted model. Carries the word-topic counts so a distributed stage
+    * can assign topics to unseen documents via [[assign]] — the fit may
+    * run on a bounded sample while label assignment streams over the full
+    * corpus (broadcast model, no driver collect of the corpus). */
   final case class Result(labels: Array[Int], clusterDocCount: Array[Int],
-      topWords: Map[Int, Seq[(String, Int)]])
+      topWords: Map[Int, Seq[(String, Int)]],
+      wordCounts: Array[Map[String, Int]], clusterWordTotal: Array[Int],
+      vocab: Int, k: Int, alpha: Double, beta: Double)
 
   def fit(docs: Array[Array[String]], k: Int, alpha: Double, beta: Double,
       iters: Int, seed: Long = 42L): Result = {
@@ -88,6 +94,33 @@ object Gsdmm {
     val top = (0 until k).map { z =>
       z -> nzw(z).toSeq.sortBy { case (w, c) => (-c, w) }.take(10)
     }.toMap
-    Result(labels, mz, top)
+    Result(labels, mz, top, nzw.map(_.toMap), nz, vocab, k, alpha, beta)
+  }
+
+  /** Deterministic topic assignment for an unseen document: argmax over
+    * the fitted counts of the same movie-group score used during the
+    * Gibbs sweep (new-doc form — the doc's own counts are not in the
+    * model). Ties break to the lowest topic id. */
+  def assign(model: Result, doc: Array[String]): Int = {
+    var best = 0
+    var bestS = Double.NegativeInfinity
+    var z = 0
+    while (z < model.k) {
+      var s = math.log(model.clusterDocCount(z) + model.alpha)
+      val wc = model.wordCounts(z)
+      val seen = collection.mutable.HashMap.empty[String, Int]
+      var j = 0
+      while (j < doc.length) {
+        val w = doc(j)
+        val prior = seen.getOrElse(w, 0)
+        s += math.log(wc.getOrElse(w, 0) + model.beta + prior)
+        s -= math.log(model.clusterWordTotal(z) + model.vocab * model.beta + j)
+        seen(w) = prior + 1
+        j += 1
+      }
+      if (s > bestS) { bestS = s; best = z }
+      z += 1
+    }
+    best
   }
 }

@@ -92,6 +92,38 @@ object Multimodal {
       .withColumn("n_bytes", coalesce(length(col("payload")), lit(0)).cast("int"))
   }
 
+  /** Raw (un-normalized) byte histogram — integer counts. The clustering
+    * path uses these instead of the L1-normalized float features because
+    * cosine similarity is scale-invariant: integer counts make the
+    * eps-threshold test exact (dot² ≥ (1-eps)²·|a|²·|b|² over integers)
+    * and therefore bit-identical between engines, where a float-normalized
+    * histogram would put near-threshold pairs on different sides. */
+  def stubHistogram(payload: Array[Byte]): Array[Long] = {
+    val hist = new Array[Long](featureDim)
+    if (payload == null) return hist
+    var i = 0
+    while (i < payload.length) {
+      hist((payload(i) & 0xff) / featureDim) += 1L
+      i += 1
+    }
+    hist
+  }
+
+  /** Batched integer-histogram extraction (same mapPartitions batch shape
+    * as [[extractFeatures]]), emitting `(media_id, hist)`. */
+  def extractHistograms(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("hist", ArrayType(LongType, containsNull = false), nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        Row(r.getAs[Long]("media_id"),
+          stubHistogram(r.getAs[Array[Byte]]("payload")).toSeq)
+      }
+    }(enc)
+  }
+
   /** Batched feature extraction over media rows: one decoder pass per
     * partition (amortizes per-batch model/codec setup, the reason
     * mapInPandas exists), emitting `(media_id, kind, n_bytes, feature)`. */

@@ -64,9 +64,12 @@ object FunctionQueries extends QueryBase {
       doc = "J6/N11 trigram-similarity fuzzy match via custom Catalyst expression; reference post_aspects.py:120-150"),
 
     // P4: seeded Murmur3 privacy hash (seed 666, signed-int parity with
-    // the reference's mmh3). No SQL oracle (murmur3 is not expressible in
-    // DuckDB SQL) → rows-only driver check; unit-tested against canonical
-    // vectors in Murmur3Spec instead.
+    // the reference's mmh3). Murmur3 is not expressible as DuckDB SQL
+    // functions, so the oracle pins the full 64-bucket distribution of
+    // seed-666 hashes over customer names at the sf0.01 gate as literal
+    // expected rows (canonical per-vector parity is additionally
+    // unit-tested in Murmur3Spec) — a finalization/seeding regression now
+    // fails CORRECTNESS, not just the spec.
     Q(
       "func_murmur3_hash",
       (s, dir) => {
@@ -78,8 +81,76 @@ object FunctionQueries extends QueryBase {
           .groupBy("bucket").agg(count(lit(1)).as("n"))
           .orderBy("bucket")
       },
-      None,
-      doc = "P4 murmur3(seed=666) privacy hash; reference extract_customers.py:135-140"),
+      Some("""
+        SELECT * FROM (VALUES
+          (0, 23),
+          (1, 21),
+          (2, 23),
+          (3, 18),
+          (4, 18),
+          (5, 18),
+          (6, 27),
+          (7, 17),
+          (8, 22),
+          (9, 17),
+          (10, 18),
+          (11, 27),
+          (12, 32),
+          (13, 18),
+          (14, 25),
+          (15, 27),
+          (16, 23),
+          (17, 21),
+          (18, 23),
+          (19, 22),
+          (20, 27),
+          (21, 27),
+          (22, 21),
+          (23, 25),
+          (24, 28),
+          (25, 29),
+          (26, 24),
+          (27, 23),
+          (28, 27),
+          (29, 30),
+          (30, 28),
+          (31, 26),
+          (32, 23),
+          (33, 23),
+          (34, 12),
+          (35, 21),
+          (36, 29),
+          (37, 22),
+          (38, 23),
+          (39, 20),
+          (40, 27),
+          (41, 24),
+          (42, 27),
+          (43, 26),
+          (44, 26),
+          (45, 29),
+          (46, 12),
+          (47, 24),
+          (48, 16),
+          (49, 18),
+          (50, 25),
+          (51, 21),
+          (52, 21),
+          (53, 28),
+          (54, 27),
+          (55, 22),
+          (56, 18),
+          (57, 31),
+          (58, 18),
+          (59, 34),
+          (60, 18),
+          (61, 25),
+          (62, 24),
+          (63, 31))
+          AS t(bucket, n)
+        ORDER BY bucket"""),
+      doc = "P4 murmur3(seed=666) privacy hash; oracle = pinned 64-bucket " +
+        "distribution at the sf0.01 gate; reference extract_customers.py:135-140"),
 
     // N1: the reference's ABSA tokenizer (sentence split, emoji isolation,
     // @#-preserving punctuation strip, 1-based post-wide word_index) —

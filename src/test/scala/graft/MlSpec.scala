@@ -1,29 +1,9 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ml.{Dbscan, Gsdmm, Knn}
+import graft.ml.{Dbscan, Gsdmm}
 
 class MlSpec extends AnyFunSuite {
-
-  test("KNN predicts the mean of the k nearest targets") {
-    val x = Array(Array(0.0), Array(1.0), Array(2.0), Array(10.0))
-    val y = Array(0.0, 1.0, 2.0, 10.0)
-    val m = Knn.fit(x, y, k = 3)
-    // nearest 3 of 1.1 are {1.0, 2.0, 0.0} → mean 1.0
-    assert(m.predict(Array(1.1)) === 1.0)
-    // k=1 exact recall
-    val m1 = Knn.fit(x, y, k = 1)
-    assert(m1.predict(Array(10.2)) === 10.0)
-  }
-
-  test("KNN autoregressive forecast feeds predictions into lags") {
-    val hist = Vector(1.0, 2.0, 3.0, 4.0)
-    val m = Knn.fit(Array(Array(1.0), Array(2.0), Array(3.0)), Array(2.0, 3.0, 4.0), 1)
-    val preds = Knn.forecast(m, hist, horizon = 3, (d, lags) => Array(lags.last))
-    assert(preds.length === 3)
-    // lag of 4.0 → nearest feature 3.0 → predicts 4.0; then stays there
-    assert(preds === Vector(4.0, 4.0, 4.0))
-  }
 
   test("DBSCAN separates tight clusters and marks noise") {
     def v(a: Double, b: Double) = Array(a, b)
@@ -35,6 +15,32 @@ class MlSpec extends AnyFunSuite {
     assert(labels.take(3).distinct === Array(0))
     assert(labels.slice(3, 6).distinct === Array(1))
     assert(labels(6) === -1)
+  }
+
+  test("weighted DBSCAN: a multiplicity-2 singleton vertex is a cluster") {
+    // Two far-apart distinct vectors; the first stands for 2 identical
+    // points (weight 2), the second is a true singleton. minPts=2:
+    // the weighted vertex must form a cluster, the singleton is noise.
+    def far(i: Int, j: Int) = false
+    val labels = Dbscan.fitGraph(2, far, minPts = 2,
+      weight = i => if (i == 0) 2 else 1)
+    assert(labels(0) === 0)
+    assert(labels(1) === -1)
+  }
+
+  test("GSDMM assign routes unseen docs to the matching fitted topic") {
+    val docsA = Array.fill(20)(Array("apple", "banana", "cherry"))
+    val docsB = Array.fill(20)(Array("xray", "yankee", "zulu"))
+    val model = Gsdmm.fit(docsA ++ docsB, k = 8, alpha = 0.1, beta = 0.1,
+      iters = 15, seed = 7)
+    val zA = Gsdmm.assign(model, Array("apple", "cherry"))
+    val zB = Gsdmm.assign(model, Array("zulu", "zulu", "xray"))
+    // each unseen doc lands in a cluster its vocabulary dominates
+    assert(model.wordCounts(zA).getOrElse("apple", 0) > 0)
+    assert(model.wordCounts(zB).getOrElse("zulu", 0) > 0)
+    assert(zA !== zB)
+    // deterministic
+    assert(Gsdmm.assign(model, Array("apple", "cherry")) === zA)
   }
 
   test("GSDMM groups disjoint-vocabulary docs and is seed-deterministic") {
