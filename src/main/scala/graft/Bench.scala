@@ -43,6 +43,19 @@ object Bench {
         if (kept(0) == 2) throw new IllegalStateException("unreachable")
       }
     }
+    // Per-table first-touch: read EVERY fixture table once (all columns)
+    // before timing. Single-row-group tables (events) scan as one task; a
+    // cold page-cache read there lands multi-second IO stalls inside
+    // whichever query touches the table first — r2 recorded 5-12x
+    // "regressions" on unchanged single-pass events plans this way.
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { name =>
+      try {
+        val df = if (name == "events") graft.core.Tables.events(spark, sfDir)
+                 else graft.core.Tables.load(spark, sfDir, name)
+        df.write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => }
+    }
     // JVM/codegen warm-up outside the timed region: touch every hot code
     // path (parquet scan, hash agg, shuffle, window, regex, broadcast
     // join) so the timed queries measure the plan, not C2 compilation.
@@ -76,14 +89,31 @@ object Bench {
       // suspicious first measurement gets ONE full re-execution and the
       // min is reported — best-of-2, only when the first run exceeds 2 s,
       // so a noisy timeslice doesn't misrepresent a plan.
-      val sec = if (first > 2.0) math.min(first, timeOne(name, fn)) else first
-      System.err.println(f"[bench] $name%-28s $sec%8.2f s")
-      name -> sec
+      val runs = if (first > 2.0) Seq(first, timeOne(name, fn)) else Seq(first)
+      val sec = runs.min
+      // Untimed row count (plan re-executes column-pruned; not part of
+      // the reported seconds) — lets the artifact distinguish "plan got
+      // slower" from "plan produced different work".
+      val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      System.err.println(f"[bench] $name%-28s $sec%8.2f s  rows=$rows")
+      (name, sec, runs, rows)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // Full per-query detail (every repeat + row count) goes to a sidecar
+    // file; stdout carries only the compact one-line summary the driver
+    // captures (its tail window truncated the r2 line — keep it short and
+    // make it the LAST line printed).
+    val detail = results.map { case (name, _, runs, rows) =>
+      val rs = runs.map(r => f"$r%.3f").mkString("[", ",", "]")
+      s""""$name":{"runs":$rs,"rows":$rows}"""
+    }.mkString("{", ",", "}")
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
+      s"""{"sf":"$sfDir","detail":$detail}""")
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
