@@ -184,7 +184,65 @@ object TextQueries extends QueryBase {
               FROM (SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS tk
                     FROM documents))
         ORDER BY doc_id"""),
-      doc = "language-ID heuristic via stopword profiles (training pipeline)"),
+      doc = "language-ID heuristic via stopword profiles (training pipeline); " +
+        "fallback path of N2 — the primary is text_langid_ngram"),
+
+    // N2 primary: langdetect-parity character-trigram naive-Bayes
+    // language ID (graft.functions.LangId — deterministic re-expression
+    // of langdetect's public algorithm; reference topic_modeling.py:
+    // 401-407, vectors from tests/test_topic_modeling.py:21-33 pass in
+    // LangIdSpec). Scores sum as exact micro-log-unit longs, and the
+    // oracle's weight tables are GENERATED from the same in-memory model
+    // (LangId.sqlWeightValues), so SQL replays the identical computation
+    // by construction. Link-only / out-of-vocabulary docs → '(none)'.
+    Q(
+      "text_langid_ngram",
+      (s, dir) => {
+        val det = udf((text: String) =>
+          graft.functions.LangId.detect(text).orNull)
+        th(s, dir, "documents")
+          .select(coalesce(det(col("text")), lit("(none)")).as("detected"))
+          .groupBy("detected")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("detected")
+      },
+      Some {
+        val lc = graft.functions.LangId.letterClass
+        s"""
+        WITH w(lang, tri, wt) AS (SELECT * FROM (VALUES
+          ${graft.functions.LangId.sqlWeightValues})),
+        fl(lang, fw) AS (SELECT * FROM (VALUES
+          ${graft.functions.LangId.sqlFloorValues})),
+        norm AS (
+          SELECT doc_id,
+            trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+              'https?://\\S+', ' ', 'g'),
+              '[${lc}0-9._-]+@[${lc}0-9._-]+', ' ', 'g'),
+              '[^$lc]+', ' ', 'g')) AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id, substr(concat(' ', t, ' '), i, 3) AS tri
+          FROM norm, LATERAL (SELECT unnest(range(1, length(t) + 1)) AS i)
+          WHERE t <> ''),
+        vocab AS (SELECT DISTINCT tri FROM w),
+        hits AS (SELECT g.doc_id, g.tri FROM grams g JOIN vocab v USING (tri)),
+        scores AS (
+          SELECT h.doc_id, l.lang, sum(coalesce(w.wt, l.fw)) AS score
+          FROM hits h CROSS JOIN fl l
+          LEFT JOIN w ON w.lang = l.lang AND w.tri = h.tri
+          GROUP BY h.doc_id, l.lang),
+        best AS (
+          SELECT doc_id, lang FROM (
+            SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, lang ASC) AS rn
+            FROM scores) WHERE rn = 1)
+        SELECT coalesce(b.lang, '(none)') AS detected, count(*) AS n_docs
+        FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+        GROUP BY 1 ORDER BY detected"""
+      },
+      doc = "N2 langdetect-parity trigram naive-Bayes language ID; oracle " +
+        "weight tables generated from the same model; reference " +
+        "topic_modeling.py:401-407"),
 
     // BPE-ish regex token counting — the reference's token accounting
     // (A15) generalized to a subword-style regex.
