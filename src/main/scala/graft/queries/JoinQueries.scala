@@ -211,6 +211,57 @@ object JoinQueries extends QueryBase {
         ORDER BY probe, matched"""),
       doc = "J6 fuzzy levenshtein best-match; reference post_aspects.py:152-199"),
 
+    // J11: posts × opinion-patterns cross join (the literal two-row
+    // pattern dim of opinion_patterns.jsonc broadcast against the posts
+    // fact; per-pattern match accounting). The full downstream composite
+    // lives in pipe_opinion_patterns; this is the micro form of the
+    // cross-join itself. reference post_opinion_patterns.py:365-369.
+    Q(
+      "join_pattern_cross",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), split(lower(col("text")), "\\s+").as("tk"))
+        val patterns = Seq(("adj_noun", "ADJ", "NOUN"),
+          ("noun_adj", "NOUN", "ADJ")).toDF("pattern_name", "pos1", "pos2")
+        val tags = transform(col("tk"), w =>
+          when(length(w) % 4 === 0, "NOUN").when(length(w) % 4 === 1, "ADJ")
+            .when(length(w) % 4 === 2, "VERB").otherwise("ADV"))
+        val nMatch = size(filter(sequence(lit(1), size(col("tk")) - 1), i =>
+          element_at(col("tags"), i) === col("pos1") &&
+            element_at(col("tags"), i + 1) === col("pos2")))
+        d.withColumn("tags", tags)
+          .crossJoin(broadcast(patterns))
+          .select(col("pattern_name"), nMatch.as("n_match"))
+          .groupBy("pattern_name")
+          .agg(count(lit(1)).as("n_posts"),
+            sum(col("n_match")).as("n_matches"),
+            count(when(col("n_match") > 0, 1)).as("n_posts_matched"))
+          .orderBy("pattern_name")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk
+                   FROM documents),
+        pat(pattern_name, pos1, pos2) AS (SELECT * FROM (VALUES
+          ('adj_noun', 'ADJ', 'NOUN'), ('noun_adj', 'NOUN', 'ADJ'))),
+        tagged AS (
+          SELECT doc_id, tk,
+                 [CASE WHEN length(w) % 4 = 0 THEN 'NOUN'
+                       WHEN length(w) % 4 = 1 THEN 'ADJ'
+                       WHEN length(w) % 4 = 2 THEN 'VERB'
+                       ELSE 'ADV' END FOR w IN tk] AS tags
+          FROM d),
+        crossed AS (
+          SELECT p.pattern_name,
+                 len([i FOR i IN range(1, len(tk))
+                      IF tags[i] = p.pos1 AND tags[i+1] = p.pos2]) AS n_match
+          FROM tagged CROSS JOIN pat p)
+        SELECT pattern_name, count(*) AS n_posts, sum(n_match) AS n_matches,
+               count(*) FILTER (n_match > 0) AS n_posts_matched
+        FROM crossed GROUP BY pattern_name ORDER BY pattern_name"""),
+      doc = "J11 posts × patterns cross join (broadcast two-row dim); " +
+        "reference post_opinion_patterns.py:365-369"),
+
     // J2: FK-violation filter — one pass, broadcast of the referenced key
     // set, kept/dropped accounting instead of the reference's drop+log.
     // reference src/_utils/data_preparation.py:76-159.

@@ -12,6 +12,11 @@ import graft.multimodal.Multimodal
   */
 object PipelineQueries extends QueryBase {
 
+  /** Deterministic 60-bit hash from md5 — identical in Spark and DuckDB
+    * (same helper as SourceQueries). */
+  private def h64(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   val all: Seq[Q] = Seq(
     // K1 upsert/merge: incoming rows win PK conflicts, survivors keep.
     // reference src/_utils/database.py:140-174 (COPY + ON CONFLICT UPDATE).
@@ -179,6 +184,159 @@ object PipelineQueries extends QueryBase {
         FROM hits GROUP BY phrase HAVING count(*) >= 2
         ORDER BY n_occ DESC, phrase ASC LIMIT 50"""),
       doc = "N5 POS-pattern subsequence match; reference post_opinion_patterns.py:401-421"),
+
+    // The full ABSA opinion-pattern composite (reference
+    // post_opinion_patterns.py:295-448 downstream into 104-210):
+    //   posts (non-museum, text present)
+    //   × opinion-pattern dim (J11 cross join — the 2-row
+    //     opinion_patterns.jsonc config: adj_noun / noun_adj)
+    //   → POS-tag subsequence match (N5; deterministic fake tagger, the
+    //     spaCy boundary being out of engine per SURVEY §2.10)
+    //   → aspect/sentiment phrase extraction per match
+    //   → aspect-word embedding lookup (N6 md5-derived vectors)
+    //   → bounded DBSCAN bins over DISTINCT aspect vectors (N7 —
+    //     post-aggregation frame, weighted vertices, driver fit capped,
+    //     labels broadcast back)
+    //   → ordered collect rollup per bin (A16).
+    // The DuckDB oracle replays everything including the clustering
+    // (minPts=2 ⇒ recursive connected components; integer vectors make
+    // the cosine threshold exact — dot > 0 AND dot² ≥ (0.85)²·|a|²·|b|²).
+    Q(
+      "pipe_opinion_patterns",
+      (s, dir) => {
+        import s.implicits._
+        val posts = th(s, dir, "documents")
+          .filter(col("doc_id") % 7 =!= 0 && col("text").isNotNull)
+          .select(col("doc_id"), split(lower(col("text")), "\\s+").as("tk"))
+        val patterns = Seq(
+          ("adj_noun", "ADJ", "NOUN", 2), // {pos:ADJ,isSentiment},{pos:NOUN,isAspect}
+          ("noun_adj", "NOUN", "ADJ", 1)) // {pos:NOUN,isAspect},{pos:ADJ,isSentiment}
+          .toDF("pattern_name", "pos1", "pos2", "aspect_seg")
+        val tags = transform(col("tk"), w =>
+          when(length(w) % 4 === 0, "NOUN").when(length(w) % 4 === 1, "ADJ")
+            .when(length(w) % 4 === 2, "VERB").otherwise("ADV"))
+        val hits = filter(sequence(lit(1), size(col("tk")) - 1), i =>
+          element_at(col("tags"), i) === col("pos1") &&
+            element_at(col("tags"), i + 1) === col("pos2"))
+        val phrases = posts.withColumn("tags", tags)
+          .crossJoin(broadcast(patterns))
+          .select(col("doc_id"), col("pattern_name"), col("aspect_seg"),
+            col("tk"), explode(hits).as("i"))
+          .select(col("doc_id"), col("pattern_name"),
+            element_at(col("tk"), when(col("aspect_seg") === 1, col("i"))
+              .otherwise(col("i") + 1)).as("aspect_phrase"),
+            element_at(col("tk"), when(col("aspect_seg") === 1, col("i") + 1)
+              .otherwise(col("i"))).as("sentiment_phrase"))
+        // N6: deterministic embedding per distinct aspect word.
+        val dims = (0 to 3).map(dd =>
+          (pmod(h64(concat(col("aspect_phrase"), lit(s":$dd"))), lit(2001L))
+            - 1000).as(s"v$dd"))
+        val lex = phrases.groupBy("aspect_phrase")
+          .agg(count(lit(1)).as("occ"))
+          .select(col("aspect_phrase") +: col("occ") +: dims: _*)
+        // N7: bounded driver fit on the distinct-vector frame only.
+        val rows = lex.orderBy(col("occ").desc, col("aspect_phrase").asc)
+          .limit(4096).collect()
+        val words = rows.map(_.getString(0))
+        val occs = rows.map(_.getLong(1).toInt)
+        val vecs = rows.map(r => Array.tabulate(4)(d => r.getLong(2 + d)))
+        val s2 = vecs.map(v => v.map(x => x * x).sum)
+        val c2 = 0.85 * 0.85 // cosine ≥ 0.85 i.e. eps = 0.15
+        def neighbor(i: Int, j: Int): Boolean =
+          s2(i) > 0L && s2(j) > 0L && {
+            var dot = 0L
+            var d = 0
+            while (d < 4) { dot += vecs(i)(d) * vecs(j)(d); d += 1 }
+            dot > 0L &&
+              dot.toDouble * dot.toDouble >= c2 * s2(i).toDouble * s2(j).toDouble
+          }
+        val labels = graft.ml.Dbscan.fitGraph(vecs.length, neighbor,
+          minPts = 2, i => if (s2(i) > 0L) occs(i) else 1)
+        val labelDf = words.zip(labels).toSeq.filter(_._2 >= 0)
+          .toDF("aspect_phrase", "cluster")
+        // A16 rollup per bin, labels assigned distributedly.
+        phrases.join(broadcast(labelDf), Seq("aspect_phrase"))
+          .groupBy("cluster")
+          .agg(
+            min(col("aspect_phrase")).as("rep_aspect"),
+            count(lit(1)).as("n_phrases"),
+            countDistinct(col("aspect_phrase")).as("n_aspects"),
+            count(when(col("pattern_name") === "adj_noun", 1)).as("n_adj_noun"),
+            count(when(col("pattern_name") === "noun_adj", 1)).as("n_noun_adj"),
+            array_join(slice(array_sort(collect_set(col("sentiment_phrase"))),
+              1, 5), " ").as("top_sentiments"))
+          .select("rep_aspect", "n_phrases", "n_aspects", "n_adj_noun",
+            "n_noun_adj", "top_sentiments")
+          .orderBy("rep_aspect")
+      },
+      Some("""
+        WITH posts AS (
+          SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk
+          FROM documents WHERE doc_id % 7 <> 0 AND text IS NOT NULL),
+        pat(pattern_name, pos1, pos2, aspect_seg) AS (SELECT * FROM (VALUES
+          ('adj_noun', 'ADJ', 'NOUN', 2), ('noun_adj', 'NOUN', 'ADJ', 1))),
+        tagged AS (
+          SELECT doc_id, tk,
+                 [CASE WHEN length(w) % 4 = 0 THEN 'NOUN'
+                       WHEN length(w) % 4 = 1 THEN 'ADJ'
+                       WHEN length(w) % 4 = 2 THEN 'VERB'
+                       ELSE 'ADV' END FOR w IN tk] AS tags
+          FROM posts),
+        phrases AS (
+          SELECT doc_id, pattern_name,
+                 tk[CASE WHEN aspect_seg = 1 THEN i ELSE i + 1 END] AS aspect_phrase,
+                 tk[CASE WHEN aspect_seg = 1 THEN i + 1 ELSE i END] AS sentiment_phrase
+          FROM (SELECT t.doc_id, t.tk, p.pattern_name, p.aspect_seg,
+                       unnest([i FOR i IN range(1, len(t.tk))
+                               IF t.tags[i] = p.pos1 AND t.tags[i+1] = p.pos2]) AS i
+                FROM tagged t CROSS JOIN pat p)),
+        lex AS (
+          SELECT aspect_phrase, count(*) AS occ,
+            CAST(concat('0x', substr(md5(aspect_phrase || ':0'), 1, 15)) AS BIGINT) % 2001 - 1000 AS v0,
+            CAST(concat('0x', substr(md5(aspect_phrase || ':1'), 1, 15)) AS BIGINT) % 2001 - 1000 AS v1,
+            CAST(concat('0x', substr(md5(aspect_phrase || ':2'), 1, 15)) AS BIGINT) % 2001 - 1000 AS v2,
+            CAST(concat('0x', substr(md5(aspect_phrase || ':3'), 1, 15)) AS BIGINT) % 2001 - 1000 AS v3
+          FROM phrases GROUP BY aspect_phrase),
+        lexn AS (
+          SELECT *, v0*v0 + v1*v1 + v2*v2 + v3*v3 AS s2 FROM lex),
+        edges0 AS (
+          SELECT a.aspect_phrase AS src, b.aspect_phrase AS dst
+          FROM lexn a JOIN lexn b ON a.aspect_phrase < b.aspect_phrase
+          WHERE a.s2 > 0 AND b.s2 > 0
+            AND (a.v0*b.v0 + a.v1*b.v1 + a.v2*b.v2 + a.v3*b.v3) > 0
+            AND CAST(a.v0*b.v0 + a.v1*b.v1 + a.v2*b.v2 + a.v3*b.v3 AS DOUBLE)
+                * CAST(a.v0*b.v0 + a.v1*b.v1 + a.v2*b.v2 + a.v3*b.v3 AS DOUBLE)
+                >= 0.85 * 0.85 * CAST(a.s2 AS DOUBLE) * CAST(b.s2 AS DOUBLE)),
+        edges AS (SELECT src, dst FROM edges0
+                  UNION ALL SELECT dst, src FROM edges0),
+        cc AS (
+          WITH RECURSIVE reach(id, r) AS (
+            SELECT DISTINCT src AS id, src AS r FROM edges
+            UNION
+            SELECT rc.id, e.dst FROM reach rc JOIN edges e ON e.src = rc.r)
+          SELECT id, min(r) AS comp FROM reach GROUP BY id),
+        comp_all AS (
+          SELECT l.aspect_phrase, coalesce(c.comp, l.aspect_phrase) AS comp,
+                 l.occ, l.s2
+          FROM lexn l LEFT JOIN cc c ON c.id = l.aspect_phrase),
+        keep AS (
+          SELECT comp FROM comp_all GROUP BY comp
+          HAVING count(*) >= 2 OR (sum(occ) >= 2 AND min(s2) > 0)),
+        labeled AS (
+          SELECT ph.pattern_name, ph.aspect_phrase, ph.sentiment_phrase, ca.comp
+          FROM phrases ph JOIN comp_all ca USING (aspect_phrase)
+          WHERE ca.comp IN (SELECT comp FROM keep))
+        SELECT min(aspect_phrase) AS rep_aspect, count(*) AS n_phrases,
+               count(DISTINCT aspect_phrase) AS n_aspects,
+               count(*) FILTER (pattern_name = 'adj_noun') AS n_adj_noun,
+               count(*) FILTER (pattern_name = 'noun_adj') AS n_noun_adj,
+               array_to_string(list_slice(list_sort(list(DISTINCT sentiment_phrase)), 1, 5), ' ')
+                 AS top_sentiments
+        FROM labeled GROUP BY comp ORDER BY rep_aspect"""),
+      doc = "ABSA opinion-pattern composite: J11 pattern cross join → N5 " +
+        "POS subsequence → phrase extraction → N6 embedding lookup → N7 " +
+        "bounded DBSCAN bins → A16 rollup; reference " +
+        "post_opinion_patterns.py:104-210,295-448"),
 
     // Multimodal plumbing: text wrapped as opaque binary payloads, batch
     // feature extraction via mapPartitions (stub decoder), integrity
