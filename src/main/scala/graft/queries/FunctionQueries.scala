@@ -64,12 +64,9 @@ object FunctionQueries extends QueryBase {
       doc = "J6/N11 trigram-similarity fuzzy match via custom Catalyst expression; reference post_aspects.py:120-150"),
 
     // P4: seeded Murmur3 privacy hash (seed 666, signed-int parity with
-    // the reference's mmh3). Murmur3 is not expressible as DuckDB SQL
-    // functions, so the oracle pins the full 64-bucket distribution of
-    // seed-666 hashes over customer names at the sf0.01 gate as literal
-    // expected rows (canonical per-vector parity is additionally
-    // unit-tested in Murmur3Spec) — a finalization/seeding regression now
-    // fails CORRECTNESS, not just the spec.
+    // the reference's mmh3). Canonical per-vector parity is unit-tested
+    // in Murmur3Spec; the gate additionally value-checks against a FULL
+    // murmur3_x86_32 written in DuckDB SQL (see the oracle below).
     Q(
       "func_murmur3_hash",
       (s, dir) => {
@@ -81,76 +78,58 @@ object FunctionQueries extends QueryBase {
           .groupBy("bucket").agg(count(lit(1)).as("n"))
           .orderBy("bucket")
       },
-      Some("""
-        SELECT * FROM (VALUES
-          (0, 23),
-          (1, 21),
-          (2, 23),
-          (3, 18),
-          (4, 18),
-          (5, 18),
-          (6, 27),
-          (7, 17),
-          (8, 22),
-          (9, 17),
-          (10, 18),
-          (11, 27),
-          (12, 32),
-          (13, 18),
-          (14, 25),
-          (15, 27),
-          (16, 23),
-          (17, 21),
-          (18, 23),
-          (19, 22),
-          (20, 27),
-          (21, 27),
-          (22, 21),
-          (23, 25),
-          (24, 28),
-          (25, 29),
-          (26, 24),
-          (27, 23),
-          (28, 27),
-          (29, 30),
-          (30, 28),
-          (31, 26),
-          (32, 23),
-          (33, 23),
-          (34, 12),
-          (35, 21),
-          (36, 29),
-          (37, 22),
-          (38, 23),
-          (39, 20),
-          (40, 27),
-          (41, 24),
-          (42, 27),
-          (43, 26),
-          (44, 26),
-          (45, 29),
-          (46, 12),
-          (47, 24),
-          (48, 16),
-          (49, 18),
-          (50, 25),
-          (51, 21),
-          (52, 21),
-          (53, 28),
-          (54, 27),
-          (55, 22),
-          (56, 18),
-          (57, 31),
-          (58, 18),
-          (59, 34),
-          (60, 18),
-          (61, 25),
-          (62, 24),
-          (63, 31))
-          AS t(bucket, n)
-        ORDER BY bucket"""),
-      doc = "P4 murmur3(seed=666) privacy hash; oracle = pinned 64-bucket " +
-        "distribution at the sf0.01 gate; reference extract_customers.py:135-140"),
+      // Real algorithmic oracle: murmur3_x86_32(seed 666) re-implemented
+      // in DuckDB SQL — HUGEINT modular multiplies, per-block mix rounds
+      // unrolled for the fixed 18-byte c_name layout (4 LE blocks + 2
+      // tail bytes), fmix finalization, signed-int32 fold. The custom
+      // Catalyst expression is thus verified against an INDEPENDENT
+      // implementation at the gate, not a pinned distribution.
+      Some {
+        val round =
+          """
+        r%N% AS (
+          SELECT c_custkey, ks, tl, hout AS h FROM (
+            SELECT c_custkey, ks, tl,
+              CAST((CAST(ks[%N%] AS HUGEINT) * 3432918353) % 4294967296 AS BIGINT) AS k1,
+              ((k1 * 32768) % 4294967296) | (k1 // 131072) AS k2,
+              CAST((CAST(k2 AS HUGEINT) * 461845907) % 4294967296 AS BIGINT) AS k3,
+              xor(h, k3) AS hx,
+              ((hx * 8192) % 4294967296) | (hx // 524288) AS hr,
+              CAST((CAST(hr AS HUGEINT) * 5 + 3864292196) % 4294967296 AS BIGINT) AS hout
+            FROM r%P%))"""
+        val rounds = (1 to 4)
+          .map(n => round.replace("%N%", n.toString).replace("%P%", (n - 1).toString))
+          .mkString(",")
+        s"""
+        WITH cb AS (
+          SELECT c_custkey,
+                 [unicode(substr(c_name, i, 1)) FOR i IN range(1, 19)] AS b
+          FROM customer),
+        r0 AS (
+          SELECT c_custkey,
+            [b[4*j+1] + b[4*j+2]*256 + b[4*j+3]*65536 + b[4*j+4]*16777216
+             FOR j IN range(0, 4)] AS ks,
+            b[17] + b[18]*256 AS tl, 666::BIGINT AS h
+          FROM cb),$rounds,
+        fin AS (
+          SELECT c_custkey, hash FROM (
+            SELECT c_custkey,
+              CAST((CAST(tl AS HUGEINT) * 3432918353) % 4294967296 AS BIGINT) AS k1,
+              ((k1 * 32768) % 4294967296) | (k1 // 131072) AS k2,
+              CAST((CAST(k2 AS HUGEINT) * 461845907) % 4294967296 AS BIGINT) AS k3,
+              xor(xor(h, k3), 18) AS f0,
+              xor(f0, f0 // 65536) AS f1,
+              CAST((CAST(f1 AS HUGEINT) * 2246822507) % 4294967296 AS BIGINT) AS f2,
+              xor(f2, f2 // 8192) AS f3,
+              CAST((CAST(f3 AS HUGEINT) * 3266489909) % 4294967296 AS BIGINT) AS f4,
+              xor(f4, f4 // 65536) AS f5,
+              CASE WHEN f5 >= 2147483648 THEN f5 - 4294967296 ELSE f5 END AS hash
+            FROM r4))
+        SELECT ((hash % 64) + 64) % 64 AS bucket, count(*) AS n
+        FROM fin GROUP BY 1 ORDER BY bucket"""
+      },
+      doc = "P4 murmur3(seed=666) privacy hash; oracle = independent " +
+        "murmur3_x86_32 in DuckDB SQL; reference extract_customers.py:135-140"),
 
     // N1: the reference's ABSA tokenizer (sentence split, emoji isolation,
     // @#-preserving punctuation strip, 1-based post-wide word_index) —
