@@ -25,7 +25,8 @@ object Catalog {
       SetQueries.all ++ ScalarQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ PipelineQueries.all ++
       FunctionQueries.all ++ MlQueries.all ++ MiscQueries.all ++
-      GoldQueries.all ++ SourceQueries.all ++ ViewQueries.all
+      GoldQueries.all ++ SourceQueries.all ++ ViewQueries.all ++
+      BronzeQueries.all
 
   lazy val byName: Map[String, Q] = {
     val m = all.map(q => q.name -> q).toMap

@@ -84,50 +84,10 @@ object FunctionQueries extends QueryBase {
       // tail bytes), fmix finalization, signed-int32 fold. The custom
       // Catalyst expression is thus verified against an INDEPENDENT
       // implementation at the gate, not a pinned distribution.
-      Some {
-        val round =
-          """
-        r%N% AS (
-          SELECT c_custkey, ks, tl, hout AS h FROM (
-            SELECT c_custkey, ks, tl,
-              CAST((CAST(ks[%N%] AS HUGEINT) * 3432918353) % 4294967296 AS BIGINT) AS k1,
-              ((k1 * 32768) % 4294967296) | (k1 // 131072) AS k2,
-              CAST((CAST(k2 AS HUGEINT) * 461845907) % 4294967296 AS BIGINT) AS k3,
-              xor(h, k3) AS hx,
-              ((hx * 8192) % 4294967296) | (hx // 524288) AS hr,
-              CAST((CAST(hr AS HUGEINT) * 5 + 3864292196) % 4294967296 AS BIGINT) AS hout
-            FROM r%P%))"""
-        val rounds = (1 to 4)
-          .map(n => round.replace("%N%", n.toString).replace("%P%", (n - 1).toString))
-          .mkString(",")
-        s"""
-        WITH cb AS (
-          SELECT c_custkey,
-                 [unicode(substr(c_name, i, 1)) FOR i IN range(1, 19)] AS b
-          FROM customer),
-        r0 AS (
-          SELECT c_custkey,
-            [b[4*j+1] + b[4*j+2]*256 + b[4*j+3]*65536 + b[4*j+4]*16777216
-             FOR j IN range(0, 4)] AS ks,
-            b[17] + b[18]*256 AS tl, 666::BIGINT AS h
-          FROM cb),$rounds,
-        fin AS (
-          SELECT c_custkey, hash FROM (
-            SELECT c_custkey,
-              CAST((CAST(tl AS HUGEINT) * 3432918353) % 4294967296 AS BIGINT) AS k1,
-              ((k1 * 32768) % 4294967296) | (k1 // 131072) AS k2,
-              CAST((CAST(k2 AS HUGEINT) * 461845907) % 4294967296 AS BIGINT) AS k3,
-              xor(xor(h, k3), 18) AS f0,
-              xor(f0, f0 // 65536) AS f1,
-              CAST((CAST(f1 AS HUGEINT) * 2246822507) % 4294967296 AS BIGINT) AS f2,
-              xor(f2, f2 // 8192) AS f3,
-              CAST((CAST(f3 AS HUGEINT) * 3266489909) % 4294967296 AS BIGINT) AS f4,
-              xor(f4, f4 // 65536) AS f5,
-              CASE WHEN f5 >= 2147483648 THEN f5 - 4294967296 ELSE f5 END AS hash
-            FROM r4))
+      Some(s"""
+        WITH ${Mm3Sql.chain("customer", "c_custkey", "c_name", 18, 666L, "m")}
         SELECT ((hash % 64) + 64) % 64 AS bucket, count(*) AS n
-        FROM fin GROUP BY 1 ORDER BY bucket"""
-      },
+        FROM m_fin GROUP BY 1 ORDER BY bucket"""),
       doc = "P4 murmur3(seed=666) privacy hash; oracle = independent " +
         "murmur3_x86_32 in DuckDB SQL; reference extract_customers.py:135-140"),
 
