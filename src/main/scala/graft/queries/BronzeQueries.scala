@@ -82,5 +82,173 @@ object BronzeQueries extends QueryBase {
         ORDER BY customer_id"""),
       doc = "gomus customer normalizer end-to-end (P4-P10, P19/P20): " +
         "murmur3 ids value-checked via the independent SQL murmur3; " +
-        "reference extract_customers.py:21-60"))
+        "reference extract_customers.py:21-60"),
+
+    // Booking-report normalizer end-to-end (reference
+    // extract_bookings.py:35-108): first-guide murmur3 with 0 fallback,
+    // dd.MM.yyyy+HH:mm start timestamp, wrap-at-midnight duration
+    // (timedelta.seconds semantics), Angebot/Termin coalesce, NaN→0
+    // participants. Guides are built so the TRANSFORMED first name
+    // ('guide' + 3 digits after lowercase/de-space/split) is fixed
+    // 8 bytes — the SQL murmur3 replays the hash.
+    Q(
+      "bronze_bookings",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val key = col("o_orderkey")
+        val raw = o.select(
+          key.cast("string").as("Buchung"),
+          when(key % 6 === 0, "Führung").when(key % 6 === 1, "Workshop")
+            .otherwise("Event").as("Angebotskategorie"),
+          when(key % 10 === 0, lit(null).cast("string"))
+            .otherwise(concat((key % 30).cast("string"), lit(".0")))
+            .as("Anzahl Teilnehmende"),
+          when(key % 4 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("Gui De"), lpad((key % 100).cast("string"),
+              3, "0"), lit(", Second Guide"))).as("Guide"),
+          date_format(date_add(lit("2022-01-01").cast("date"),
+            (key % 400).cast("int")), "dd.MM.yyyy").as("Datum"),
+          concat(lpad((key % 24).cast("string"), 2, "0"), lit(":30"))
+            .as("Uhrzeit von"),
+          concat(lpad(((key * 7) % 24).cast("string"), 2, "0"), lit(":15"))
+            .as("Uhrzeit bis"),
+          when(key % 5 === 0, "Moderne").otherwise("Impressionismus")
+            .as("Ausstellung"),
+          when(key % 3 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("Angebot "), key)).as("Angebot"),
+          concat(lit("Termin "), key).as("Termin"),
+          when(key % 11 === 0, "storniert").otherwise("bestätigt")
+            .as("Status"))
+        Gomus.extractBookings(raw)
+          .select(col("booking_id"), col("category"), col("participants"),
+            col("guide_id"), col("duration"), col("exhibition"),
+            col("title"), col("status"),
+            date_format(col("start_datetime"), "yyyy-MM-dd HH:mm")
+              .as("start_dt"))
+          .orderBy("booking_id")
+      },
+      Some(s"""
+        WITH raw AS (
+          SELECT o_orderkey AS k,
+            CASE WHEN o_orderkey % 4 = 0 THEN NULL
+                 ELSE concat('guide',
+                   lpad(CAST(o_orderkey % 100 AS VARCHAR), 3, '0'))
+            END AS gname,
+            (o_orderkey % 24) * 60 + 30 AS von_min,
+            ((o_orderkey * 7) % 24) * 60 + 15 AS bis_min
+          FROM orders),
+        ${Mm3Sql.chain("raw", "k", "gname", 8, 666L, "g")}
+        SELECT r.k AS booking_id,
+          CASE WHEN r.k % 6 = 0 THEN 'Führung' WHEN r.k % 6 = 1 THEN 'Workshop'
+               ELSE 'Event' END AS category,
+          CASE WHEN r.k % 10 = 0 THEN 0 ELSE CAST(r.k % 30 AS INT) END
+            AS participants,
+          coalesce(g.hash, 0) AS guide_id,
+          CASE WHEN r.bis_min - r.von_min < 0 THEN r.bis_min - r.von_min + 1440
+               ELSE r.bis_min - r.von_min END AS duration,
+          CASE WHEN r.k % 5 = 0 THEN 'Moderne' ELSE 'Impressionismus' END
+            AS exhibition,
+          CASE WHEN r.k % 3 = 0 THEN concat('Termin ', r.k)
+               ELSE concat('Angebot ', r.k) END AS title,
+          CASE WHEN r.k % 11 = 0 THEN 'storniert' ELSE 'bestätigt' END
+            AS status,
+          concat(strftime(DATE '2022-01-01' + CAST(r.k % 400 AS INT),
+                          '%Y-%m-%d'),
+                 ' ', lpad(CAST(r.k % 24 AS VARCHAR), 2, '0'), ':30')
+            AS start_dt
+        FROM raw r LEFT JOIN g_fin g ON g.k = r.k
+        ORDER BY booking_id"""),
+      doc = "gomus booking normalizer end-to-end (guide murmur3, start " +
+        "timestamp, midnight-wrap duration, coalesce title); reference " +
+        "extract_bookings.py:35-108"),
+
+    // Order-report normalizer end-to-end (reference orders.py:54-104):
+    // Excel-serial order dates (epoch 1899-12-30), gomus→customer id
+    // resolution as ONE broadcast join (vs the reference's per-row SQL
+    // lookup), case-insensitive valid/paid flags, NaN→0 gomus ids.
+    Q(
+      "bronze_orders",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val key = col("o_orderkey")
+        val raw = o.select(
+          key.cast("string").as("Bestellnummer"),
+          // Excel serial with a fractional time part → floor to the day
+          (key % 2000 + 40000 + 0.5).cast("string").as("Erstellt"),
+          when(key % 7 === 0, lit(null).cast("string"))
+            .otherwise(concat(col("o_custkey").cast("string"), lit(".0")))
+            .as("Kundennummer"),
+          when(key % 3 === 0, "JA").when(key % 3 === 1, "ja")
+            .otherwise("nein").as("ist gültig?"),
+          when(key % 4 === 0, "BEZAHLT").when(key % 4 === 1, "bezahlt")
+            .otherwise("offen").as("Bezahlstatus"),
+          when(key % 2 === 0, "online").otherwise("kasse").as("Herkunft"))
+        // gomus→customer mapping: even customer keys map, odd are unknown
+        val mapping = c.filter(col("c_custkey") % 2 === 0)
+          .select(col("c_custkey").as("gomus_id"),
+            (col("c_custkey") * 2 + 1).cast("int").as("customer_id"))
+        Gomus.extractOrders(raw, mapping)
+          .select(col("order_id"),
+            date_format(col("order_date"), "yyyy-MM-dd").as("order_day"),
+            col("customer_id"), col("valid"), col("paid"), col("origin"))
+          .orderBy("order_id")
+      },
+      Some("""
+        SELECT o_orderkey AS order_id,
+          strftime(DATE '1899-12-30'
+                   + CAST(floor(o_orderkey % 2000 + 40000 + 0.5) AS INT),
+                   '%Y-%m-%d') AS order_day,
+          -- NaN gomus ids coalesce to 0 BEFORE the mapping join, and 0 is
+          -- itself a (mapped, even) customer key — faithful to the
+          -- reference's missing-id semantics.
+          CASE WHEN (CASE WHEN o_orderkey % 7 = 0 THEN 0 ELSE o_custkey END) % 2 = 0
+               THEN CAST((CASE WHEN o_orderkey % 7 = 0 THEN 0
+                               ELSE o_custkey END) * 2 + 1 AS INT)
+          END AS customer_id,
+          o_orderkey % 3 IN (0, 1) AS valid,
+          o_orderkey % 4 IN (0, 1) AS paid,
+          CASE WHEN o_orderkey % 2 = 0 THEN 'online' ELSE 'kasse' END
+            AS origin
+        FROM orders ORDER BY order_id"""),
+      doc = "gomus order normalizer end-to-end (Excel serial dates, " +
+        "broadcast id-mapping join, case-insensitive flags); reference " +
+        "orders.py:54-104"),
+
+    // Daily-entries matrix unpivot end-to-end (reference
+    // daily_entries.py:85-126): a 24-hour-column sheet stacked long via
+    // one posexplode projection; the oracle rebuilds the same long form
+    // directly from the count formula — the unpivot must agree.
+    Q(
+      "bronze_daily_entries",
+      (s, dir) => {
+        val n = t(s, dir, "nation")
+        val key = col("n_nationkey")
+        val hourCols = (0 until 24).map(h => s"$h.0")
+        val sheet = n.select(
+          (key.cast("string")).as("ID") +:
+          concat(lit("Ticket-"), key % 3).as("Ticket") +:
+          hourCols.zipWithIndex.map { case (name, h) =>
+            when((key + h) % 9 === 0, lit(null).cast("string"))
+              .otherwise(concat(((key * 13 + h * 7) % 50).cast("string"),
+                lit(".0"))).as(name)
+          }: _*)
+        Gomus.unpivotDailyEntries(sheet, hourCols, "2023-06-01", "count")
+          .select(col("id"), col("ticket"),
+            date_format(col("datetime"), "yyyy-MM-dd HH:mm").as("dt"),
+            col("count"))
+          .orderBy("id", "ticket", "dt")
+      },
+      Some("""
+        SELECT n_nationkey AS id,
+               concat('Ticket-', n_nationkey % 3) AS ticket,
+               concat('2023-06-01 ', lpad(CAST(h AS VARCHAR), 2, '0'), ':00')
+                 AS dt,
+               CASE WHEN (n_nationkey + h) % 9 = 0 THEN 0
+                    ELSE CAST((n_nationkey * 13 + h * 7) % 50 AS INT) END
+                 AS count
+        FROM nation, LATERAL (SELECT unnest(range(24)) AS h)
+        ORDER BY id, ticket, dt"""),
+      doc = "gomus daily-entries 24-column matrix unpivot (posexplode " +
+        "projection); reference daily_entries.py:85-126"))
 }
