@@ -290,23 +290,32 @@ object DedupQueries extends QueryBase {
         val cosU = udf((a: Seq[Float], b: Seq[Float]) =>
           graft.functions.VectorOps.cosineFF(a, b))
         val wCap = Window.partitionBy("bd", "bkey").orderBy("vec_id")
+        // Materialized once: the self-join below would otherwise run the
+        // band-key UDF + window for BOTH sides (the minhash persist point,
+        // SURVEY §4); dropped as soon as the tiny verified result is
+        // cached.
         val buckets = v.select(col("vec_id"),
             posexplode(bkeysU(col("vv"))).as(Seq("bd", "bkey")))
           .withColumn("rk", row_number().over(wCap))
           .filter(col("rk") <= 32)
           .select(col("vec_id"), col("bd"), col("bkey"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cand = buckets.as("a").join(buckets.as("b"),
             col("a.bd") === col("b.bd") && col("a.bkey") === col("b.bkey") &&
               col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("left_id"), col("b.vec_id").as("right_id"))
           .distinct()
-        cand
+        val out = cand
           .join(v.select(col("vec_id").as("lid"), col("vv").as("va")), col("left_id") === col("lid"))
           .join(v.select(col("vec_id").as("rid"), col("vv").as("vb")), col("right_id") === col("rid"))
           .withColumn("cosine", cosU(col("va"), col("vb")))
           .filter(col("cosine") >= 0.4)
           .select(col("left_id"), col("right_id"), round(col("cosine"), 6).as("cosine"))
           .orderBy("left_id", "right_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        buckets.unpersist()
+        out
       },
       Some("""
         WITH v AS (
