@@ -228,6 +228,55 @@ object SourceQueries extends QueryBase {
         FROM tok JOIN lex USING (word)
         GROUP BY lang ORDER BY lang"""),
       doc = "N6 word2vec-style broadcast embedding lookup with vocabulary " +
-        "cut; reference post_opinion_patterns.py:104-113,150-167")
+        "cut; reference post_opinion_patterns.py:104-113,150-167"),
+
+    // Aspect-tree config ingestion (SURVEY §3; reference
+    // target_aspects.py:110-149): nested JSONC → flatten (quoted-key
+    // strip, unquoted self-add, last-descendant scope leak, dict
+    // collapse) → (aspect, word) lexicon, entering the engine as the
+    // broadcast dim the J6 aspect joins consume. The oracle rows are
+    // reference-derived: the output of the reference's own flatten/expand
+    // run over this fixture (also asserted in AspectsSpec).
+    Q(
+      "src_aspect_tree",
+      (s, dir) => {
+        import s.implicits._
+        val fixture = """
+        {
+          /* engine fixture: quoted keys, nesting, empties, scope leak */
+          "'General'": ["alpha", "beta"],
+          "Exhibits": {
+            "'General'": ["art", "canvas"],
+            "Modern": ["klee", "munch"],
+            "Empty": [],
+            "Nested": {"Deep": ["deepword"]}
+          },
+          "Cafe": ["coffee", "cake"]
+        }"""
+        graft.absa.TargetAspects.lexicon(fixture).zipWithIndex
+          .map { case ((path, w), i) => (i + 1, path.mkString(">"), w) }
+          .toDF("ord", "aspect", "word")
+          .orderBy("ord")
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (1, 'General', 'alpha'), (2, 'General', 'beta'),
+          (3, 'Exhibits>General', 'art'), (4, 'Exhibits>General', 'canvas'),
+          (5, 'Exhibits>Modern', 'klee'), (6, 'Exhibits>Modern', 'munch'),
+          (7, 'Exhibits>Modern', 'Modern'),
+          (8, 'Exhibits>Empty', 'Empty'),
+          (9, 'Exhibits>Nested>Deep', 'deepword'),
+          (10, 'Exhibits>Nested>Deep', 'Deep'),
+          (11, 'Exhibits>Nested', 'deepword'),
+          (12, 'Exhibits>Nested', 'Deep'),
+          (13, 'Exhibits>Nested', 'Nested'),
+          (14, 'Exhibits', 'deepword'), (15, 'Exhibits', 'Deep'),
+          (16, 'Exhibits', 'Nested'), (17, 'Exhibits', 'Exhibits'),
+          (18, 'Cafe', 'coffee'), (19, 'Cafe', 'cake'), (20, 'Cafe', 'Cafe'))
+          AS t(ord, aspect, word)
+        ORDER BY ord"""),
+      doc = "aspect-tree JSONC flatten to the broadcast aspect-word " +
+        "lexicon (quirk-faithful); oracle rows generated by the " +
+        "reference's own flatten; reference target_aspects.py:110-149")
   )
 }
