@@ -26,6 +26,20 @@ class CatalogSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("no oracle line starts with || (stripMargin would eat one pipe)") {
+    // SparkEntry.oracleSql applies .stripMargin: a line whose first
+    // non-blank characters are `||` silently becomes `|` and the oracle
+    // breaks with a confusing binder error. Concatenate with concat(...)
+    // or keep the operator at the end of the previous line.
+    Catalog.all.flatMap(q => q.oracle.map(q.name -> _)).foreach {
+      case (name, sql) =>
+        sql.linesIterator.zipWithIndex.foreach { case (line, i) =>
+          assert(!line.trim.startsWith("||"),
+            s"$name oracle line ${i + 1} starts with || — stripMargin trap")
+        }
+    }
+  }
+
   Catalog.all.foreach { q =>
     test(s"runs: ${q.name}") {
       val df = q.spark(spark, sfDir)
