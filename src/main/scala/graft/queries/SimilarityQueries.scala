@@ -80,15 +80,14 @@ object SimilarityQueries extends QueryBase {
       "sim_ann_ivf",
       (s, dir) => {
         val v = vv(th(s, dir, "embeddings"))
-        // Exact (order-independent) centroid build: explode to (label,
-        // dim, value), decimal-sum, re-assemble ordered.
+        // Exact (order-independent) centroid build on the scaled-long
+        // codegen path (same rewrite as agg_vector_centroid — the
+        // DECIMAL(28,10) sum was the BigDecimal slow path): micro-unit
+        // long sum via wsum, ONE double division, oracle-identical.
         val cent = v.select(col("label"), posexplode(col("vv")).as(Seq("d", "x")))
           .groupBy("label", "d")
-          // float → double → decimal: scalar codegen'd casts, same value
-          // chain the oracle's CAST(vv[d+1] AS DECIMAL) sees.
-          .agg((sum(col("x").cast("double")
-            .cast(org.apache.spark.sql.types.DecimalType(28, 10)))
-            .cast("double") / count(lit(1))).as("cx"))
+          .agg((wsum(round(col("x").cast("double") * 1e6).cast("long"))
+            .cast("double") / (count(lit(1)) * lit(1e6))).as("cx"))
           .groupBy("label")
           .agg(transform(array_sort(collect_list(struct(col("d"), col("cx")))),
             s => s.getField("cx")).as("cv"))
@@ -118,7 +117,8 @@ object SimilarityQueries extends QueryBase {
         cent AS (
           SELECT label, list(cx ORDER BY d) AS cv FROM (
             SELECT label, d,
-                   CAST(sum(CAST(vv[d+1] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cx
+                   CAST(sum(CAST(round(vv[d+1] * 1e6) AS BIGINT)) AS DOUBLE)
+                     / (count(*) * 1e6) AS cx
             FROM v CROSS JOIN (SELECT unnest(range(0, $dims)) AS d) t
             GROUP BY label, d)
           GROUP BY label),
@@ -145,7 +145,7 @@ object SimilarityQueries extends QueryBase {
                  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rank
           FROM scored)
         WHERE rank <= 5 ORDER BY qid, rank"""),
-      doc = "IVF-partitioned ANN (label cells, nprobe=2, exact-decimal centroids)"),
+      doc = "IVF-partitioned ANN (label cells, nprobe=2, exact scaled-long centroids)"),
 
     // LSH-bucketed ANN: the same banded hyperplane buckets as the
     // embedding dedup, used for search — a query probes only vectors
