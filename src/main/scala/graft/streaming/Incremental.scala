@@ -44,6 +44,18 @@ object Incremental {
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"))
 
+  /** Streaming exact dedup — the ingestion-side twin of the batch
+    * `dedup_exact` operator (LLM-pipeline family): keep the first arrival
+    * per fingerprint, with `dropDuplicatesWithinWatermark` so the
+    * dedup state is BOUNDED by the watermark horizon instead of growing
+    * with the full corpus (plain dropDuplicates state never expires — a
+    * non-starter for a continuous 100 TB ingest). */
+  def dedupStream(docs: DataFrame, fingerprintCol: String, tsCol: String,
+      late: String): DataFrame =
+    docs
+      .withWatermark(tsCol, late)
+      .dropDuplicatesWithinWatermark(fingerprintCol)
+
   /** Run a streaming transform over everything currently unprocessed, then
     * stop (the FillDbHourly cadence). Restart with the same checkpoint to
     * pick up only new files. */

@@ -55,6 +55,32 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/out").count() === streamed.length.toLong)
   }
 
+  test("streaming exact dedup keeps one row per fingerprint (bounded state)") {
+    val tmp = Files.createTempDirectory("graft-stream-dedup").toString
+    // Documents wrapped as an arriving stream with planted duplicate
+    // fingerprints: doc_id % 100 collides 5x at sf0.001 (500 docs).
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select((col("doc_id") % 100).cast("string").as("fingerprint"),
+        col("doc_id"),
+        // deterministic arrival timestamps inside one watermark horizon
+        timestamp_seconds(
+          unix_timestamp(lit("2024-01-01 00:00:00").cast("timestamp"))
+            + col("doc_id")).as("arrival"))
+    docs.write.mode("overwrite").parquet(s"$tmp/src")
+    val src = Incremental.readStream(spark, s"$tmp/src",
+      spark.read.parquet(s"$tmp/src").schema)
+    val q = Incremental.runAvailableNow(
+      Incremental.dedupStream(src, "fingerprint", "arrival", "10 minutes"),
+      s"$tmp/ckpt", s"$tmp/out")
+    q.awaitTermination()
+    val out = spark.read.parquet(s"$tmp/out")
+    // one survivor per fingerprint, same distinct set as batch dedup
+    assert(out.count() === 100L)
+    assert(out.select("fingerprint").distinct().count() === 100L)
+    val batchDistinct = docs.select("fingerprint").distinct().count()
+    assert(batchDistinct === 100L)
+  }
+
   test("session_window gap sessionization runs in streaming mode") {
     val batchEvents = graft.core.Tables.events(spark, sfDir)
     val tmp = Files.createTempDirectory("graft-stream-sess").toString
