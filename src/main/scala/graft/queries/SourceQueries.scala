@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.sources.Sources
+import graft.sources.{Sources, Xlsx}
 
 /** Source-scan coverage (SURVEY.md §2.1): each query first EMITS a file
   * fixture of the reference's ingestion shape from the test tables (typed
@@ -229,6 +229,67 @@ object SourceQueries extends QueryBase {
         GROUP BY lang ORDER BY lang"""),
       doc = "N6 word2vec-style broadcast embedding lookup with vocabulary " +
         "cut; reference post_opinion_patterns.py:104-113,150-167"),
+
+    // S2: XLSX sheet scan — the reference downloads gomus report
+    // workbooks and extracts sheet 0 via xlrd (fetch_report_helper.py:
+    // 62-68). Here the bounded daily-entries report (one row per day —
+    // the entries_1day analog) is minted as REAL .xlsx workbooks (zip of
+    // OOXML parts; one with a shared-string table, one with inline
+    // strings — both producer encodings), then scanned back by the
+    // JDK-StAX reader distributed over binaryFile (one task per
+    // workbook), serial dates decoded by the P7 expression. The oracle
+    // recomputes the report straight from `events`, so a lossy sheet
+    // parse (dropped sparse cell, wrong sheet, broken shared-string
+    // index, bad serial) cannot hash-match.
+    Q(
+      "src_xlsx_report",
+      (s, dir) => {
+        val out = Sources.scratchDir(dir, "xlsx_report")
+        val daily = t(s, dir, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).as("cents"),
+            max(col("event_type")).as("top"))
+          .orderBy("day")
+          .collect() // bounded: one row per calendar day
+        val header = Seq("Datum", "Anzahl", "UmsatzCent", "Typ", "Storniert")
+        val body: Seq[Seq[Any]] = daily.toSeq.map { r =>
+          Seq(r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2),
+            r.getString(3), r.getLong(2) % 2 == 0)
+        }
+        val d = new java.io.File(out)
+        d.mkdirs()
+        Option(d.listFiles()).foreach(_.foreach(f =>
+          if (f.getName.endsWith(".xlsx")) f.delete()))
+        val (firstHalf, secondHalf) = body.splitAt((body.size + 1) / 2)
+        Xlsx.write(new java.io.File(d, "report_0.xlsx"),
+          header +: firstHalf, useSharedStrings = true)
+        Xlsx.write(new java.io.File(d, "report_1.xlsx"),
+          header +: secondHalf, useSharedStrings = false)
+        Xlsx.readSheet(s, out)
+          .select(
+            // P7: Excel serial → date (epoch 1899-12-30)
+            date_format(
+              date_add(lit("1899-12-30").cast("date"),
+                col("Datum").cast("int")), "yyyy-MM-dd").as("day"),
+            col("Anzahl").cast("long").as("n_events"),
+            col("UmsatzCent").cast("long").as("rev_cents"),
+            col("Typ").as("top_type"),
+            (col("Storniert") === "true").as("cancelled"))
+          .orderBy("day")
+      },
+      Some("""
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS rev_cents,
+               max(event_type) AS top_type,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) % 2 = 0
+                 AS cancelled
+        FROM events GROUP BY 1 ORDER BY day"""),
+      doc = "S2 xlsx sheet scan (JDK-StAX over binaryFile, shared + inline " +
+        "strings, P7 serial dates) via minted report workbooks; reference " +
+        "fetch_report_helper.py:62-68"),
 
     // Aspect-tree config ingestion (SURVEY §3; reference
     // target_aspects.py:110-149): nested JSONC → flatten (quoted-key
