@@ -1,0 +1,159 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.time.LocalDate
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.bronze.Scrape
+
+/** S5 fidelity gate: run the engine's scrape operators over the
+  * REFERENCE'S OWN HTML fixtures and compare against the reference's own
+  * expected CSVs (tests/test_data/gomus/quotas, …/capacities) — the same
+  * ground truth its test_gomus_quotas/test_gomus_capacities assert.
+  * Skipped (assume) when the reference checkout is absent. */
+class GomusScrapeSpec extends AnyFunSuite {
+
+  private val refData = Paths.get("/root/reference/tests/test_data/gomus")
+
+  private def read(p: String): String =
+    new String(Files.readAllBytes(refData.resolve(p)), "UTF-8")
+
+  test("quota pages reproduce the reference's quotas_out.csv") {
+    assume(Files.isDirectory(refData))
+    val expected = Files.readAllLines(refData.resolve("quotas/quotas_out.csv"))
+      .asScala.drop(1).toVector
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+    val got = Vector("quotas/quotas_1.html", "quotas/quotas_34.html").map { f =>
+      val q = Scrape.extractQuota(read(f))
+      s"${q.quota_id},${q.name}," +
+        s"${q.creation_date.toLocalDateTime.format(fmt)}," +
+        s"${q.update_date.toLocalDateTime.format(fmt)}"
+    }
+    assert(got == expected)
+  }
+
+  test("capacity pages reproduce the reference's capacities_out.csv") {
+    assume(Files.isDirectory(refData))
+    // same file list + `today` as the reference's test_extract_mock
+    val files = Seq(
+      "capacities/capacities_1_2019-10-28.html",
+      "capacities/capacities_30_2020-10-26.html",
+      "capacities/capacities_18_2021-04-12.html")
+    val today = LocalDate.of(2020, 10, 29)
+    val got = files.flatMap(f => Scrape.extractCapacities(read(f), today))
+      .map(r => s"${r.quota_id},${r.date},${r.time},${r.max},${r.sold}," +
+        s"${r.reserved},${r.available},${r.last_updated}")
+    val expected = Files.readAllLines(
+      refData.resolve("capacities/capacities_out.csv"))
+      .asScala.drop(1).toVector
+    assert(got.length == expected.length) // 3 pages × 7 days × 96 slots
+    got.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g == e, s"row $i")
+    }
+  }
+
+  test("capacity error page raises like the reference ValueError") {
+    assume(Files.isDirectory(refData))
+    val err = intercept[IllegalStateException](Scrape.extractCapacities(
+      read("capacities/capacities_18_2021-04-19.html"),
+      LocalDate.of(2021, 4, 14)))
+    assert(err.getMessage.contains("extract"))
+  }
+
+  /** Wrap `payload` in nested divs so that following the 1-based div
+    * child indexes in `path` from the outside lands on the div holding
+    * `payload` (pad divs fill the earlier sibling slots). */
+  private def nest(path: Seq[Int], payload: String): String =
+    path.foldRight(payload) { (idx, inner) =>
+      ("<div>pad</div>" * (idx - 1)) + s"<div>$inner</div>"
+    }
+
+  test("booking page scrape: reference xpaths over a gomus-shaped page") {
+    // No booking fixtures ship with the reference (its test downloads
+    // them); this synthetic page follows the real DOM nesting the
+    // booking xpaths encode: details at
+    // //body/div[2]/div[2]/div[3]/div[4]/div[2]/div[1]/div[3], customer
+    // block at /html/body/div[2]/div[2]/div[3]/div[4]/div[2]/div[2]/div[2].
+    val details =
+      """<div><div>
+        |  <dl><dt>Buchung</dt><dd>77</dd></dl>
+        |  <dl><dt>Anrede:</dt><dd>Frau</dd>
+        |      <dt>Sprache:</dt><dd>
+        |        Englisch
+        |      </dd></dl>
+        |</div></div>
+        |<div class='ibox-content'>
+        |  <dl><dt> Datum </dt><dd>Mi., 02.10.2019</dd>
+        |      <dt>Uhrzeit</dt><dd>10:15</dd></dl>
+        |</div>""".stripMargin
+    val customer =
+      """<div><div>
+        |<div><a href='/admin/customers/991'>Kundin</a></div>
+        |<div><small>info@example.org
+        |additional line</small></div>
+        |</div></div>""".stripMargin
+    val shared =
+      s"<div>${nest(Seq(3), details)}</div><div>${nest(Seq(2), customer)}</div>"
+    val page =
+      s"<html><body>${nest(Seq(2, 2, 3, 4, 2), shared)}</body></html>"
+    val row = Scrape.extractBookingDetail(4711L, page)
+    assert(row.booking_id == 4711L)
+    assert(row.language == "Englisch")
+    assert(row.order_date.toLocalDateTime ==
+      java.time.LocalDateTime.of(2019, 10, 2, 0, 0))
+    // email present and shaped → seed-666 murmur3 of the FIRST line
+    assert(row.customer_id ==
+      graft.functions.Murmur3Ops.hashBytes(
+        "info@example.org".getBytes("UTF-8"), 666))
+    assert(row.gomus_id == -1L)
+  }
+
+  test("order page scrape: article table with all four workarounds") {
+    def article(id: String, icon: String, ticket: String, infobox: String,
+        qty: String, price: String, extra: String = ""): String =
+      s"""<tr>
+         |<td><a href='#'><div><i title='$icon'></i>$id</div></a></td>
+         |<td><div>$infobox</div></td>
+         |<td><strong>$ticket</strong></td>
+         |<td>$qty</td>
+         |<td>$price</td>$extra
+         |</tr>""".stripMargin
+    val tableArea =
+      s"""<table><tbody>
+         |${article("101", "Ticket", "Eintritt Normal",
+          "Einlass 5.10.2019 14:30 Uhr", "2", "36,00 €")}
+         |<tr><td></td><td>kein id div</td></tr>
+         |${article("102", "Führung", "F&uuml;hrung &amp; Event",
+          "ohne Datum hier", "1", "9,50")}
+         |${article("103", "Ticket", "Storniert",
+          "Einlass 6.10.2019 10:00 Uhr", "1", "0,00",
+          "<td>Stornogebühr</td>")}
+         |<tr><td><div><i title='x'></i>104</div></td>
+         |    <td><div>leeres ticket</div></td><td><strong>  </strong></td>
+         |    <td>1</td><td>1,00</td></tr>
+         |</tbody></table>""".stripMargin
+    // details at //body/div[2]/div[2]/div[3]/div[3]/div[2]
+    //            /div/div[2]/div/div/div/div[2] (scrape_gomus.py:290-292)
+    val page = s"<html><body>${nest(Seq(2, 2, 3, 3, 2),
+      nest(Seq(1), nest(Seq(2), nest(Seq(1), nest(Seq(1),
+        nest(Seq(1), nest(Seq(2), tableArea)))))))}</body></html>"
+    val rows = Scrape.extractOrderArticles(555L, page)
+    assert(rows.map(_.article_id) == Seq(101L, 102L, 103L))
+    val r1 = rows(0)
+    assert(r1.article_type == "Ticket" && r1.ticket == "Eintritt Normal")
+    assert(r1.date.toLocalDateTime ==
+      java.time.LocalDateTime.of(2019, 10, 5, 14, 30))
+    assert(r1.quantity == 2 && r1.price == 36.0 && !r1.is_cancelled)
+    val r2 = rows(1)
+    assert(r2.ticket == "Führung & Event") // entity decode
+    assert(r2.date.toLocalDateTime ==
+      java.time.LocalDateTime.of(1900, 1, 1, 0, 0)) // missing-date fallback
+    assert(r2.price == 9.5)
+    val r3 = rows(2)
+    assert(r3.is_cancelled) // Stornogebühr regex
+  }
+}
