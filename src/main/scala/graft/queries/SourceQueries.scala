@@ -338,6 +338,105 @@ object SourceQueries extends QueryBase {
         ORDER BY ord"""),
       doc = "aspect-tree JSONC flatten to the broadcast aspect-word " +
         "lexicon (quirk-faithful); oracle rows generated by the " +
-        "reference's own flatten; reference target_aspects.py:110-149")
+        "reference's own flatten; reference target_aspects.py:110-149"),
+
+    // S5: HTML/XPath scrape scan — the reference's order-contains scrape
+    // (scrape_gomus.py:277-365) re-run as a distributed binaryFile scan.
+    // The fixture mints one gomus-shaped order page per order (verbatim
+    // DOM nesting the reference xpaths encode, HTML entities in tickets,
+    // German "d.M.yyyy HH:mm Uhr" dates and comma-decimal prices, storno
+    // marker cells, plus two malformed-article shapes the scraper must
+    // skip: a row with no id cell and a row whose td[3] has no element
+    // child). The scrape itself — permissive HTML parse, the XPath
+    // subset with union/positional/count() expressions, entity decode,
+    // date/price parsing — runs inside the scan tasks; the oracle
+    // recomputes every surviving article straight from lineitem, so a
+    // parser or XPath divergence (wrong skip, undecoded entity, bad
+    // date fallback) cannot hash-match.
+    Q(
+      "src_html_scrape",
+      (s, dir) => {
+        val out = Sources.scratchDir(dir, "html_orders")
+        val sub = t(s, dir, "lineitem")
+          .filter(pmod(col("l_orderkey"), lit(400L)) === 0)
+          .select("l_orderkey", "l_linenumber", "l_returnflag",
+            "l_linestatus", "l_quantity", "l_extendedprice", "l_shipdate")
+          .collect() // bounded fixture mint: 37 orders / 142 lines at sf0.01
+        val dateFmt = java.time.format.DateTimeFormatter.ofPattern("d.M.yyyy")
+        def article(r: org.apache.spark.sql.Row): String = {
+          val ln = r.getInt(1)
+          val typ = r.getString(2) match {
+            case "A" => "Ticket"; case "R" => "Führung"; case _ => "Angebot"
+          }
+          val idCell =
+            if (ln == 6) "<td>kein id</td>"
+            else s"<td><a href='#'><div><i title='$typ'></i>$ln</div></a></td>"
+          val shipDay = (r.get(6) match {
+            case t: java.sql.Timestamp => t.toLocalDateTime
+            case t: java.time.LocalDateTime => t
+            case t: java.time.Instant =>
+              java.time.LocalDateTime.ofInstant(t, java.time.ZoneOffset.UTC)
+          }).toLocalDate
+          val infobox =
+            if (ln == 5) "ohne Termin"
+            else "Einlass " + shipDay.format(dateFmt) + " 14:30 Uhr"
+          val ticketCell =
+            if (ln == 7) "<td>kein strong</td>"
+            else "<td><strong>M&uuml;ller-" + r.getString(2) +
+              r.getString(3) + "</strong></td>"
+          val price = "%.2f".format(r.getDouble(5)).replace('.', ',') + " €"
+          val storno = if (r.getString(2) == "R") "<td>Stornogebühr</td>" else ""
+          s"<tr>$idCell<td><div>$infobox</div></td>$ticketCell" +
+            s"<td>${r.getDouble(4).toInt}</td><td>$price</td>$storno</tr>"
+        }
+        def nest(path: Seq[Int], payload: String): String =
+          path.foldRight(payload) { (idx, inner) =>
+            ("<div>pad</div>" * (idx - 1)) + s"<div>$inner</div>"
+          }
+        val d = new java.io.File(out)
+        d.mkdirs()
+        Option(d.listFiles()).foreach(_.foreach(f =>
+          if (f.getName.endsWith(".html")) f.delete()))
+        sub.groupBy(_.getLong(0)).foreach { case (orderKey, lines) =>
+          val tbl = "<table><tbody>" +
+            lines.sortBy(_.getInt(1)).map(article).mkString("\n") +
+            "</tbody></table>"
+          // details path: //body/div[2]/div[2]/div[3]/div[3]/div[2]
+          //   /div/div[2]/div/div/div/div[2]  (scrape_gomus.py:290-292)
+          val page = "<html><body>" + nest(Seq(2, 2, 3, 3, 2),
+            nest(Seq(1), nest(Seq(2), nest(Seq(1), nest(Seq(1),
+              nest(Seq(1), nest(Seq(2), tbl))))))) + "</body></html>"
+          java.nio.file.Files.write(
+            new java.io.File(d, s"$orderKey.html").toPath,
+            page.getBytes("UTF-8"))
+        }
+        graft.bronze.Scrape.orderContains(s, out)
+          .select(col("order_id"), col("article_id"),
+            col("article_type"), col("ticket"),
+            date_format(col("date"), "yyyy-MM-dd HH:mm").as("date_s"),
+            col("quantity"),
+            round(col("price") * 100).cast("long").as("price_cents"),
+            col("is_cancelled"))
+          .orderBy("order_id", "article_id")
+      },
+      Some("""
+        SELECT l_orderkey AS order_id,
+               CAST(l_linenumber AS BIGINT) AS article_id,
+               CASE l_returnflag WHEN 'A' THEN 'Ticket'
+                    WHEN 'R' THEN 'Führung' ELSE 'Angebot' END
+                 AS article_type,
+               'Müller-' || l_returnflag || l_linestatus AS ticket,
+               CASE WHEN l_linenumber = 5 THEN '1900-01-01 00:00'
+                    ELSE strftime(l_shipdate, '%Y-%m-%d') || ' 14:30' END
+                 AS date_s,
+               CAST(l_quantity AS INTEGER) AS quantity,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+               (l_returnflag = 'R') AS is_cancelled
+        FROM lineitem
+        WHERE l_orderkey % 400 = 0 AND l_linenumber NOT IN (6, 7)
+        ORDER BY order_id, article_id"""),
+      doc = "S5 HTML/XPath scrape scan (order-contains, all four skip " +
+        "workarounds) over minted gomus-shaped pages; reference " +
+        "scrape_gomus.py:277-365")
   )
 }
