@@ -33,6 +33,22 @@ object VectorOps {
     v >>> 4
   }
 
+  /** SimHash-32 over token md5s: bit j of the signature is the sign of the
+    * balance of bit j across all token hashes (near-identical token sets →
+    * identical signature). One md5 per token, primitive-loop aggregation. */
+  def simhash32(toks: Seq[String]): Long = {
+    val hs = toks.map(md5Long)
+    var sig = 0L
+    var j = 0
+    while (j < 32) {
+      var bal = 0L
+      hs.foreach(h => bal += (if (((h >> j) & 1L) == 1L) 1L else -1L))
+      if (bal > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
   /** Sequential-fold cosine (dot and norms each folded left-to-right). */
   def cosine(a: Seq[Double], b: Seq[Double]): Double = {
     val n = a.length

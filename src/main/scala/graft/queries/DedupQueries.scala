@@ -178,20 +178,10 @@ object DedupQueries extends QueryBase {
       (s, dir) => {
         val d = th(s, dir, "documents")
         // Compiled kernel: one md5 per distinct token, 32-bit sign
-        // aggregation in a primitive loop (VectorOps-style; the
-        // interpreted-lambda form of the same math was ~50x slower).
-        val simU = udf((toks: Seq[String]) => {
-          val hs = toks.map(graft.functions.VectorOps.md5Long)
-          var sig = 0L
-          var j = 0
-          while (j < 32) {
-            var bal = 0L
-            hs.foreach(h => bal += (if (((h >> j) & 1L) == 1L) 1L else -1L))
-            if (bal > 0) sig |= (1L << j)
-            j += 1
-          }
-          sig
-        })
+        // aggregation in a primitive loop (the interpreted-lambda form of
+        // the same math was ~50x slower).
+        val simU = udf((toks: Seq[String]) =>
+          graft.functions.VectorOps.simhash32(toks))
         d.withColumn("toks", array_distinct(split(lower(col("text")), "\\s+")))
           .withColumn("simhash", simU(col("toks")))
           .groupBy("simhash")

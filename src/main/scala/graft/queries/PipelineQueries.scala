@@ -361,5 +361,108 @@ object PipelineQueries extends QueryBase {
                CASE WHEN octet_length(encode(text)) = 0 THEN 0.0 ELSE 1.0 END
                  AS feature_l1
         FROM documents ORDER BY media_id"""),
-      doc = "multimodal binary column + mapPartitions feature extraction (stub decode)"))
+      doc = "multimodal binary column + mapPartitions feature extraction (stub decode)"),
+
+    // Training-corpus curation composite — the end-to-end pipeline a
+    // 100 TB pretraining-data job actually runs, chained from the
+    // engine's individually-verified stages: quality gate → exact dedup
+    // → SimHash near-dup drop → deterministic hash sample → per-language
+    // rollup. Scale shape: every stage is one hash shuffle (fingerprint /
+    // signature partition, keeper = row_number 1) or a pushed-down
+    // filter; nothing collects, nothing compares cross-bucket, and the
+    // keeper windows partition on high-cardinality keys so no executor
+    // sees more than one dup group. Input plants re-keyed duplicates so
+    // both dedup stages do real work; the oracle replays all five stages
+    // in SQL — a divergence in any stage (ratio filter, canonical form,
+    // signature bit, sample bucket) changes the final counts and content
+    // fingerprints.
+    Q(
+      "pipe_corpus_curation",
+      (s, dir) => {
+        val d = th(s, dir, "documents").select("doc_id", "lang", "text")
+        val input = d.unionByName(
+          d.filter(col("doc_id") % 7 === 0)
+            .withColumn("doc_id", col("doc_id") + 200000))
+        val nPunct = (length(col("text")) -
+          length(regexp_replace(col("text"), "[^a-zA-Z0-9\\s]", "")))
+          .cast("double")
+        val scored = input
+          .withColumn("tk", split(lower(col("text")), "\\s+"))
+          .withColumn("n_tokens", size(col("tk")).cast("long"))
+          .withColumn("punct_ratio",
+            nPunct / greatest(length(col("text")).cast("double"), lit(1.0)))
+        val quality = scored
+          .filter(col("n_tokens") >= 15 && col("punct_ratio") < 0.2)
+        val canonical = md5(trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""),
+          "\\s+", " ")))
+        val exact = quality.withColumn("fp", canonical)
+          .withColumn("rk",
+            row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+          .filter(col("rk") === 1).drop("rk")
+        val simU = udf((toks: Seq[String]) =>
+          graft.functions.VectorOps.simhash32(toks))
+        val near = exact
+          .withColumn("simhash", simU(array_distinct(col("tk"))))
+          .withColumn("rk",
+            row_number().over(Window.partitionBy("simhash").orderBy("doc_id")))
+          .filter(col("rk") === 1).drop("rk")
+        val sampled = near.filter(
+          pmod(h64(concat(lit("s:"), col("doc_id").cast("string"))),
+            lit(10L)) < 3)
+        sampled.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("sum_tokens"),
+            wsum(h64(col("text")))
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+              .cast("string").as("sum_fp"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH input AS (
+          SELECT doc_id, lang, text FROM documents
+          UNION ALL
+          SELECT doc_id + 200000, lang, text FROM documents
+          WHERE doc_id % 7 = 0),
+        scored AS (
+          SELECT doc_id, lang, text,
+                 string_split_regex(lower(text), '\s+') AS tk,
+                 len(string_split_regex(lower(text), '\s+')) AS n_tokens,
+                 (length(text) -
+                  length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))
+                   / greatest(length(text), 1) AS punct_ratio
+          FROM input),
+        quality AS (
+          SELECT * FROM scored WHERE n_tokens >= 15 AND punct_ratio < 0.2),
+        exact AS (
+          SELECT * FROM quality
+          QUALIFY row_number() OVER (
+            PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')))
+            ORDER BY doc_id) = 1),
+        near AS (
+          SELECT * FROM (
+            SELECT *,
+                   CAST(list_sum([CASE WHEN CAST(list_sum(
+                       [CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1
+                             THEN 1 ELSE -1 END FOR h IN th]) AS BIGINT) > 0
+                         THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END
+                       FOR j IN range(0, 32)]) AS BIGINT) AS simhash
+            FROM (SELECT *,
+                         [CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT)
+                          FOR w IN list_distinct(tk)] AS th
+                  FROM exact))
+          QUALIFY row_number() OVER (PARTITION BY simhash ORDER BY doc_id) = 1),
+        sampled AS (
+          SELECT * FROM near
+          WHERE CAST(concat('0x', substr(md5('s:' || doc_id), 1, 15))
+                  AS BIGINT) % 10 < 3)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(sum(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT))
+                 AS VARCHAR) AS sum_fp
+        FROM sampled GROUP BY lang ORDER BY lang"""),
+      doc = "training-corpus curation composite: quality gate -> exact " +
+        "dedup -> SimHash near-dup drop -> hash sample -> per-language " +
+        "rollup, every stage one hash shuffle"))
 }
