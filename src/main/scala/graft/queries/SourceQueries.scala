@@ -437,6 +437,120 @@ object SourceQueries extends QueryBase {
         ORDER BY order_id, article_id"""),
       doc = "S5 HTML/XPath scrape scan (order-contains, all four skip " +
         "workarounds) over minted gomus-shaped pages; reference " +
-        "scrape_gomus.py:277-365")
+        "scrape_gomus.py:277-365"),
+
+    // S5 (capacity path): the most intricate scrape — per-quota capacity
+    // pages where basic availability lives in `data-timestamp` cells
+    // (Berlin local-time epochs) and detailed max/sold/reserved live in
+    // popover JS object literals whose titles are year-less German dates
+    // resolved against the page's start date; detailed overrides basic
+    // over a 7-day x 96-slot zero grid (capacities.py:88-206). Pages are
+    // minted per nation row from a deterministic slot rule; the oracle
+    // regenerates grid + rule in SQL, so a wrong timezone decode, popover
+    // parse, title-date resolution, or override precedence shifts values
+    // to the wrong slot and cannot hash-match.
+    Q(
+      "src_html_capacity",
+      (s, dir) => {
+        val out = Sources.scratchDir(dir, "html_capacity")
+        val ks = t(s, dir, "nation")
+          .select(col("n_nationkey").cast("int"))
+          .collect().map(_.getInt(0)).sorted // bounded: 25 quota pages
+        val months = Array("Januar", "Februar", "März", "April", "Mai",
+          "Juni", "Juli", "August", "September", "Oktober", "November",
+          "Dezember")
+        val zone = java.time.ZoneId.of("Europe/Berlin")
+        val minDate = java.time.LocalDate.of(2020, 10, 26)
+        def epoch(d: Int, h: Int, m: Int): Long =
+          java.time.ZonedDateTime.of(minDate.plusDays(d),
+            java.time.LocalTime.of(h, m), zone).toEpochSecond
+        def nest(path: Seq[Int], payload: String): String =
+          path.foldRight(payload) { (idx, inner) =>
+            ("<div>pad</div>" * (idx - 1)) + s"<div>$inner</div>"
+          }
+        val dOut = new java.io.File(out)
+        dOut.mkdirs()
+        Option(dOut.listFiles()).foreach(_.foreach(f =>
+          if (f.getName.endsWith(".html")) f.delete()))
+        ks.foreach { k =>
+          val cells = (0 until (k % 4 + 2)).map { i =>
+            val (d, h, m) = (i, 9 + (3 * i) % 10, 15 * (i % 4))
+            val avail = (k * 7 + i * 13) % 50
+            s"<td data-timestamp='${epoch(d, h, m)}'> $avail </td>"
+          }.mkString
+          val popovers = (0 until (k % 3)).map { i =>
+            val (d, h, m) = if (i == 0) (1, 12, 15) else (2 * i, 10 + i, 30)
+            val (mx, sold, res) = (k + 20 + i, (k % 5) + i, i % 3)
+            val day = minDate.plusDays(d)
+            val title = s"${day.getDayOfMonth}. " +
+              s"${months(day.getMonthValue - 1)}, " +
+              f"$h%02d:$m%02d Uhr"
+            val content = "<table>\\n<tbody>\\n" +
+              s"<tr><td>maximal:<\\/td><td>$mx<\\/td><\\/tr>\\n" +
+              s"<tr><td>verkauft:<\\/td><td>$sold<\\/td><\\/tr>\\n" +
+              s"<tr><td>reserviert:<\\/td><td>$res<\\/td><\\/tr>\\n" +
+              "<\\/tbody><tfooter>" +
+              s"<tr><td>frei:<\\/td><td>${mx - sold - res}<\\/td><\\/tr>" +
+              "<\\/tfooter><\\/table>"
+            s"""<script>
+               |  $$("#info-${epoch(d, h, m)}").popover({
+               |    placement : 'right',
+               |    title : '<strong>$title</strong>',
+               |    html: 'true',
+               |    content : '$content'
+               |  });
+               |</script>""".stripMargin
+          }.mkString("\n")
+          val aux = "<span class='badge badge-primary'> " + k + " </span>" +
+            "<input id=\"start_at\" value=\"26.10.2020\"/>" + popovers
+          val tbl = "<table><tbody><tr><td>Zeit</td>" + cells +
+            "</tr></tbody></table>"
+          // basic table path: //body/div[2]/div[2]/div[3]/div/div[2]
+          //   /div/div[2]/table (capacities.py:100-102)
+          val page = s"<html><body><div>$aux</div><div>" +
+            nest(Seq(2, 3, 1, 2, 1, 2), tbl) + "</div></body></html>"
+          java.nio.file.Files.write(
+            new java.io.File(dOut, s"$k.html").toPath,
+            page.getBytes("UTF-8"))
+        }
+        graft.bronze.Scrape.capacities(s, out,
+            java.time.LocalDate.of(2020, 10, 29))
+          .orderBy("quota_id", "date", "time")
+      },
+      Some("""
+        WITH q AS (SELECT CAST(n_nationkey AS INTEGER) AS k FROM nation),
+        grid AS (
+          SELECT k, d, sl FROM q,
+            (SELECT unnest(range(0, 7)) AS d),
+            (SELECT unnest(range(0, 96)) AS sl)),
+        basic AS (
+          SELECT k, i, i AS d, (9 + (3 * i) % 10) * 4 + (i % 4) AS sl,
+                 (k * 7 + i * 13) % 50 AS avail
+          FROM (SELECT k, unnest(range(0, k % 4 + 2)) AS i FROM q)),
+        pop AS (
+          SELECT k,
+                 CASE WHEN i = 0 THEN 1 ELSE 2 * i END AS d,
+                 CASE WHEN i = 0 THEN 49 ELSE (10 + i) * 4 + 2 END AS sl,
+                 k + 20 + i AS mx, (k % 5) + i AS sold, i % 3 AS res
+          FROM (SELECT k, unnest(range(0, k % 3)) AS i FROM q))
+        SELECT g.k AS quota_id,
+               strftime(DATE '2020-10-26' + g.d * INTERVAL 1 DAY, '%Y-%m-%d')
+                 AS "date",
+               lpad(CAST(g.sl // 4 AS VARCHAR), 2, '0') || ':' ||
+                 lpad(CAST((g.sl % 4) * 15 AS VARCHAR), 2, '0') || ':00'
+                 AS "time",
+               CAST(coalesce(p.mx, b.avail, 0) AS INTEGER) AS "max",
+               CAST(coalesce(p.sold, 0) AS INTEGER) AS sold,
+               CAST(coalesce(p.res, 0) AS INTEGER) AS reserved,
+               CAST(coalesce(p.mx - p.sold - p.res, b.avail, 0) AS INTEGER)
+                 AS available,
+               '2020-10-29' AS last_updated
+        FROM grid g
+          LEFT JOIN basic b ON g.k = b.k AND g.d = b.d AND g.sl = b.sl
+          LEFT JOIN pop p ON g.k = p.k AND g.d = p.d AND g.sl = p.sl
+        ORDER BY quota_id, "date", "time""""),
+      doc = "S5 capacity scrape: Berlin-epoch basic cells + popover " +
+        "hovercard overrides over the 7x96 zero grid; reference " +
+        "capacities.py:88-206")
   )
 }
