@@ -464,5 +464,40 @@ object PipelineQueries extends QueryBase {
         FROM sampled GROUP BY lang ORDER BY lang"""),
       doc = "training-corpus curation composite: quality gate -> exact " +
         "dedup -> SimHash near-dup drop -> hash sample -> per-language " +
-        "rollup, every stage one hash shuffle"))
+        "rollup, every stage one hash shuffle"),
+
+    // K3 + K2 sinks end-to-end: cache a full rollup to a table path
+    // (query-cache semantics — executors write parquet, the count marker
+    // is re-read from the files like the reference's post-insert
+    // COUNT(*)), then replace-content it with a restricted snapshot. The
+    // final read sees ONLY the second snapshot — a replace that leaves
+    // stale rows (upsert-not-delete) changes the row set and cannot
+    // hash-match; a cache that recomputed instead of reading files would
+    // not prove the sink wrote. The K3 marker rides along as a column.
+    Q(
+      "pipe_replace_cache",
+      (s, dir) => {
+        val tbl = graft.sources.Sources.scratchDir(dir, "replace_cache_tbl")
+        val full = t(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            round(dsum(col("o_totalprice")), 2).as("sum_price"))
+        val marker = Upsert.cacheQuery(s, tbl, full) // K3: count from files
+        Upsert.replaceWrite(s, tbl, // K2: snapshot replaces content
+          full.filter(col("o_orderpriority") =!= "1-URGENT"))
+        s.read.parquet(tbl)
+          .withColumn("cache_marker_rows", lit(marker))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n_orders,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE),
+                 2) AS sum_price,
+               (SELECT count(DISTINCT o_orderpriority) FROM orders)
+                 AS cache_marker_rows
+        FROM orders WHERE o_orderpriority <> '1-URGENT'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      doc = "K3 query-cache sink + K2 replace-content sink end-to-end " +
+        "(staged atomic swap, count-from-files marker); reference " +
+        "database.py:96-99,300-325"))
 }
