@@ -49,6 +49,48 @@ object Upsert {
   def replaceWrite(spark: SparkSession, tablePath: String, snapshot: DataFrame): Unit =
     swapIn(spark, tablePath, snapshot)
 
+  /** K1 at fact scale: upsert into a partitioned table touching ONLY the
+    * partitions present in the incoming batch. A daily batch into a
+    * date-partitioned 100 TB fact reads and rewrites one partition, not
+    * the table: the existing side is scanned with literal partition
+    * predicates (static partition pruning — the scan never lists the
+    * other partitions' files), and the merged result is written with
+    * dynamic partition overwrite, which replaces exactly the partitions
+    * the merged frame contains.
+    *
+    * `partCols` must be a subset of `pk`: then a primary key can never
+    * move between partitions, which is what makes partition-local merge
+    * equal to global merge (the reference's date-keyed snapshot tables
+    * all satisfy this, e.g. gomus_daily_entry PK (id, datetime)). The
+    * distinct-partition collect is bounded by the number of partitions in
+    * the BATCH (daily cadence: a handful), not the table. */
+  def upsertWritePartitioned(spark: SparkSession, tablePath: String,
+      incoming: DataFrame, pk: Seq[String], partCols: Seq[String]): Unit = {
+    require(partCols.nonEmpty && partCols.forall(pk.contains),
+      s"partition columns $partCols must be part of the primary key $pk " +
+        "(keys must not move between partitions)")
+    val path = new Path(tablePath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) {
+      incoming.write.partitionBy(partCols: _*).parquet(tablePath)
+      return
+    }
+    import org.apache.spark.sql.functions.{col, lit}
+    val touched = incoming.select(partCols.map(col): _*).distinct().collect()
+    if (touched.isEmpty) return
+    val prune = touched.map { r =>
+      partCols.zipWithIndex
+        .map { case (c, i) => col(c) === lit(r.get(i)) }
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    val existing = spark.read.parquet(tablePath).filter(prune)
+    merge(existing, incoming, pk)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCols: _*)
+      .parquet(tablePath)
+  }
+
   /** K3 query-cache sink (reference src/_utils/database.py:300-325:
     * `TRUNCATE` + `INSERT INTO t SELECT …` entirely inside the DBMS so
     * results never round-trip through the client, then `COUNT(*)` as the

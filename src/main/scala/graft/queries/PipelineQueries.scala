@@ -499,5 +499,60 @@ object PipelineQueries extends QueryBase {
         GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
       doc = "K3 query-cache sink + K2 replace-content sink end-to-end " +
         "(staged atomic swap, count-from-files marker); reference " +
-        "database.py:96-99,300-325"))
+        "database.py:96-99,300-325"),
+
+    // K1 at fact scale: partition-aware upsert. The daily batch touches
+    // one of five priority partitions; the merge scans ONLY that
+    // partition (static partition pruning — UpsertSpec asserts the
+    // 1-file numFiles metric and that untouched partitions' files keep
+    // their mtimes) and dynamic-overwrite rewrites only it. This is the
+    // shape that keeps the reference's daily upsert cadence viable
+    // against a date-partitioned 100 TB fact. The oracle replays the
+    // update+insert batch relationally over orders.
+    Q(
+      "pipe_upsert_partitioned",
+      (s, dir) => {
+        val tbl = graft.sources.Sources.scratchDir(dir, "upsert_part_tbl")
+        val p = new org.apache.hadoop.fs.Path(tbl)
+        val hfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (hfs.exists(p)) hfs.delete(p, true) // fresh fixture per run
+        val pk = Seq("o_orderpriority", "o_orderkey")
+        val base = t(s, dir, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            col("o_totalprice"))
+        Upsert.upsertWritePartitioned(s, tbl, base, pk,
+          Seq("o_orderpriority"))
+        val upd = base
+          .filter(col("o_orderpriority") === "3-MEDIUM" &&
+            col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        val incoming = upd.unionByName(
+          upd.withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+        Upsert.upsertWritePartitioned(s, tbl, incoming, pk,
+          Seq("o_orderpriority"))
+        s.read.parquet(tbl)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_rows"),
+            round(dsum(col("o_totalprice")), 2).as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        WITH upd AS (
+          SELECT o_orderpriority, o_orderkey, o_totalprice + 1000
+                   AS o_totalprice
+          FROM orders
+          WHERE o_orderpriority = '3-MEDIUM' AND o_orderkey % 10 = 0),
+        final AS (
+          SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
+          WHERE NOT (o_orderpriority = '3-MEDIUM' AND o_orderkey % 10 = 0)
+          UNION ALL SELECT * FROM upd
+          UNION ALL SELECT o_orderpriority, o_orderkey + 10000000,
+                           o_totalprice FROM upd)
+        SELECT o_orderpriority, count(*) AS n_rows,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE),
+                 2) AS sum_price
+        FROM final GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      doc = "K1 partition-aware upsert: partition-pruned merge + dynamic " +
+        "partition overwrite, only the touched partition rewritten; " +
+        "reference database.py:140-174 at fact scale"))
 }

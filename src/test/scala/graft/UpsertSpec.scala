@@ -33,4 +33,65 @@ class UpsertSpec extends SparkSpec {
     val replaced = spark.read.parquet(table).as[(Int, String)].collect()
     assert(replaced.toSeq === Seq((9, "z")))
   }
+
+  test("upsertWritePartitioned: merges only touched partitions, " +
+      "untouched partition files are not rewritten") {
+    val dir = Files.createTempDirectory("graft-upsert-part").toString
+    val table = s"$dir/t"
+    val base = Seq(
+      ("2020-01-01", 1, "a"), ("2020-01-01", 2, "b"),
+      ("2020-01-02", 3, "c"), ("2020-01-03", 4, "d"))
+      .toDF("day", "id", "v")
+    Upsert.upsertWritePartitioned(spark, table, base,
+      Seq("day", "id"), Seq("day"))
+    def partFiles(day: String): Map[String, Long] = {
+      val d = new java.io.File(s"$table/day=$day")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before01 = partFiles("2020-01-01")
+    val before03 = partFiles("2020-01-03")
+    assert(before01.nonEmpty && before03.nonEmpty)
+    // batch touches only 2020-01-02: one PK update, one insert
+    Upsert.upsertWritePartitioned(spark, table,
+      Seq(("2020-01-02", 3, "C2"), ("2020-01-02", 5, "e"))
+        .toDF("day", "id", "v"),
+      Seq("day", "id"), Seq("day"))
+    val after = spark.read.parquet(table)
+      .select("day", "id", "v").as[(String, Int, String)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(after.toSeq === Seq(
+      ("2020-01-01", 1, "a"), ("2020-01-01", 2, "b"),
+      ("2020-01-02", 3, "C2"), ("2020-01-02", 5, "e"),
+      ("2020-01-03", 4, "d")))
+    // untouched partitions: identical files, identical mtimes — the
+    // second upsert never rewrote them
+    assert(partFiles("2020-01-01") === before01)
+    assert(partFiles("2020-01-03") === before03)
+    // partition column outside the PK must be rejected (keys could move
+    // between partitions and the partition-local merge would be wrong)
+    val ex = intercept[IllegalArgumentException] {
+      Upsert.upsertWritePartitioned(spark, table, base, Seq("id"), Seq("day"))
+    }
+    assert(ex.getMessage.contains("primary key"))
+  }
+
+  test("upsertWritePartitioned: existing-side scan is partition-pruned") {
+    val dir = Files.createTempDirectory("graft-upsert-prune").toString
+    val table = s"$dir/t"
+    Upsert.upsertWritePartitioned(spark, table,
+      Seq(("a", 1, 10), ("b", 2, 20), ("c", 3, 30)).toDF("p", "id", "v"),
+      Seq("p", "id"), Seq("p"))
+    // the pruned read the merge performs, reconstructed for plan audit
+    import org.apache.spark.sql.functions.col
+    val pruned = spark.read.parquet(table).filter(col("p") === "b")
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head
+    val s = scan.toString
+    assert(s.contains("PartitionFilters") && s.contains("isnotnull(p"),
+      s"expected partition filters in scan:\n$s")
+    // post-pruning scan metric: only the touched partition's files read
+    assert(scan.metrics("numFiles").value === 1,
+      "pruned scan must read only the touched partition's files")
+  }
 }
