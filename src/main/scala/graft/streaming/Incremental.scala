@@ -66,4 +66,24 @@ object Incremental {
       .outputMode("append")
       .format("parquet")
       .start(outPath)
+
+  /** The complete FillDbHourly analog (reference _fill_db.py:48-54 →
+    * database.py:140-174): process everything unprocessed, then MERGE
+    * each micro-batch into the live table by primary key — the K1 upsert
+    * as a streaming sink via foreachBatch. Restart-safe: the checkpoint
+    * tracks consumed input and the merge is idempotent (re-upserting a
+    * replayed batch rewrites the same rows to the same values), which is
+    * exactly the property the reference gets from `ON CONFLICT DO
+    * UPDATE`. For non-aggregated transforms (append-mode lineage). */
+  def runAvailableNowUpsert(out: DataFrame, checkpoint: String,
+      tablePath: String, pk: Seq[String]): StreamingQuery =
+    out.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.core.Upsert.upsertWrite(batch.sparkSession, tablePath,
+          batch, pk)
+      }
+      .start()
 }

@@ -55,6 +55,40 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/out").count() === streamed.length.toLong)
   }
 
+  test("availableNow + foreachBatch upsert: the FillDbHourly merge cadence") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-stream-upsert").toString
+    val (srcDir, table, ckpt) = (s"$tmp/src", s"$tmp/table", s"$tmp/ckpt")
+    val schema = Seq((0L, "x")).toDF("id", "v").schema
+
+    def run(): Unit = {
+      val q = Incremental.runAvailableNowUpsert(
+        Incremental.readStream(spark, srcDir, schema),
+        ckpt, table, Seq("id"))
+      q.awaitTermination()
+    }
+
+    // hour 1: initial batch
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .write.mode("append").parquet(srcDir)
+    run()
+    assert(spark.read.parquet(table).as[(Long, String)].collect().sorted
+      === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // hour 2: new files with one PK conflict and one insert; only the
+    // NEW files are processed (checkpoint), and the merge updates in place
+    Seq((2L, "B2"), (4L, "d")).toDF("id", "v")
+      .write.mode("append").parquet(srcDir)
+    run()
+    assert(spark.read.parquet(table).as[(Long, String)].collect().sorted
+      === Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
+
+    // hour 3: nothing new — table unchanged (idempotent cadence)
+    run()
+    assert(spark.read.parquet(table).as[(Long, String)].collect().sorted
+      === Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
+  }
+
   test("streaming exact dedup keeps one row per fingerprint (bounded state)") {
     val tmp = Files.createTempDirectory("graft-stream-dedup").toString
     // Documents wrapped as an arriving stream with planted duplicate
