@@ -333,5 +333,43 @@ object DedupQueries extends QueryBase {
                     JOIN v vb ON cand.right_id = vb.vec_id)
         SELECT left_id, right_id, round(cosine, 6) AS cosine
         FROM j WHERE cosine >= 0.4 ORDER BY left_id, right_id"""),
-      doc = "embedding near-dup via banded hyperplane LSH + cosine verify (training pipeline)"))
+      doc = "embedding near-dup via banded hyperplane LSH + cosine verify (training pipeline)"),
+
+    // Near-dup CLUSTERING: the LSH queries above verify pair generation;
+    // this verifies the transitive-closure step that turns pairs into
+    // keep-one-per-cluster groups (graft.ml.ConnectedComponents,
+    // iterative min-label propagation — two shuffles per round, rounds =
+    // graph diameter, labels localCheckpointed, nothing collected). The
+    // planted edges form 3-node chains (doc → +100000 → +200000) with a
+    // bridge merging every 5th family pair, so a propagation that stops
+    // at direct neighbors (1 round) or misses the bridge cannot match
+    // the oracle's closed-form component roots.
+    Q(
+      "dedup_cluster_cc",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .filter(col("doc_id") % 10 === 0).select("doc_id")
+        val e1 = d.select(col("doc_id").as("src"),
+          (col("doc_id") + 100000L).as("dst"))
+        val e2 = d.select((col("doc_id") + 100000L).as("src"),
+          (col("doc_id") + 200000L).as("dst"))
+        val bridge = d.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("src"), (col("doc_id") + 10L).as("dst"))
+        val labels = graft.ml.ConnectedComponents.run(
+          e1.unionByName(e2).unionByName(bridge))
+        labels.groupBy("label")
+          .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_member"))
+          .orderBy("label")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id AS b FROM documents WHERE doc_id % 10 = 0),
+        members AS (
+          SELECT CASE WHEN b % 50 = 10 THEN b - 10 ELSE b END AS label,
+                 unnest([b, b + 100000, b + 200000]) AS m
+          FROM base)
+        SELECT label, count(*) AS n_members, max(m) AS max_member
+        FROM members GROUP BY label ORDER BY label"""),
+      doc = "near-dup cluster assembly: distributed connected components " +
+        "(min-label propagation) over planted chain+bridge pair graph"))
 }
