@@ -250,5 +250,95 @@ object BronzeQueries extends QueryBase {
         FROM nation, LATERAL (SELECT unnest(range(24)) AS h)
         ORDER BY id, ticket, dt"""),
       doc = "gomus daily-entries 24-column matrix unpivot (posexplode " +
-        "projection); reference daily_entries.py:85-126"))
+        "projection); reference daily_entries.py:85-126"),
+
+    // The facebook comments normalizer end-to-end (reference
+    // facebook.py:392-463): nested toplevel+reply payloads are minted
+    // per order FROM EXPRESSIONS (collect_list of structs → to_json — no
+    // driver loop), then graft.bronze.Social.fbComments parses, explodes
+    // both levels, tags museum authorship, and dedups on (comment_id,
+    // post_id). The oracle replays the whole nested flatten relationally
+    // from lineitem, so a wrong id split, reply scoping, or museum flag
+    // cannot hash-match. (Fixture-level fidelity against the reference's
+    // own expected CSVs is SocialBronzeSpec.)
+    Q(
+      "bronze_fb_comments",
+      (s, dir) => {
+        // The synthetic lineitem repeats (orderkey, linenumber), so
+        // comment ids mint from a per-order ordinal (ties share ln+sd →
+        // the row SET is order-independent); every reply is planted
+        // TWICE in its array so the (comment_id, post_id) dedup provably
+        // collapses exact duplicates — the reference's repeated-fetch
+        // workaround (facebook.py:358-361) — deterministically.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("ok").orderBy("ln", "sd")
+        val li = t(s, dir, "lineitem")
+          .filter(pmod(col("l_orderkey"), lit(1000L)) === 0)
+          .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+            col("l_shipdate").as("sd"))
+          .withColumn("ord", row_number().over(w))
+        val cid = col("ok") * 100 + col("ord")
+        val reply = struct(
+          concat(lit("pg_"), (cid + 50).cast("string")).as("id"),
+          concat(lit("reply to c"), col("ln").cast("string")).as("message"),
+          date_format(col("sd"), "yyyy-MM-dd'T'HH:mm:ss+0000")
+            .as("created_time"),
+          when(col("ord") % 4 === 0, struct(lit("Museum Barberini")
+            .as("name"))).otherwise(lit(null).cast("struct<name:string>"))
+            .as("from"))
+        val toplevel = struct(
+          concat(lit("pg_"), cid.cast("string")).as("id"),
+          concat(lit("comment c"), col("ln").cast("string")).as("message"),
+          date_format(col("sd"), "yyyy-MM-dd'T'HH:mm:ss+0000")
+            .as("created_time"),
+          lit(null).cast("struct<name:string>").as("from"),
+          when(col("ord") % 2 === 0, lit(2L)).otherwise(lit(0L))
+            .as("comment_count"),
+          when(col("ord") % 2 === 0, struct(array(reply, reply).as("data")))
+            .otherwise(lit(null)
+              .cast("struct<data:array<struct<id:string,message:string," +
+                "created_time:string,from:struct<name:string>>>>"))
+            .as("comments"))
+        val batches = li.groupBy(col("ok"))
+          .agg(collect_list(toplevel).as("data"))
+          .select(lit("777").as("page_id"), col("ok").cast("string")
+            .as("post_id"), to_json(struct(col("data"))).as("payload"))
+        graft.bronze.Social.fbComments(batches, "Museum Barberini")
+          .groupBy("is_from_museum")
+          .agg(count(lit(1)).as("n_comments"),
+            wsum(col("comment_id").cast("long"))
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+              .cast("string").as("sum_cid"),
+            max(col("post_date")).as("max_date"),
+            sum(when(col("response_to").isNotNull, 1L).otherwise(0L))
+              .as("n_replies"))
+          .orderBy("is_from_museum")
+      },
+      Some("""
+        WITH li AS (
+          SELECT l_orderkey AS ok, l_shipdate AS sd,
+                 row_number() OVER (PARTITION BY l_orderkey
+                                    ORDER BY l_linenumber, l_shipdate)
+                   AS ord
+          FROM lineitem WHERE l_orderkey % 1000 = 0),
+        comments AS (
+          SELECT ok * 100 + ord AS cid,
+                 strftime(sd, '%Y-%m-%dT%H:%M:%S+0000') AS post_date,
+                 FALSE AS is_from_museum, FALSE AS is_reply
+          FROM li
+          UNION ALL
+          -- the duplicate planted reply collapses in the dedup: one row
+          SELECT ok * 100 + ord + 50 AS cid,
+                 strftime(sd, '%Y-%m-%dT%H:%M:%S+0000') AS post_date,
+                 (ord % 4 = 0) AS is_from_museum, TRUE AS is_reply
+          FROM li WHERE ord % 2 = 0)
+        SELECT is_from_museum, count(*) AS n_comments,
+               CAST(sum(cid) AS VARCHAR) AS sum_cid,
+               max(post_date) AS max_date,
+               CAST(sum(CASE WHEN is_reply THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_replies
+        FROM comments GROUP BY is_from_museum ORDER BY is_from_museum"""),
+      doc = "facebook comments normalizer (nested toplevel+reply flatten, " +
+        "museum-author tag, composite-key dedup) over expression-minted " +
+        "payloads; reference facebook.py:392-463"))
 }

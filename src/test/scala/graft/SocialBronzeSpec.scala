@@ -1,0 +1,164 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.bronze.Social
+
+/** Social-source fidelity gate: run the engine's normalizers over the
+  * REFERENCE'S OWN fixtures (tests/test_data/{facebook,instagram,twitter,
+  * google_maps}) and compare against its expected CSVs — the same ground
+  * truth test_facebook/test_instagram/test_twitter/test_gmaps assert.
+  * Skipped (assume) when the reference checkout is absent. */
+class SocialBronzeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val refData = Paths.get("/root/reference/tests/test_data")
+
+  private def path(p: String): String = refData.resolve(p).toString
+
+  private def readText(p: String): String =
+    new String(Files.readAllBytes(refData.resolve(p)), "UTF-8")
+
+  /** Canonical row images: every cell to string, null → "", booleans
+    * capitalized like pandas to_csv. */
+  private def rows(df: DataFrame): Seq[Seq[String]] =
+    df.collect().toSeq.map(_.toSeq.map {
+      case null => ""
+      case true => "True"
+      case false => "False"
+      case v => v.toString
+    })
+
+  private def expectedCsv(p: String): Seq[Seq[String]] = {
+    val df = spark.read
+      .option("header", "true").option("multiLine", "true")
+      .option("escape", "\"")
+      .csv(path(p))
+    rows(df.select(df.columns.map(col): _*))
+  }
+
+  test("fb posts reproduce post_expected.csv") {
+    assume(Files.isDirectory(refData))
+    val pages = spark.read.option("multiLine", "true")
+      .json(path("facebook/post_actual.json"))
+    assert(rows(Social.fbPosts(pages)) ===
+      expectedCsv("facebook/post_expected.csv"))
+  }
+
+  test("fb comments reproduce post_comments_expected.csv") {
+    assume(Files.isDirectory(refData))
+    // The reference harness feeds post_expected_single.csv back through
+    // pandas WITHOUT dtype=str, so the post id int-parses (leading zero
+    // dropped) before str() — hence post_id "987654321".
+    val batches = Seq(("1234567890", "987654321",
+      readText("facebook/post_comments_actual.json")))
+      .toDF("page_id", "post_id", "payload")
+    val got = Social.fbComments(batches, "Museum Barberini")
+      .orderBy("post_date")
+    assert(rows(got) === expectedCsv("facebook/post_comments_expected.csv"))
+  }
+
+  test("fb insights reproduce post_insights_expected.csv") {
+    assume(Files.isDirectory(refData))
+    val batches = Seq(("1234567890", "987654321",
+      readText("facebook/post_insights_actual.json")))
+      .toDF("page_id", "post_id", "payload")
+    val got = Social.fbInsights(batches, "2020-01-01 00:00:05")
+    assert(rows(got) === expectedCsv("facebook/post_insights_expected.csv"))
+  }
+
+  test("ig posts reproduce post_expected.csv") {
+    assume(Files.isDirectory(refData))
+    val pages = spark.read.option("multiLine", "true")
+      .json(path("instagram/post_actual.json"))
+    assert(rows(Social.igPosts(pages)) ===
+      expectedCsv("instagram/post_expected.csv"))
+  }
+
+  test("ig post insights + condense deltas reproduce post_insights_expected.csv") {
+    assume(Files.isDirectory(refData))
+    // The reference harness re-reads the posts CSV without dtype=str, so
+    // the VIDEO post's id "0123456789" int-parses to 123456789; insights
+    // payloads are served per post (video json for the video post).
+    val batches = Seq(
+      ("123456789", "VIDEO",
+        readText("instagram/post_insights_video_actual.json")),
+      ("9876543210", "IMAGE",
+        readText("instagram/post_insights_no_video_actual.json")))
+      .toDF("ig_post_id", "media_type", "payload")
+    val fresh = Social.igPostInsights(batches, "2020-01-01 00:00:05")
+    // latest stored row seeded by the reference test (test_instagram.py:
+    // 161-163); the second post has no prior → deltas 0
+    val latest = Seq(("123456789", 5L, 4L, 3L, 2L, 1L))
+      .toDF("ig_post_id", "impressions", "reach", "total_interactions",
+        "saved", "video_views")
+    val got = graft.core.Condense.withDeltas(fresh, latest,
+      Seq("ig_post_id"),
+      Seq("impressions", "reach", "total_interactions", "saved",
+        "video_views"))
+      .orderBy(col("impressions"))
+    assert(rows(got) === expectedCsv("instagram/post_insights_expected.csv"))
+  }
+
+  test("ig audience gender/age reproduces audience_gender_age_expected.csv") {
+    assume(Files.isDirectory(refData))
+    val pages = spark.read.option("multiLine", "true")
+      .json(path("instagram/audience_gender_age_actual.json"))
+    assert(rows(Social.igAudienceGenderAge(pages, "2020-01-01 00:00:05")) ===
+      expectedCsv("instagram/audience_gender_age_expected.csv"))
+  }
+
+  test("ig audience origin reproduces audience_origin_expected.csv") {
+    assume(Files.isDirectory(refData))
+    val pages = spark.read.option("multiLine", "true")
+      .json(path("instagram/audience_origin_actual.json"))
+    assert(rows(Social.igAudienceOrigin(pages, "2020-01-01 00:00:05")) ===
+      expectedCsv("instagram/audience_origin_expected.csv"))
+  }
+
+  test("ig profile metrics development reproduces its expected csv") {
+    assume(Files.isDirectory(refData))
+    val pages = spark.read.option("multiLine", "true")
+      .json(path("instagram/profile_metrics_development_actual.json"))
+    assert(rows(Social.igProfileMetricsDevelopment(pages)) ===
+      expectedCsv("instagram/profile_metrics_development_expected.csv"))
+  }
+
+  test("ig total profile metrics reproduces its expected csv") {
+    assume(Files.isDirectory(refData))
+    val pages = spark.read.option("multiLine", "true")
+      .json(path("instagram/total_profile_metrics_actual.json"))
+    assert(rows(Social.igTotalProfileMetrics(pages, "2020-01-01 00:00:05")) ===
+      expectedCsv("instagram/total_profile_metrics_expected.csv"))
+  }
+
+  test("tweets reproduce expected_extracted_tweets.csv") {
+    assume(Files.isDirectory(refData))
+    val raw = spark.read.option("header", "true")
+      .csv(path("twitter/raw_tweets.csv"))
+    assert(rows(Social.tweets(raw).orderBy("post_date")) ===
+      expectedCsv("twitter/expected_extracted_tweets.csv"))
+  }
+
+  test("tweet performance reproduces expected_tweet_performance.csv") {
+    assume(Files.isDirectory(refData))
+    val raw = spark.read.option("header", "true")
+      .csv(path("twitter/raw_tweets.csv"))
+    // the expected file carries the literal timestamp placeholder the
+    // reference test substitutes with frozen now(); inject it verbatim
+    val got = Social.tweetPerformance(raw, "YYYY-MM-DD HH:mm:ss")
+      .orderBy(col("likes").desc)
+    assert(rows(got) === expectedCsv("twitter/expected_tweet_performance.csv"))
+  }
+
+  test("google maps reviews reproduce expected_extracted_reviews.csv") {
+    assume(Files.isDirectory(refData))
+    val raw = spark.read.option("multiLine", "true")
+      .json(path("google_maps/raw_reviews.json"))
+    assert(rows(Social.gmapsReviews(raw)) ===
+      expectedCsv("google_maps/expected_extracted_reviews.csv"))
+  }
+}
