@@ -86,4 +86,58 @@ class EndToEndSpec extends SparkSpec {
     assert(g77.getAs[Long]("order_count") === 2)
     assert(g77.getAs[Long]("paid_count") === 1)
   }
+
+  test("reference fixtures → social bronze → post union → sentiment gold") {
+    val refData = java.nio.file.Paths.get("/root/reference/tests/test_data")
+    assume(java.nio.file.Files.isDirectory(refData))
+    import graft.bronze.Social
+
+    // bronze: the reference's OWN captured payloads through the engine
+    val fbPosts = Social.fbPosts(spark.read.option("multiLine", "true")
+      .json(refData.resolve("facebook/post_actual.json").toString))
+    val gmaps = Social.gmapsReviews(spark.read.option("multiLine", "true")
+      .json(refData.resolve("google_maps/raw_reviews.json").toString))
+
+    // silver: branch-align and union (U1 semantics)
+    val social = Views.fbPostGenerated(fbPosts)
+      .select(lit("Facebook Post").as("source"),
+        col("fb_post_id").as("post_id"), col("text"), col("post_date"),
+        lit(false).as("is_from_museum"), lit(false).as("is_response"),
+        lit(1).as("likes"), lit(0).as("comments"), lit(0).as("shares"),
+        col("permalink"))
+    val museum = gmaps.select(lit("Google Maps").as("source"),
+      col("google_maps_review_id").as("review_id"), col("text"),
+      col("post_date"), col("rating"), col("uri").as("permalink"))
+    val app = Seq(("Apple Appstore", "r1", "great app", "2020-01-05T00:00:00",
+      5, 3, "https://apps.example.com/r1"))
+      .toDF("source", "review_id", "text", "post_date", "rating", "likes",
+        "permalink")
+    val post = Views.postUnion(app, museum, social)
+
+    // acceptance invariants over the mixed corpus
+    assert(post.count() === 8) // 1 app + 4 gmaps + 3 fb
+    assert(post.groupBy("source", "post_id").count()
+      .filter($"count" > 1).count() === 0)
+    assert(post.filter($"permalink".isNull ||
+      !$"permalink".rlike("^https://")).count() === 0)
+
+    // gold: lexicon sentiment over the union (J7 + A1 shape) — the
+    // review without text drops out of the explode, German/Russian
+    // sentiments land via the splitter's `text` column
+    val lexicon = Seq(("great", 1.0), ("pictures", 0.5), ("echter", 0.8),
+      ("nicht", -0.5)).toDF("word", "weight")
+    val sentiment = post
+      .select(col("source"), col("post_id"),
+        explode(split(lower(col("text")), "[\\s,\\.!\"]+")).as("word"))
+      .join(broadcast(lexicon), Seq("word"))
+      .groupBy("source")
+      .agg(round(avg("weight"), 3).as("sentiment"),
+        count(lit(1)).as("n_hits"))
+      .orderBy("source")
+      .as[(String, Double, Long)].collect().toSeq
+    assert(sentiment === Seq(
+      ("Apple Appstore", 1.0, 1L),    // "great"
+      ("Facebook Post", 0.8, 1L),     // "echter"
+      ("Google Maps", 0.0, 2L)))      // "pictures" + "nicht"
+  }
 }
