@@ -261,6 +261,61 @@ object Social {
       col("followers_count").cast(LongType).as("follower_count"),
       col("media_count").cast(LongType).as("media_count"))
 
+  /** One parsed App-Store RSS review entry (apple_appstore.py:145-160). */
+  final case class AppstoreReview(appstore_review_id: String, text: String,
+      rating: String, app_version: String, vote_count: String,
+      vote_sum: String, title: String, date: String)
+
+  /** S4: parse one App-Store customerreviews RSS page with the engine's
+    * own XML/HTML parser (apple_appstore.py:131-167 via xmltodict):
+    * entry fields incl. the `im:`-namespaced ones, the `type="text"`
+    * content variant (the html variant is skipped like the reference's
+    * conditional-tag scan), and the `rel="next"` pagination link. */
+  def appstoreEntries(xml: String): (Seq[AppstoreReview], Option[String]) = {
+    val dom = graft.sources.Html.parse(xml)
+    def kids(e: graft.sources.Html.HElem, tag: String) =
+      e.childElems.filter(_.tag == tag)
+    val feed = (dom +: dom.descendants).find(_.tag == "feed").getOrElse(dom)
+    val entries = kids(feed, "entry").map { e =>
+      def t(tag: String): String =
+        kids(e, tag).headOption.map(_.textContent.trim).getOrElse("")
+      val text = kids(e, "content")
+        .find(_.attr("type").contains("text"))
+        .map(_.textContent.trim).getOrElse("")
+      AppstoreReview(t("id"), text, t("im:rating"), t("im:version"),
+        t("im:votecount"), t("im:votesum"), t("title"), t("updated"))
+    }
+    val next = kids(feed, "link").find(_.attr("rel").contains("next"))
+      .flatMap(_.attr("href"))
+    (entries.toSeq, next)
+  }
+
+  /** Distributed per-country App-Store review scan (apple_appstore.py:
+    * 56-88): one captured RSS page per row, parsed on executors, then
+    * the cross-country dedup on (app_id, appstore_review_id) keeping the
+    * FIRST country in sorted order — the reference iterates sorted
+    * country codes and pandas keeps the first occurrence; the window
+    * makes that keeper deterministic distributedly. */
+  def appstoreReviews(spark: org.apache.spark.sql.SparkSession,
+      pages: DataFrame, appId: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val parsed = pages.select(col("country_code"), col("payload"))
+      .as[(String, String)]
+      .flatMap { case (cc, xml) =>
+        appstoreEntries(xml)._1.map(r => (appId, r.appstore_review_id,
+          r.text, r.rating, r.app_version, r.vote_count, r.vote_sum,
+          r.title, r.date, cc))
+      }
+      .toDF("app_id", "appstore_review_id", "text", "rating",
+        "app_version", "vote_count", "vote_sum", "title", "date",
+        "country_code")
+    val w = Window.partitionBy("app_id", "appstore_review_id")
+      .orderBy("country_code")
+    parsed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   private val gmapsStars = Map(
     "ONE" -> 1, "TWO" -> 2, "THREE" -> 3, "FOUR" -> 4, "FIVE" -> 5)
 

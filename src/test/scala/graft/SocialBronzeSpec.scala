@@ -154,6 +154,63 @@ class SocialBronzeSpec extends SparkSpec {
     assert(rows(got) === expectedCsv("twitter/expected_tweet_performance.csv"))
   }
 
+  // The reference's own inline XML fixture (test_apple_appstore.py:13-78)
+  private val appstoreXmlFrame =
+    """<?xml version="1.0" encoding="utf-8"?>
+      |<feed xmlns:im="http://itunes.apple.com/rss"
+      |    xmlns="http://www.w3.org/2005/Atom" xml:lang="de">
+      |<link rel="not-next" href="do not follow"/>
+      |<link rel="next" href="https://itunes.apple.com/de/rss/page=2/xml"/>
+      |%s
+      |</feed>""".stripMargin
+  private val appstoreEntry =
+    """<entry>
+      |  <updated>2012-11-10T09:08:07-07:00</updated>
+      |  <id>5483431986</id>
+      |  <title>I'm a fish</title>
+      |  <content type="text">
+      |  The fish life is thug af #okboomer
+      |  </content>
+      |  <im:voteSum>9</im:voteSum>
+      |  <im:voteCount>42</im:voteCount>
+      |  <im:rating>5</im:rating>
+      |  <im:version>2.10.7</im:version>
+      |  <author><name>Blubb</name></author>
+      |  <content type="html">
+      |  <somehtml> note=&quot;We don't want to parse this&quot;</somehtml>
+      |  </content>
+      |</entry>""".stripMargin
+
+  test("appstore XML page parses like the reference's xmltodict path") {
+    val (entries, next) =
+      Social.appstoreEntries(appstoreXmlFrame.format(appstoreEntry))
+    assert(next.contains("https://itunes.apple.com/de/rss/page=2/xml"))
+    assert(entries.length === 1)
+    val r = entries.head
+    assert(r.appstore_review_id === "5483431986")
+    assert(r.text === "The fish life is thug af #okboomer")
+    assert(r.rating === "5" && r.app_version === "2.10.7")
+    assert(r.vote_count === "42" && r.vote_sum === "9")
+    assert(r.title === "I'm a fish")
+    assert(r.date === "2012-11-10T09:08:07-07:00")
+    // empty frame: no entries, but pagination link still parsed
+    val (none, _) = Social.appstoreEntries(appstoreXmlFrame.format(""))
+    assert(none.isEmpty)
+  }
+
+  test("appstore cross-country dedup keeps the first sorted country") {
+    val pages = Seq(
+      ("US", appstoreXmlFrame.format(appstoreEntry)),
+      ("DE", appstoreXmlFrame.format(appstoreEntry)),
+      ("PL", appstoreXmlFrame.format(""))).toDF("country_code", "payload")
+    val got = Social.appstoreReviews(spark, pages, "288286261")
+    assert(got.count() === 1) // same review in US+DE collapses
+    val row = got.collect().head
+    assert(row.getAs[String]("country_code") === "DE")
+    assert(row.getAs[String]("app_id") === "288286261")
+    assert(row.getAs[String]("text") === "The fish life is thug af #okboomer")
+  }
+
   test("google maps reviews reproduce expected_extracted_reviews.csv") {
     assume(Files.isDirectory(refData))
     val raw = spark.read.option("multiLine", "true")
