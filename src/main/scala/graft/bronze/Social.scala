@@ -316,6 +316,36 @@ object Social {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  private val gplayResultsSchema = StructType(Seq(
+    StructField("results", ArrayType(StructType(Seq(
+      StructField("id", StringType),
+      StructField("date", StringType),
+      StructField("score", LongType),
+      StructField("text", StringType),
+      StructField("thumbsUp", LongType),
+      StructField("version", StringType)))))))
+
+  /** Google-Play reviews (gplay_reviews.py:35-173): per-language capture
+    * pages parsed and flattened, full-row dedup across languages (the
+    * same review returns under several language codes as an identical
+    * row — dedup of identical rows is keeper-independent, so it is
+    * deterministic distributedly), renamed/typed/ordered like
+    * `convert_to_right_output_format`. */
+  def gplayReviews(pages: DataFrame, appId: String): DataFrame =
+    pages
+      .select(explode(
+        from_json(col("payload"), gplayResultsSchema).getField("results"))
+        .as("r"))
+      .select(
+        col("r.id").as("playstore_review_id"),
+        col("r.text").as("text"),
+        col("r.score").cast(IntegerType).as("rating"),
+        col("r.version").as("app_version"),
+        col("r.thumbsUp").cast(IntegerType).as("likes"),
+        col("r.date").as("date"),
+        lit(appId).as("app_id"))
+      .dropDuplicates()
+
   private val gmapsStars = Map(
     "ONE" -> 1, "TWO" -> 2, "THREE" -> 3, "FOUR" -> 4, "FIVE" -> 5)
 

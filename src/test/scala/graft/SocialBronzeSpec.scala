@@ -211,6 +211,33 @@ class SocialBronzeSpec extends SparkSpec {
     assert(row.getAs[String]("text") === "The fish life is thug af #okboomer")
   }
 
+  test("gplay reviews flatten per-language pages and dedup across languages") {
+    // mirrors test_gplay_reviews.py test_drop_duplicate_reviews /
+    // test_same_review_for_multiple_country_codes / test_umlauts
+    def page(reviews: String) = s"""{"results": [$reviews]}"""
+    val shared =
+      """{"id": "gp:1", "date": "2020-01-01", "score": 5,
+        |"text": "Dös wär ja wüs wänn", "thumbsUp": 7, "version": "1.2"}"""
+        .stripMargin
+    val deOnly =
+      """{"id": "gp:2", "date": "2020-01-02", "score": 3,
+        |"text": "ganz gut", "thumbsUp": 0, "version": "1.3"}""".stripMargin
+    val pages = Seq(
+      ("de", page(s"$shared, $deOnly")),
+      ("en", page(shared)),
+      ("pl", page(""))).toDF("lang", "payload")
+    val got = Social.gplayReviews(pages, "com.barberini.museum")
+      .orderBy("playstore_review_id")
+    assert(got.columns.toSeq === Seq("playstore_review_id", "text",
+      "rating", "app_version", "likes", "date", "app_id"))
+    val rowsOut = got.collect().map(_.toSeq)
+    assert(rowsOut.length === 2) // shared review collapses across languages
+    assert(rowsOut(0) === Seq("gp:1", "Dös wär ja wüs wänn", 5, "1.2", 7,
+      "2020-01-01", "com.barberini.museum"))
+    assert(rowsOut(1) === Seq("gp:2", "ganz gut", 3, "1.3", 0,
+      "2020-01-02", "com.barberini.museum"))
+  }
+
   test("google maps reviews reproduce expected_extracted_reviews.csv") {
     assume(Files.isDirectory(refData))
     val raw = spark.read.option("multiLine", "true")
