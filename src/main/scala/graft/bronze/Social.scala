@@ -61,29 +61,37 @@ object Social {
     *                payload) with `payload` the raw comments JSON text.
     */
   def fbComments(batches: DataFrame, museumName: String): DataFrame = {
-    val parsed = batches.withColumn("j",
-      from_json(col("payload"), fbCommentsSchema))
-    val toplevel = parsed
-      .select(col("page_id"), col("post_id"), explode(col("j.data")).as("c"))
-      .select(
-        col("post_id"), commentId(col("c.id")).as("comment_id"),
-        col("page_id"), col("c.created_time").as("post_date"),
-        col("c.message").as("text"),
-        isFromMuseum(col("c.from"), museumName).as("is_from_museum"),
-        lit(null).cast(StringType).as("response_to"))
-    val replies = parsed
-      .select(col("page_id"), col("post_id"), explode(col("j.data")).as("c"))
-      .filter(col("c.comment_count") > 0 && col("c.comments").isNotNull)
+    // Single pass: each payload is JSON-parsed ONCE and each toplevel
+    // comment expands to itself ++ its inline replies in one nested
+    // explode — a union of toplevel/reply branches would re-parse every
+    // payload twice (the parse dominates at capture scale).
+    val c = col("c")
+    def leaf(n: Column, respTo: Column): Column = struct(
+      commentId(n.getField("id")).as("comment_id"),
+      n.getField("created_time").as("post_date"),
+      n.getField("message").as("text"),
+      isFromMuseum(n.getField("from"), museumName).as("is_from_museum"),
+      respTo.as("response_to"))
+    val emptyLeafs = array().cast(
+      "array<struct<comment_id:string,post_date:string,text:string," +
+        "is_from_museum:boolean,response_to:string>>")
+    val replies = when(
+      c.getField("comment_count") > 0 && c.getField("comments").isNotNull,
+      transform(c.getField("comments").getField("data"),
+        r => leaf(r, commentId(c.getField("id")))))
+      .otherwise(emptyLeafs)
+    batches
       .select(col("page_id"), col("post_id"),
-        commentId(col("c.id")).as("parent_id"),
-        explode(col("c.comments.data")).as("r"))
-      .select(
-        col("post_id"), commentId(col("r.id")).as("comment_id"),
-        col("page_id"), col("r.created_time").as("post_date"),
-        col("r.message").as("text"),
-        isFromMuseum(col("r.from"), museumName).as("is_from_museum"),
-        col("parent_id").as("response_to"))
-    toplevel.unionByName(replies)
+        explode(from_json(col("payload"), fbCommentsSchema)
+          .getField("data")).as("c"))
+      .select(col("page_id"), col("post_id"),
+        explode(concat(
+          array(leaf(c, lit(null).cast(StringType))), replies)).as("e"))
+      .select(col("post_id"), col("e.comment_id").as("comment_id"),
+        col("page_id"), col("e.post_date").as("post_date"),
+        col("e.text").as("text"),
+        col("e.is_from_museum").as("is_from_museum"),
+        col("e.response_to").as("response_to"))
       .dropDuplicates("comment_id", "post_id")
   }
 
