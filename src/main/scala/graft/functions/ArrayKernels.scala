@@ -1,0 +1,174 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The dedup family's hot hash kernels as native Catalyst expressions.
+  *
+  * The UDF forms (VectorOps wrapped in `udf(...)`) pay a per-row
+  * `ArrayData → Seq[String]` conversion — one boxed String allocation per
+  * token — before the kernel even starts, plus the inverse conversion on
+  * array results. These expressions consume `ArrayData`/`UTF8String`
+  * directly (md5 over the UTF-8 bytes is identical either way, so values
+  * are bit-for-bit the same as the UDF path and the DuckDB oracles), and
+  * `doGenCode` keeps them inside whole-stage codegen.
+  */
+object ArrayKernelOps {
+
+  /** SimHash-32 over token md5s — ArrayData twin of
+    * [[VectorOps.simhash32]]. */
+  def simhash32(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val bal = new Array[Long](32)
+    var i = 0
+    while (i < n) {
+      val h = VectorOps.md5LongBytes(arr.getUTF8String(i).getBytes)
+      var j = 0
+      while (j < 32) {
+        bal(j) += (((h >> j) & 1L) * 2L - 1L)
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 32) { if (bal(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  /** MinHash signature — ArrayData twin of [[VectorOps.minhashSig]]. */
+  def minhashSig(arr: ArrayData, nSeeds: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.fill(nSeeds)(-1L))
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hs(i) = VectorOps.md5LongBytes(arr.getUTF8String(i).getBytes) %
+        268435456L
+      i += 1
+    }
+    val out = new Array[Long](nSeeds)
+    var j = 0
+    while (j < nSeeds) {
+      var mn = Long.MaxValue
+      i = 0
+      while (i < n) {
+        val v = ((2L * j + 1L) * hs(i) + 7919L * j) % 2147483647L
+        if (v < mn) mn = v
+        i += 1
+      }
+      out(j) = mn
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct char 3-grams (UTF-16 char windows, identical to
+    * [[VectorOps.charTrigrams]]). */
+  def charTrigrams(s: UTF8String): ArrayData = {
+    val arr = VectorOps.charTrigrams(s.toString)
+    val out = new Array[AnyRef](arr.length)
+    var i = 0
+    while (i < arr.length) { out(i) = UTF8String.fromString(arr(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Set-Jaccard of two string arrays over raw UTF8Strings. */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val sa = new java.util.HashSet[UTF8String]()
+    var i = 0
+    while (i < a.numElements()) { sa.add(a.getUTF8String(i)); i += 1 }
+    val sb = new java.util.HashSet[UTF8String]()
+    i = 0
+    while (i < b.numElements()) { sb.add(b.getUTF8String(i)); i += 1 }
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) inter += 1
+    val union = sa.size + sb.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+}
+
+private[functions] trait StringArrayInput { self: Expression =>
+  protected def arrayChild: Expression
+  protected def requireStringArray(): TypeCheckResult =
+    arrayChild.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got $other")
+    }
+}
+
+/** `simhash32(array<string>) → long` */
+case class SimHash32(child: Expression)
+    extends UnaryExpression with StringArrayInput {
+  override protected def arrayChild: Expression = child
+  override def checkInputDataTypes(): TypeCheckResult = requireStringArray()
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash32"
+  override protected def nullSafeEval(a: Any): Any =
+    ArrayKernelOps.simhash32(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ArrayKernelOps.simhash32($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash32 =
+    copy(child = c)
+}
+
+/** `minhash_sig(array<string>, nSeeds) → array<long>` (nSeeds literal) */
+case class MinhashSig(child: Expression, nSeeds: Int)
+    extends UnaryExpression with StringArrayInput {
+  override protected def arrayChild: Expression = child
+  override def checkInputDataTypes(): TypeCheckResult = requireStringArray()
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override protected def nullSafeEval(a: Any): Any =
+    ArrayKernelOps.minhashSig(a.asInstanceOf[ArrayData], nSeeds)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ArrayKernelOps.minhashSig($c, $nSeeds)")
+  override protected def withNewChildInternal(c: Expression): MinhashSig =
+    copy(child = c)
+}
+
+/** `char_trigrams(string) → array<string>` */
+case class CharTrigrams(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_trigrams"
+  override protected def nullSafeEval(a: Any): Any =
+    ArrayKernelOps.charTrigrams(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ArrayKernelOps.charTrigrams($c)")
+  override protected def withNewChildInternal(c: Expression): CharTrigrams =
+    copy(child = c)
+}
+
+/** `jaccard_sim(array<string>, array<string>) → double` */
+case class JaccardSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, array<string>), got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sim"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayKernelOps.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ArrayKernelOps.jaccard($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSim =
+    copy(left = newLeft, right = newRight)
+}

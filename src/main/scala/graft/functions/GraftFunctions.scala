@@ -28,7 +28,11 @@ object GraftFunctions {
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "trigram_sim" -> (exprs => TrigramSimilarity(exprs(0), exprs(1))),
-    "murmur3_seeded" -> (exprs => Murmur3Seeded(exprs(0), seedOf(exprs(1)))))
+    "murmur3_seeded" -> (exprs => Murmur3Seeded(exprs(0), seedOf(exprs(1)))),
+    "simhash32" -> (exprs => SimHash32(exprs(0))),
+    "minhash_sig" -> (exprs => MinhashSig(exprs(0), seedOf(exprs(1)))),
+    "char_trigrams" -> (exprs => CharTrigrams(exprs(0))),
+    "jaccard_sim" -> (exprs => JaccardSim(exprs(0), exprs(1))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -22,10 +22,15 @@ object VectorOps {
 
   /** First 60 bits of md5 as a non-negative long — the compiled twin of
     * the SQL `CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)`. */
-  def md5Long(s: String): Long = {
+  def md5Long(s: String): Long = md5LongBytes(s.getBytes("UTF-8"))
+
+  /** [[md5Long]] over raw UTF-8 bytes (UTF8String.getBytes produces the
+    * identical encoding, so the expression kernels hash bit-for-bit the
+    * same values as the String path and the SQL oracle). */
+  def md5LongBytes(bytes: Array[Byte]): Long = {
     val md = md5Local.get()
     md.reset()
-    val d = md.digest(s.getBytes("UTF-8"))
+    val d = md.digest(bytes)
     // first 15 hex chars = 7.5 bytes: take 8 bytes big-endian, drop low nibble
     var v = 0L
     var i = 0

@@ -80,16 +80,17 @@ object DedupQueries extends QueryBase {
       (s, dir) => {
         val d = th(s, dir, "documents")
         val shingled = d.select(col("doc_id"), shingles3.as("sh"))
-        // Compiled signature kernel: one md5 per shingle, affine per-seed
-        // family (VectorOps.minhashSig) — the interpreted-lambda version
-        // re-hashed every shingle 12x and was ~50x slower.
-        val sigU = udf((sh: Seq[String]) =>
-          graft.functions.VectorOps.minhashSig(sh, 12))
+        // Compiled signature kernel as a native expression: one md5 per
+        // shingle, affine per-seed family, consuming ArrayData directly —
+        // no per-token Seq[String] boxing (the interpreted-lambda version
+        // re-hashed every shingle 12x and was ~50x slower; the UDF form
+        // paid a per-row converter on top of the kernel).
+        graft.functions.GraftFunctions.register(s)
         // Probe cap (see dedup_embedding_cosine): near-identical template
         // docs collide on whole signatures, so an uncapped bucket join
         // goes quadratic in the hottest bucket.
         val wCap = Window.partitionBy("bd", "bkey").orderBy("doc_id")
-        val bands = shingled.withColumn("sig", sigU(col("sh")))
+        val bands = shingled.withColumn("sig", expr("minhash_sig(sh, 12)"))
           .select(col("doc_id"), explode(transform(sequence(lit(0), lit(3)),
             b => struct(b.as("bd"), md5(concat_ws(",",
               element_at(col("sig"), b * 3 + 1).cast("string"),
@@ -110,15 +111,13 @@ object DedupQueries extends QueryBase {
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"))
           .distinct()
-        val jacU = udf((a: Seq[String], b: Seq[String]) =>
-          graft.functions.VectorOps.jaccard(a, b))
         val out = cand
           .join(shingled.select(col("doc_id").as("lid"), col("sh").as("sa")),
             col("left_id") === col("lid"))
           .join(shingled.select(col("doc_id").as("rid"), col("sh").as("sb")),
             col("right_id") === col("rid"))
           .select(col("left_id"), col("right_id"),
-            round(jacU(col("sa"), col("sb")), 6).as("jaccard"))
+            round(expr("jaccard_sim(sa, sb)"), 6).as("jaccard"))
           .filter(col("jaccard") >= 0.5)
           .orderBy("left_id", "right_id")
           // The verified-pair result is tiny (pairs that LSH-collided AND
@@ -177,13 +176,12 @@ object DedupQueries extends QueryBase {
       "dedup_simhash",
       (s, dir) => {
         val d = th(s, dir, "documents")
-        // Compiled kernel: one md5 per distinct token, 32-bit sign
-        // aggregation in a primitive loop (the interpreted-lambda form of
-        // the same math was ~50x slower).
-        val simU = udf((toks: Seq[String]) =>
-          graft.functions.VectorOps.simhash32(toks))
+        // Compiled kernel as a native expression: one md5 per distinct
+        // token, 32-bit sign aggregation, straight off ArrayData (the
+        // interpreted-lambda form of the same math was ~50x slower).
+        graft.functions.GraftFunctions.register(s)
         d.withColumn("toks", array_distinct(split(lower(col("text")), "\\s+")))
-          .withColumn("simhash", simU(col("toks")))
+          .withColumn("simhash", expr("simhash32(toks)"))
           .groupBy("simhash")
           .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
           .filter(col("n_docs") > 1)
@@ -213,12 +211,9 @@ object DedupQueries extends QueryBase {
       "dedup_ngram_jaccard",
       (s, dir) => {
         val d = th(s, dir, "documents")
-        val gramsU = udf((txt: String) =>
-          graft.functions.VectorOps.charTrigrams(txt))
-        val jacU = udf((a: Seq[String], b: Seq[String]) =>
-          graft.functions.VectorOps.jaccard(a, b))
+        graft.functions.GraftFunctions.register(s)
         val g = d.select(col("doc_id"), col("n_chars"),
-          gramsU(lower(col("text"))).as("grams"))
+          expr("char_trigrams(lower(text))").as("grams"))
         // Probe cap: at most 64 docs per length bucket meet pairwise, so
         // the quadratic verify stays bounded at any corpus size.
         val wCap = Window.partitionBy("bucket").orderBy("doc_id")
@@ -231,7 +226,7 @@ object DedupQueries extends QueryBase {
         blocked.as("a").join(blocked.as("b"),
             col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"),
-            round(jacU(col("a.grams"), col("b.grams")), 6).as("jaccard"))
+            round(expr("jaccard_sim(a.grams, b.grams)"), 6).as("jaccard"))
           .filter(col("jaccard") >= 0.8)
           .distinct()
           .orderBy("left_id", "right_id")

@@ -400,10 +400,9 @@ object PipelineQueries extends QueryBase {
           .withColumn("rk",
             row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
           .filter(col("rk") === 1).drop("rk")
-        val simU = udf((toks: Seq[String]) =>
-          graft.functions.VectorOps.simhash32(toks))
+        graft.functions.GraftFunctions.register(s)
         val near = exact
-          .withColumn("simhash", simU(array_distinct(col("tk"))))
+          .withColumn("simhash", expr("simhash32(array_distinct(tk))"))
           .withColumn("rk",
             row_number().over(Window.partitionBy("simhash").orderBy("doc_id")))
           .filter(col("rk") === 1).drop("rk")
