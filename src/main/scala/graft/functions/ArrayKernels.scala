@@ -77,6 +77,47 @@ object ArrayKernelOps {
     new GenericArrayData(out)
   }
 
+  /** Float-float cosine over ArrayData — `toFloatArray()` is a primitive
+    * copy (the UDF path boxed every element into Seq[Float]); fold order
+    * and in-loop double widening identical to [[VectorOps.cosineFF]]. */
+  def cosineFF(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toFloatArray(); val y = b.toFloatArray()
+    val n = x.length
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) { dot += x(i).toDouble * y(i).toDouble; i += 1 }
+    i = 0
+    while (i < n) { na += x(i).toDouble * x(i).toDouble; i += 1 }
+    i = 0
+    while (i < n) { nb += y(i).toDouble * y(i).toDouble; i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Mixed float/double cosine — twin of [[VectorOps.cosineFD]]. */
+  def cosineFD(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toFloatArray(); val y = b.toDoubleArray()
+    val n = x.length
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) { dot += x(i).toDouble * y(i); i += 1 }
+    i = 0
+    while (i < n) { na += x(i).toDouble * x(i).toDouble; i += 1 }
+    i = 0
+    while (i < n) { nb += y(i) * y(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Banded hyperplane bucket keys — float ArrayData twin of
+    * [[VectorOps.bandKeysF]] (float→double widening is exact). */
+  def bandKeysF(a: ArrayData): ArrayData = {
+    val x = a.toFloatArray()
+    val v = new Array[Double](x.length)
+    var i = 0
+    while (i < v.length) { v(i) = x(i).toDouble; i += 1 }
+    new GenericArrayData(VectorOps.bandKeys(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(v)))
+  }
+
   /** Set-Jaccard of two string arrays over raw UTF8Strings. */
   def jaccard(a: ArrayData, b: ArrayData): Double = {
     val sa = new java.util.HashSet[UTF8String]()
@@ -148,6 +189,71 @@ case class CharTrigrams(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev,
       c => s"graft.functions.ArrayKernelOps.charTrigrams($c)")
   override protected def withNewChildInternal(c: Expression): CharTrigrams =
+    copy(child = c)
+}
+
+private[functions] object FloatArrayCheck {
+  def check(name: String, types: (DataType, DataType),
+      rightElem: DataType): TypeCheckResult = types match {
+    case (ArrayType(FloatType, _), ArrayType(e, _)) if e == rightElem =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name requires (array<float>, array<$rightElem>), got $other")
+  }
+}
+
+/** `cosine_ff(array<float>, array<float>) → double` */
+case class CosineFF(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    FloatArrayCheck.check(prettyName, (left.dataType, right.dataType),
+      FloatType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_ff"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayKernelOps.cosineFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ArrayKernelOps.cosineFF($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineFF =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `cosine_fd(array<float>, array<double>) → double` */
+case class CosineFD(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    FloatArrayCheck.check(prettyName, (left.dataType, right.dataType),
+      DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_fd"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayKernelOps.cosineFD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ArrayKernelOps.cosineFD($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineFD =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `band_keys_f(array<float>) → array<long>` */
+case class BandKeysF(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>, got $other")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "band_keys_f"
+  override protected def nullSafeEval(a: Any): Any =
+    ArrayKernelOps.bandKeysF(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ArrayKernelOps.bandKeysF($c)")
+  override protected def withNewChildInternal(c: Expression): BandKeysF =
     copy(child = c)
 }
 

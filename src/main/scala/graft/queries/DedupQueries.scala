@@ -267,20 +267,19 @@ object DedupQueries extends QueryBase {
         // interpreted transform-cast re-evaluated at every use of the
         // column — that cast was the dominant cost of this query.
         val v = e.select(col("vec_id"), col("embedding").as("vv"))
-        // Compiled kernels (VectorOps): hyperplane coefficients derive
-        // once per JVM, the 8 band keys and the verify cosine are
-        // primitive loops — the interpreted-lambda formulation of the
-        // same math was ~50x slower.
-        val bkeysU = udf((vv: Seq[Float]) => graft.functions.VectorOps.bandKeysF(vv))
-        val cosU = udf((a: Seq[Float], b: Seq[Float]) =>
-          graft.functions.VectorOps.cosineFF(a, b))
+        // Compiled kernels as native expressions: hyperplane
+        // coefficients derive once per JVM, the 8 band keys and the
+        // verify cosine are primitive loops over raw ArrayData (the
+        // interpreted-lambda formulation of the same math was ~50x
+        // slower; the UDF form boxed every element on top).
+        graft.functions.GraftFunctions.register(s)
         val wCap = Window.partitionBy("bd", "bkey").orderBy("vec_id")
         // Materialized once: the self-join below would otherwise run the
         // band-key UDF + window for BOTH sides (the minhash persist point,
         // SURVEY §4); dropped as soon as the tiny verified result is
         // cached.
         val buckets = v.select(col("vec_id"),
-            posexplode(bkeysU(col("vv"))).as(Seq("bd", "bkey")))
+            posexplode(expr("band_keys_f(vv)")).as(Seq("bd", "bkey")))
           .withColumn("rk", row_number().over(wCap))
           .filter(col("rk") <= 32)
           .select(col("vec_id"), col("bd"), col("bkey"))
@@ -293,7 +292,7 @@ object DedupQueries extends QueryBase {
         val out = cand
           .join(v.select(col("vec_id").as("lid"), col("vv").as("va")), col("left_id") === col("lid"))
           .join(v.select(col("vec_id").as("rid"), col("vv").as("vb")), col("right_id") === col("rid"))
-          .withColumn("cosine", cosU(col("va"), col("vb")))
+          .withColumn("cosine", expr("cosine_ff(va, vb)"))
           .filter(col("cosine") >= 0.4)
           .select(col("left_id"), col("right_id"), round(col("cosine"), 6).as("cosine"))
           .orderBy("left_id", "right_id")

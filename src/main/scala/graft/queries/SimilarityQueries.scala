@@ -26,16 +26,13 @@ object SimilarityQueries extends QueryBase {
   private def vv(e: DataFrame): DataFrame =
     e.select(col("vec_id"), col("label"), col("embedding").as("vv"))
 
-  /** Sequential-fold cosine between two float-array columns — compiled
-    * kernel (VectorOps, see its scaladoc on why not a HOF lambda); fold
-    * order matches the DuckDB list_sum replication for 6-decimal parity. */
-  private val cosU = udf((a: Seq[Float], b: Seq[Float]) =>
-    graft.functions.VectorOps.cosineFF(a, b))
-  private def cosine(a: String, b: String): Column = cosU(col(a), col(b))
-
-  /** Float query vector vs double centroid. */
-  private val cosFD = udf((a: Seq[Float], b: Seq[Double]) =>
-    graft.functions.VectorOps.cosineFD(a, b))
+  /** Sequential-fold cosine between two float-array columns — native
+    * codegen expression over raw ArrayData (primitive-copy inputs, no
+    * per-element boxing; see ArrayKernels); fold order matches the
+    * DuckDB list_sum replication for 6-decimal parity. Registration is
+    * idempotent per session. */
+  private def cosine(a: String, b: String): Column =
+    expr(s"cosine_ff($a, $b)")
 
   val all: Seq[Q] = Seq(
     // Brute-force cosine top-k: 5 query vectors broadcast against the
@@ -43,6 +40,7 @@ object SimilarityQueries extends QueryBase {
     Q(
       "sim_ann_bruteforce",
       (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
         val v = vv(th(s, dir, "embeddings"))
         val q = broadcast(v.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("vv").as("qv")))
@@ -79,6 +77,7 @@ object SimilarityQueries extends QueryBase {
     Q(
       "sim_ann_ivf",
       (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
         val v = vv(th(s, dir, "embeddings"))
         // Exact (order-independent) centroid build on the scaled-long
         // codegen path (same rewrite as agg_vector_centroid — the
@@ -96,7 +95,7 @@ object SimilarityQueries extends QueryBase {
         // Top-2 cells per query by centroid cosine.
         val wc = Window.partitionBy("qid").orderBy(col("ccos").desc, col("label").asc)
         val cells = q.crossJoin(broadcast(cent))
-          .withColumn("ccos", cosFD(col("qv"), col("cv")))
+          .withColumn("ccos", expr("cosine_fd(qv, cv)"))
           .withColumn("crank", row_number().over(wc))
           .filter(col("crank") <= 2)
           .select(col("qid"), col("qv"), col("label").as("probe_label"))
@@ -157,11 +156,10 @@ object SimilarityQueries extends QueryBase {
       "sim_ann_lsh",
       (s, dir) => {
         val v = vv(th(s, dir, "embeddings"))
-        val bkeysU = udf((vv: Seq[Float]) =>
-          graft.functions.VectorOps.bandKeysF(vv))
+        graft.functions.GraftFunctions.register(s)
         val wCap = Window.partitionBy("bd", "bkey").orderBy("vec_id")
         val buckets = v.select(col("vec_id"),
-            posexplode(bkeysU(col("vv"))).as(Seq("bd", "bkey")))
+            posexplode(expr("band_keys_f(vv)")).as(Seq("bd", "bkey")))
           .withColumn("rk", row_number().over(wCap))
           .filter(col("rk") <= 64)
           .select("vec_id", "bd", "bkey")
@@ -177,7 +175,7 @@ object SimilarityQueries extends QueryBase {
         cand
           .join(v.select(col("vec_id").as("qid"), col("vv").as("qv")), Seq("qid"))
           .join(v.select(col("vec_id"), col("vv")), Seq("vec_id"))
-          .withColumn("cosine", cosU(col("qv"), col("vv")))
+          .withColumn("cosine", expr("cosine_ff(qv, vv)"))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 5)
           .select(col("qid"), col("rank"), col("vec_id"),
