@@ -553,5 +553,97 @@ object PipelineQueries extends QueryBase {
         FROM final GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
       doc = "K1 partition-aware upsert: partition-pruned merge + dynamic " +
         "partition overwrite, only the touched partition rewritten; " +
-        "reference database.py:140-174 at fact scale"))
+        "reference database.py:140-174 at fact scale"),
+
+    // §2.11 orchestration composite — the FillDbDaily stage graph as ONE
+    // DataFrame lineage, driver-gate visible: raw gomus report → bronze
+    // normalizer (Excel serials, id-mapping broadcast, flag parsing) →
+    // FK-violation filter (null escape + drop) → K1 upsert into the live
+    // table → gold rollup. Where the reference crosses four process
+    // boundaries (Luigi task → CSV → psycopg2 COPY → PG view), the
+    // engine runs one job whose only materialization is the sink table.
+    // The oracle replays every stage relationally.
+    Q(
+      "pipe_fill_db_daily",
+      (s, dir) => {
+        val tbl = graft.sources.Sources.scratchDir(dir, "fill_db_daily_tbl")
+        val p = new org.apache.hadoop.fs.Path(tbl)
+        val hfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (hfs.exists(p)) hfs.delete(p, true) // fresh fixture per run
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val key = col("o_orderkey")
+        // bronze: the bronze_orders report shape (oracle-green on its own)
+        val raw = o.select(
+          key.cast("string").as("Bestellnummer"),
+          (key % 2000 + 40000 + 0.5).cast("string").as("Erstellt"),
+          when(key % 7 === 0, lit(null).cast("string"))
+            .otherwise(concat(col("o_custkey").cast("string"), lit(".0")))
+            .as("Kundennummer"),
+          when(key % 3 === 0, "JA").when(key % 3 === 1, "ja")
+            .otherwise("nein").as("ist gültig?"),
+          when(key % 4 === 0, "BEZAHLT").when(key % 4 === 1, "bezahlt")
+            .otherwise("offen").as("Bezahlstatus"),
+          when(key % 2 === 0, "online").otherwise("kasse").as("Herkunft"))
+        val mapping = c.filter(col("c_custkey") % 2 === 0)
+          .select(col("c_custkey").as("gomus_id"),
+            (col("c_custkey") * 2 + 1).cast("int").as("customer_id"))
+        val normalized = graft.bronze.Gomus.extractOrders(raw, mapping)
+        // FK filter: only customers with c_custkey % 4 == 0 exist in the
+        // reference table → mapped-but-unknown ids drop, NULLs escape
+        val ref = c.filter(col("c_custkey") % 4 === 0)
+          .select((col("c_custkey") * 2 + 1).cast("int").as("customer_id"))
+        val filtered = graft.core.FkFilter.filter(normalized, Seq(
+          graft.core.FkFilter.Fk(Seq("customer_id"), "customer", ref,
+            Seq("customer_id"))))
+        // K1: yesterday's snapshot (even order ids, legacy origin), then
+        // today's batch (ids % 3 == 0) merges over it
+        val base = filtered.filter(col("order_id") % 2 === 0)
+          .withColumn("origin", lit("legacy"))
+        Upsert.upsertWrite(s, tbl, base, Seq("order_id"))
+        Upsert.upsertWrite(s, tbl,
+          filtered.filter(col("order_id") % 3 === 0), Seq("order_id"))
+        // gold
+        s.read.parquet(tbl)
+          .groupBy("origin")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(when(col("paid"), 1L).otherwise(0L)).as("n_paid"),
+            countDistinct(col("customer_id")).as("n_customers"),
+            max(date_format(col("order_date"), "yyyy-MM-dd")).as("max_day"))
+          .orderBy("origin")
+      },
+      Some("""
+        WITH normalized AS (
+          SELECT o_orderkey AS order_id,
+            DATE '1899-12-30'
+              + CAST(floor(o_orderkey % 2000 + 40000 + 0.5) AS INT)
+              AS order_date,
+            CASE WHEN (CASE WHEN o_orderkey % 7 = 0 THEN 0
+                            ELSE o_custkey END) % 2 = 0
+                 THEN CAST((CASE WHEN o_orderkey % 7 = 0 THEN 0
+                                 ELSE o_custkey END) * 2 + 1 AS INT)
+            END AS customer_id,
+            o_orderkey % 4 IN (0, 1) AS paid,
+            CASE WHEN o_orderkey % 2 = 0 THEN 'online' ELSE 'kasse' END
+              AS origin
+          FROM orders),
+        filtered AS (
+          SELECT * FROM normalized
+          WHERE customer_id IS NULL
+             OR (customer_id - 1) / 2 % 4 = 0),
+        merged AS (
+          SELECT order_id, order_date, customer_id, paid, 'legacy' AS origin
+          FROM filtered
+          WHERE order_id % 2 = 0 AND order_id % 3 <> 0
+          UNION ALL
+          SELECT * FROM filtered WHERE order_id % 3 = 0)
+        SELECT origin, count(*) AS n_orders,
+               CAST(sum(CASE WHEN paid THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_paid,
+               count(DISTINCT customer_id) AS n_customers,
+               strftime(max(order_date), '%Y-%m-%d') AS max_day
+        FROM merged GROUP BY origin ORDER BY origin"""),
+      doc = "FillDbDaily orchestration composite: bronze normalizer -> " +
+        "FK filter -> K1 upsert -> gold rollup in one lineage; reference " +
+        "_fill_db.py:24-45"))
 }
