@@ -156,6 +156,14 @@ object Html {
         flushText()
         val end = src.indexOf("-->", i + 4)
         i = if (end < 0) n else end + 3
+      } else if (src.startsWith("<![CDATA[", i)) {
+        // XML CDATA (RSS feeds): literal text, no entity decoding
+        flushText()
+        val end = src.indexOf("]]>", i + 9)
+        val raw = if (end < 0) src.substring(i + 9)
+          else src.substring(i + 9, end)
+        if (raw.nonEmpty) append(new HText(raw))
+        i = if (end < 0) n else end + 3
       } else if (src.startsWith("<!", i) || src.startsWith("<?", i)) {
         // doctype / processing instruction: skip to '>'
         flushText()

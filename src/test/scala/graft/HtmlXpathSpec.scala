@@ -29,6 +29,15 @@ class HtmlXpathSpec extends AnyFunSuite {
     assert(script.textContent == "if (a < b && c > d) { x = '<div>'; }")
   }
 
+  test("parser: CDATA sections are literal text, no entity decoding") {
+    val dom = Html.parse(
+      "<feed><title><![CDATA[5 > 4 &amp; <tags> stay raw]]></title>" +
+        "<id><![CDATA[x]]>tail</id></feed>")
+    assert(Xpath.elems(dom, "//title").head.textContent ==
+      "5 > 4 &amp; <tags> stay raw")
+    assert(Xpath.elems(dom, "//id").head.textContent == "xtail")
+  }
+
   test("parser: implied end tags and stray close recovery") {
     val dom = Html.parse(
       "<ul><li>one<li>two</ul><table><tr><td>a<td>b<tr><td>c</table></p>")
