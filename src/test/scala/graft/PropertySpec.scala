@@ -165,6 +165,48 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("xlsx writer -> reader roundtrips generated sheets (both encodings)") {
+    // cells as the writer renders them back out of the reader: strings
+    // stay verbatim (incl. XML-hostile chars), numbers in toString form,
+    // null sparse cells
+    val cellGen: Gen[Any] = Gen.frequency(
+      (4, Gen.stringOfN(4, Gen.frequency(
+        (6, Gen.alphaNumChar), (1, Gen.oneOf('ü', '&', '<', '"', ' '))))),
+      (2, Gen.choose(-99999L, 99999L)),
+      (1, Gen.const(null)),
+      (1, Gen.oneOf(true, false)))
+    val sheetGen: Gen[List[List[Any]]] = for {
+      rows <- Gen.choose(1, 12)
+      cols <- Gen.choose(1, 6)
+      data <- Gen.listOfN(rows, Gen.listOfN(cols, cellGen))
+    } yield data
+    def expected(v: Any): String = v match {
+      case null => null
+      case s: String => s
+      case b: Boolean => b.toString
+      case n => n.toString
+    }
+    forAll(sheetGen, n = 60) { data =>
+      Seq(true, false).foreach { shared =>
+        val f = java.nio.file.Files.createTempFile("prop", ".xlsx").toFile
+        graft.sources.Xlsx.write(f, data, useSharedStrings = shared)
+        val got = graft.sources.Xlsx.sheetRows(
+          java.nio.file.Files.readAllBytes(f.toPath))
+        f.delete()
+        // sparse semantics (xlrd parity): trailing all-null cells within
+        // a row, and trailing all-null ROWS, have no stored cells and
+        // drop out of the sheet — everything else must roundtrip exactly
+        assert(got.length <= data.length)
+        got.zip(data).foreach { case (g, e) =>
+          assert(g.length <= e.length)
+          g.zip(e.map(expected)).foreach { case (a, b) => assert(a == b) }
+          e.drop(g.length).foreach(c => assert(c == null))
+        }
+        data.drop(got.length).foreach(row => assert(row.forall(_ == null)))
+      }
+    }
+  }
+
   test("xpath descendant search agrees with a direct tree walk") {
     forAll(treeGen(3)) { tree =>
       val dom = Html.parse(s"<html><body>${render(tree)}</body></html>")
