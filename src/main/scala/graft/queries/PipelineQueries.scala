@@ -645,5 +645,50 @@ object PipelineQueries extends QueryBase {
         FROM merged GROUP BY origin ORDER BY origin"""),
       doc = "FillDbDaily orchestration composite: bronze normalizer -> " +
         "FK filter -> K1 upsert -> gold rollup in one lineage; reference " +
-        "_fill_db.py:24-45"))
+        "_fill_db.py:24-45"),
+
+    // J4 batch condenser WITH deltas (reference condense_performance_
+    // values + linear_delta, data_preparation.py:242-365): the stored
+    // snapshot is the rollup over half the events; the incoming snapshot
+    // covers all events. Unchanged rows drop (null-safe row equality),
+    // survivors carry per-metric new-minus-old deltas with missing-prior
+    // → 0. One key-join, no collect — the hourly-performance cadence at
+    // fact scale.
+    Q(
+      "pipe_condense_deltas",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .filter(pmod(col("user_id"), lit(50L)) === 0)
+          .select(col("user_id"), col("event_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+        def snap(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+        val latest = snap(e.filter(col("event_id") % 2 === 0))
+        val incoming = snap(e)
+        graft.core.Condense.withDeltas(incoming, latest, Seq("user_id"),
+            Seq("n_events", "sum_cents"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT)
+                   AS cents
+          FROM events WHERE user_id % 50 = 0),
+        inc AS (
+          SELECT user_id, count(*) AS n_events, sum(cents) AS sum_cents
+          FROM e GROUP BY user_id),
+        old AS (
+          SELECT user_id, count(*) AS n_events, sum(cents) AS sum_cents
+          FROM e WHERE event_id % 2 = 0 GROUP BY user_id)
+        SELECT i.user_id, i.n_events, i.sum_cents,
+               coalesce(i.n_events - o.n_events, 0) AS delta_n_events,
+               coalesce(i.sum_cents - o.sum_cents, 0) AS delta_sum_cents
+        FROM inc i LEFT JOIN old o USING (user_id)
+        WHERE NOT (i.n_events IS NOT DISTINCT FROM o.n_events
+               AND i.sum_cents IS NOT DISTINCT FROM o.sum_cents)
+        ORDER BY user_id"""),
+      doc = "J4 batch condenser with linear deltas (drop-unchanged + " +
+        "new-minus-old, missing-prior -> 0); reference " +
+        "data_preparation.py:242-365"))
 }
