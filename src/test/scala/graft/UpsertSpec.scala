@@ -76,6 +76,27 @@ class UpsertSpec extends SparkSpec {
     assert(ex.getMessage.contains("primary key"))
   }
 
+  test("failed stage write leaves the live table intact, no stray dirs") {
+    val dir = Files.createTempDirectory("graft-upsert-crash").toString
+    val table = s"$dir/t"
+    Upsert.upsertWrite(spark, table,
+      Seq((1, "a"), (2, "b")).toDF("id", "v"), Seq("id"))
+    // incoming whose evaluation throws mid-write (executor-side failure)
+    val bomb = org.apache.spark.sql.functions.udf((i: Int) =>
+      if (i > 0) throw new RuntimeException("boom") else i)
+    val poisoned = Seq((3, "c")).toDF("id", "v")
+      .withColumn("id", bomb($"id"))
+    intercept[Exception] {
+      Upsert.upsertWrite(spark, table, poisoned, Seq("id"))
+    }
+    // live table untouched, staging/backup cleaned up
+    val after = spark.read.parquet(table).as[(Int, String)].collect().sorted
+    assert(after.toSeq === Seq((1, "a"), (2, "b")))
+    val leftovers = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_ == "t")
+    assert(leftovers.isEmpty, s"stray dirs: ${leftovers.mkString(",")}")
+  }
+
   test("upsertWritePartitioned: existing-side scan is partition-pruned") {
     val dir = Files.createTempDirectory("graft-upsert-prune").toString
     val table = s"$dir/t"
