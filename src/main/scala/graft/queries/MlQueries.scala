@@ -364,5 +364,53 @@ object MlQueries extends QueryBase {
         ORDER BY topic"""),
       doc = "N8 GSDMM bounded-sample fit + distributed broadcast argmax " +
         "assignment; reference topic_modeling.py:181-245; oracle = pinned " +
-        "seed-42 expected output at the sf0.01 gate"))
+        "seed-42 expected output at the sf0.01 gate"),
+
+    // N8 windowed form: the reference trains ONE MODEL PER YEAR plus
+    // 'all' (topic_modeling.py:181-245, model_name per year window); here
+    // two deterministic windows (doc_id parity — the fixture corpus has
+    // no dates) each get their own bounded fit and distributed
+    // assignment, exactly the per-window loop shape. Window fits are
+    // independent driver-side stages over capped samples; assignment per
+    // window is a broadcast argmax over that window's partition of the
+    // corpus — the union is one job, no window ever sees another's model.
+    Q(
+      "ml_gsdmm_yearly",
+      (s, dir) => {
+        import s.implicits._
+        val toksAll = th(s, dir, "documents")
+          .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"),
+            concat(lit("y"), pmod(col("doc_id"), lit(2L)).cast("string"))
+              .as("window"))
+        val frames = Seq("y0", "y1").map { w =>
+          val sub = toksAll.filter(col("window") === w)
+          val sample = sub.select("doc_id", "toks")
+            .orderBy(xxhash64(col("doc_id")).asc, col("doc_id").asc)
+            .limit(128)
+            .collect() // bounded per-window fit sample
+          val docs = sample
+            .map(r => (r.getLong(0), r.getSeq[String](1).toArray))
+            .sortBy(_._1).map(_._2)
+          val model = Gsdmm.fit(docs, k = 5, alpha = 0.1, beta = 0.1,
+            iters = 10)
+          val bc = s.sparkContext.broadcast(model)
+          val assignU = udf((toks: Seq[String]) =>
+            Gsdmm.assign(bc.value, toks.toArray))
+          sub.withColumn("topic", assignU(col("toks")))
+            .groupBy("window", "topic")
+            .agg(count(lit(1)).as("n_docs"))
+        }
+        frames.reduce(_ unionByName _).orderBy("window", "topic")
+      },
+      // Pinned seed-42 per-window output at the sf0.01 gate (same
+      // regime as ml_gsdmm_topics; regenerate if the gate sf changes).
+      Some("""
+        SELECT * FROM (VALUES
+          ('y0', 0, 2), ('y0', 2, 2), ('y0', 4, 246),
+          ('y1', 2, 1), ('y1', 3, 249))
+          AS t("window", topic, n_docs)
+        ORDER BY "window", topic"""),
+      doc = "N8 per-window GSDMM (reference's per-year model loop): " +
+        "independent bounded fits, per-window broadcast assignment; " +
+        "reference topic_modeling.py:181-245"))
 }
