@@ -216,4 +216,36 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("xpath child and positional steps agree with a model evaluator") {
+    def withSelf(e: Html.HElem): Vector[Html.HElem] =
+      e +: e.descendants.toVector
+    val tags = Seq("div", "span", "section", "b", "em")
+    val caseGen = for {
+      t <- treeGen(3); x <- Gen.oneOf(tags); y <- Gen.oneOf(tags)
+      k <- Gen.choose(1, 3)
+    } yield (t, x, y, k)
+    forAll(caseGen, n = 200) { case (tree, x, y, k) =>
+      val dom = Html.parse(s"<html><body>${render(tree)}</body></html>")
+      // //x/y — child step after descendant search (document order)
+      val modelChild = withSelf(dom)
+        .filter(_.tag == x)
+        .flatMap(_.childElems.filter(_.tag == y))
+        .distinct
+      assert(Xpath.elems(dom, s"//$x/$y") == modelChild, s"//$x/$y")
+      // //x[k] — x elements that are the k-th x-child of their parent
+      val modelPos = withSelf(dom).flatMap { p =>
+        val xs = p.childElems.filter(_.tag == x)
+        if (xs.length >= k) Some(xs(k - 1)) else None
+      }
+      assert(Xpath.elems(dom, s"//$x[$k]") == modelPos, s"//$x[$k]")
+      // //x//y — descendant step composition
+      val modelDesc = withSelf(dom)
+        .filter(_.tag == x)
+        .flatMap(_.descendants.filter(_.tag == y))
+        .distinct
+      assert(Xpath.elems(dom, s"//$x//$y").toSet == modelDesc.toSet,
+        s"//$x//$y")
+    }
+  }
 }
