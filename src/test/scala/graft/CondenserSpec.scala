@@ -50,4 +50,34 @@ class CondenserSpec extends SparkSpec {
         Changed("p1", ts(6), 11, 1, 1, 0)))
     } finally query.stop()
   }
+
+  test("keyed-state condenser agrees with the batch Condense.withDeltas") {
+    import org.apache.spark.sql.functions.col
+    val (t0, t1) = (ts(0), ts(1)) // local: keep the closure spec-free
+    // stored snapshot then incoming snapshot (one row per key each):
+    // p1 changes, p2 unchanged (drops), p3 is new (deltas 0)
+    val latest = Seq(("p1", 10L, 1L), ("p2", 5L, 0L))
+      .toDF("key", "likes", "comments")
+    val incoming = Seq(("p1", 13L, 2L), ("p2", 5L, 0L), ("p3", 7L, 3L))
+      .toDF("key", "likes", "comments")
+    val batch = graft.core.Condense
+      .withDeltas(incoming, latest, Seq("key"), Seq("likes", "comments"))
+      .select("key", "likes", "comments", "delta_likes", "delta_comments")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // same flow through the keyed-state form: replay stored + incoming
+    // as two event-time waves through one condense and take the second —
+    // identical to seeding state with the stored snapshot
+    val both = Condenser.condense(
+      latest.select(col("key"), org.apache.spark.sql.functions
+          .lit(t0).as("ts"), col("likes"), col("comments"))
+        .as[Snapshot]
+        .unionByName(incoming.select(col("key"),
+          org.apache.spark.sql.functions.lit(t1).as("ts"),
+          col("likes"), col("comments")).as[Snapshot]))
+      .filter(col("ts") === t1)
+      .collect().sortBy(_.key)
+      .map(c => (c.key, c.likes, c.comments, c.dLikes, c.dComments))
+    assert(batch.toSeq === both.toSeq)
+    assert(batch.map(_._1).toSeq === Seq("p1", "p3")) // p2 dropped
+  }
 }
