@@ -256,7 +256,8 @@ object JoinQueries extends QueryBase {
                  len([i FOR i IN range(1, len(tk))
                       IF tags[i] = p.pos1 AND tags[i+1] = p.pos2]) AS n_match
           FROM tagged CROSS JOIN pat p)
-        SELECT pattern_name, count(*) AS n_posts, sum(n_match) AS n_matches,
+        SELECT pattern_name, count(*) AS n_posts,
+               CAST(sum(n_match) AS BIGINT) AS n_matches,
                count(*) FILTER (n_match > 0) AS n_posts_matched
         FROM crossed GROUP BY pattern_name ORDER BY pattern_name"""),
       doc = "J11 posts × patterns cross join (broadcast two-row dim); " +

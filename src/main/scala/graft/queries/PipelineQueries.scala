@@ -676,10 +676,12 @@ object PipelineQueries extends QueryBase {
                    AS cents
           FROM events WHERE user_id % 50 = 0),
         inc AS (
-          SELECT user_id, count(*) AS n_events, sum(cents) AS sum_cents
+          SELECT user_id, count(*) AS n_events,
+                 CAST(sum(cents) AS BIGINT) AS sum_cents
           FROM e GROUP BY user_id),
         old AS (
-          SELECT user_id, count(*) AS n_events, sum(cents) AS sum_cents
+          SELECT user_id, count(*) AS n_events,
+                 CAST(sum(cents) AS BIGINT) AS sum_cents
           FROM e WHERE event_id % 2 = 0 GROUP BY user_id)
         SELECT i.user_id, i.n_events, i.sum_cents,
                coalesce(i.n_events - o.n_events, 0) AS delta_n_events,
