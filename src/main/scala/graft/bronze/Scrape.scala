@@ -180,15 +180,21 @@ object Scrape {
       "/html/body/div[2]/div[2]/div[3]/div[4]/div[2]/div[2]/div[2]")
     custDetails.headOption.foreach { cust =>
       val mailNodes = Xpath.select(cust, "div[1]/div[1]/div[2]/small[1]")
-      val mail = mailNodes.headOption
-        .map(Xpath.itemString(_).trim.split('\n').head).getOrElse("")
-      if (emailRe.findFirstIn(mail).isDefined)
-        customerId = Murmur3Ops.hashBytes(mail.getBytes("UTF-8"), 666)
-      else
+      if (mailNodes.isEmpty) {
+        // reference scrape_gomus.py:134-166: the gomus-id fallback is
+        // exception-scoped — only the ABSENT email node (IndexError)
+        // takes the profile-link branch
         Xpath.select(cust, "div[1]/div[1]/div[1]/a/@href").headOption
           .foreach { href =>
             gomusId = Xpath.itemString(href).split('/').last.toLong
           }
+      } else {
+        val mail = Xpath.itemString(mailNodes.head).trim.split('\n').head
+        if (emailRe.findFirstIn(mail).isDefined)
+          customerId = Murmur3Ops.hashBytes(mail.getBytes("UTF-8"), 666)
+        // mail present but not email-shaped: customer_id stays 0 with NO
+        // gomus lookup, matching the reference's non-exception path
+      }
     }
     BookingDetailRow(bookingId, customerId, orderDate, language, gomusId)
   }

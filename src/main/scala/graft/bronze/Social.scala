@@ -156,7 +156,10 @@ object Social {
 
   /** IG media page payload → posts (instagram.py:144-225): fields pass
     * through; `timestamp` is parsed and re-rendered in the pandas
-    * `Timestamp` text form (`+0000` → `+00:00`); absent captions null. */
+    * `Timestamp` text form (`+0000` → `+00:00`); absent captions null.
+    * The rendering is timezone-pinned: the instant is shifted so its
+    * formatted wall clock is the UTC one whatever the session timezone,
+    * and the offset is the literal `+00:00` — session-independent. */
   def igPosts(pages: DataFrame): DataFrame =
     pages.select(explode(col("data")).as("m"))
       .select(
@@ -164,13 +167,17 @@ object Social {
         col("m.caption").as("caption"),
         // dtparser.parse accepts both the ISO 'T' form and a space
         // separator — both occur in real captures
-        date_format(
-          coalesce(
-            try_to_timestamp(col("m.timestamp"),
-              lit("yyyy-MM-dd'T'HH:mm:ssZ")),
-            try_to_timestamp(col("m.timestamp"),
-              lit("yyyy-MM-dd HH:mm:ssZ"))),
-          "yyyy-MM-dd HH:mm:ssxxx").as("timestamp"),
+        concat(
+          date_format(
+            to_utc_timestamp(
+              coalesce(
+                try_to_timestamp(col("m.timestamp"),
+                  lit("yyyy-MM-dd'T'HH:mm:ssZ")),
+                try_to_timestamp(col("m.timestamp"),
+                  lit("yyyy-MM-dd HH:mm:ssZ"))),
+              current_timezone()),
+            "yyyy-MM-dd HH:mm:ss"),
+          lit("+00:00")).as("timestamp"),
         col("m.media_type").as("media_type"),
         col("m.like_count").cast(LongType).as("like_count"),
         col("m.comments_count").cast(LongType).as("comments_count"),

@@ -15,10 +15,14 @@ import org.apache.spark.util.LongAccumulator
   *
   * Scale shape: one single-pass filter (boolean UDF carrying the
   * accumulator side effect), no shuffle, no extra action or second scan.
-  * Accumulators in transformations count per task ATTEMPT, so the metric
-  * can overcount under retries/speculation — fine for alerting (the
-  * reference's logger.warning analog); derive exact audit counts with a
-  * separate aggregation when needed.
+  * The UDF is marked non-deterministic so Catalyst never collapses,
+  * reorders, or re-evaluates it within a plan. Two overcount caveats
+  * remain inherent to accumulators-in-transformations: (a) task-attempt
+  * retries/speculation count per ATTEMPT, and (b) every ACTION on the
+  * returned `Checked.df` (or a plan built on it) re-runs the filter and
+  * adds again — read the metric after exactly one action, or persist the
+  * frame first. Fine for alerting (the reference's logger.warning
+  * analog); derive exact audit counts with a separate aggregation.
   */
 object Checks {
 
@@ -34,7 +38,7 @@ object Checks {
     val count = udf { (ok: Boolean) =>
       if (!ok) acc.add(1L)
       ok
-    }
+    }.asNondeterministic()
     val pass =
       if (nullPasses) coalesce(constraint, lit(true))
       else coalesce(constraint, lit(false))

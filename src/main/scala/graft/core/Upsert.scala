@@ -25,6 +25,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * zero-gap swap needs a catalog indirection, which is out of scope).
   * A crash mid-swap leaves either the original table or the new one plus
   * a recoverable `.bak-*`; a failed stage write is cleaned up eagerly.
+  *
+  * Concurrency contract (engine-level, explicit): these sinks assume a
+  * SINGLE WRITER per table path — the reference runs its fills from one
+  * scheduler for the same reason (luigi task uniqueness). Concurrent
+  * readers are safe only per-query-start: a reader that lists the
+  * directory entirely before the swap sees the old files, entirely after
+  * sees the new ones; a reader whose file listing straddles the rename
+  * pair can observe a transient FileNotFoundException (Spark retries the
+  * task) or, for the partitioned sink, a mix of old and new PARTITIONS
+  * (never a half-written partition — each partition dir flips atomically
+  * and is only ever a complete parquet output with its own _SUCCESS-able
+  * file set). Readers that need cross-partition snapshot consistency must
+  * coordinate externally (catalog/manifest indirection — out of scope
+  * here, as it is for the reference's plain-PG tables).
   */
 object Upsert {
 
@@ -54,9 +68,11 @@ object Upsert {
     * date-partitioned 100 TB fact reads and rewrites one partition, not
     * the table: the existing side is scanned with literal partition
     * predicates (static partition pruning — the scan never lists the
-    * other partitions' files), and the merged result is written with
-    * dynamic partition overwrite, which replaces exactly the partitions
-    * the merged frame contains.
+    * other partitions' files), and the merged result is staged to a
+    * sibling directory and swapped in one touched partition dir at a
+    * time — untouched partitions are never rewritten nor at risk, and
+    * each touched one is either old, new, or recoverable from `.bak-*`
+    * after a crash (same protocol as `upsertWrite`'s whole-table swap).
     *
     * `partCols` must be a subset of `pk`: then a primary key can never
     * move between partitions, which is what makes partition-local merge
@@ -84,11 +100,59 @@ object Upsert {
         .reduce(_ && _)
     }.reduce(_ || _)
     val existing = spark.read.parquet(tablePath).filter(prune)
-    merge(existing, incoming, pk)
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCols: _*)
-      .parquet(tablePath)
+    val merged = merge(existing, incoming, pk)
+
+    // Stage the merged partitions to a sibling directory, then swap each
+    // touched partition dir into the live table (live -> .bak, staged ->
+    // live, delete .bak) — the same durability protocol as swapIn, applied
+    // per partition. The live table is never written in place, so a driver
+    // crash at any point leaves every partition either untouched, fully
+    // new, or recoverable from its .bak sibling; untouched partitions are
+    // never at risk.
+    val suffix = java.util.UUID.randomUUID().toString
+    val staged = new Path(tablePath + ".staged-" + suffix)
+    try merged.write.partitionBy(partCols: _*).parquet(staged.toString)
+    catch {
+      case e: Throwable =>
+        if (fs.exists(staged)) fs.delete(staged, true)
+        throw e
+    }
+    // The staged dirs (not the collected values) are the source of truth
+    // for which partition paths to swap — Spark's value-to-path escaping
+    // stays internal to Spark.
+    val rels = partitionDirs(fs, staged, partCols.length)
+    try {
+      rels.foreach { rel =>
+        val live = new Path(tablePath + "/" + rel)
+        val from = new Path(staged + "/" + rel)
+        val bak  = new Path(tablePath + "/" + rel + ".bak-" + suffix)
+        fs.mkdirs(live.getParent)
+        val hadOld = fs.exists(live)
+        if (hadOld && !fs.rename(live, bak))
+          throw new java.io.IOException(s"swap failed moving live aside: $live")
+        if (!fs.rename(from, live)) {
+          if (hadOld) fs.rename(bak, live)
+          throw new java.io.IOException(s"swap failed: $from -> $live")
+        }
+        if (hadOld) fs.delete(bak, true)
+      }
+    } finally fs.delete(staged, true)
+  }
+
+  /** Relative `c1=v1/c2=v2/...` paths of the leaf partition dirs `depth`
+    * levels under `root`. */
+  private def partitionDirs(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      depth: Int): Seq[String] = {
+    def walk(p: Path, d: Int): Seq[String] =
+      if (d == 0) Seq("")
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .flatMap { s =>
+          walk(s.getPath, d - 1).map { tail =>
+            if (tail.isEmpty) s.getPath.getName else s.getPath.getName + "/" + tail
+          }
+        }
+    walk(root, depth)
   }
 
   /** K3 query-cache sink (reference src/_utils/database.py:300-325:

@@ -26,9 +26,15 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** @param edges two-column frame (`src`, `dst`) of undirected edges.
+    * @param maxIter upper bound on propagation rounds. A component whose
+    *        diameter exceeds this would come back SPLIT into several
+    *        labels — silently wrong for dedup (split clusters keep extra
+    *        copies) — so non-convergence is never silent: it throws by
+    *        default, or logs a warning when `failOnNonConvergence=false`.
     * @return (`id`, `label`) — `label` is the minimum vertex id reachable
     *         from `id`; equal labels = same component. */
-  def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 20,
+      failOnNonConvergence: Boolean = true): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -54,6 +60,13 @@ object ConnectedComponents {
         .isEmpty
       labels = next
       i += 1
+    }
+    if (!converged) {
+      val msg = s"ConnectedComponents did not converge within $maxIter " +
+        "rounds — a component with a longer diameter exists and its labels " +
+        "are split; raise maxIter (rounds needed = graph diameter)"
+      if (failOnNonConvergence) throw new IllegalStateException(msg)
+      else org.apache.log4j.Logger.getLogger(getClass).warn(msg)
     }
     labels
   }

@@ -39,6 +39,23 @@ class CcSpec extends SparkSpec {
     assert(cc(g) === model(g))
   }
 
+  test("non-convergence within maxIter throws by default, warns when opted out") {
+    // chain of diameter 9 cannot converge in 2 rounds
+    val chain = (1L to 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      ConnectedComponents.run(chain, maxIter = 2)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // opt-out path returns (possibly split) labels without throwing
+    val labels = ConnectedComponents
+      .run(chain, maxIter = 2, failOnNonConvergence = false)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size === 10)
+    // and the default converges fine when maxIter covers the diameter
+    assert(ConnectedComponents.run(chain).as[(Long, Long)].collect().toMap
+      === (1L to 10L).map(_ -> 1L).toMap)
+  }
+
   test("random graphs match the union-find model") {
     val edgeGen = for {
       a <- Gen.choose(0L, 29L); b <- Gen.choose(0L, 29L) if a != b

@@ -112,6 +112,40 @@ class GomusScrapeSpec extends AnyFunSuite {
     assert(row.gomus_id == -1L)
   }
 
+  test("booking page scrape: gomus-id fallback is exception-scoped — " +
+      "only an ABSENT mail node takes the profile-link branch") {
+    val details =
+      """<div><div>
+        |  <dl><dt>Buchung</dt><dd>77</dd></dl>
+        |  <dl><dt>Sprache:</dt><dd>Deutsch</dd></dl>
+        |</div></div>
+        |<div class='ibox-content'>
+        |  <dl><dt> Datum </dt><dd>Mi., 02.10.2019</dd></dl>
+        |</div>""".stripMargin
+    def page(customer: String) = {
+      val shared =
+        s"<div>${nest(Seq(3), details)}</div><div>${nest(Seq(2), customer)}</div>"
+      s"<html><body>${nest(Seq(2, 2, 3, 4, 2), shared)}</body></html>"
+    }
+    // mail node present but NOT email-shaped (reference scrape_gomus.py:
+    // 134-166 non-exception path): customer_id stays 0, NO gomus lookup
+    // even though the profile link is right there
+    val invalidMail = page(
+      """<div><div>
+        |<div><a href='/admin/customers/991'>Kundin</a></div>
+        |<div><small>kein mailkontakt</small></div>
+        |</div></div>""".stripMargin)
+    val r1 = Scrape.extractBookingDetail(1L, invalidMail)
+    assert(r1.customer_id == 0 && r1.gomus_id == -1L)
+    // mail node ABSENT (the reference's IndexError): profile-link branch
+    val noMail = page(
+      """<div><div>
+        |<div><a href='/admin/customers/991'>Kundin</a></div>
+        |</div></div>""".stripMargin)
+    val r2 = Scrape.extractBookingDetail(2L, noMail)
+    assert(r2.customer_id == 0 && r2.gomus_id == 991L)
+  }
+
   test("order page scrape: article table with all four workarounds") {
     def article(id: String, icon: String, ticket: String, infobox: String,
         qty: String, price: String, extra: String = ""): String =

@@ -78,6 +78,19 @@ class SocialBronzeSpec extends SparkSpec {
       expectedCsv("instagram/post_expected.csv"))
   }
 
+  test("ig posts timestamp rendering is session-timezone independent") {
+    assume(Files.isDirectory(refData))
+    val pages = spark.read.option("multiLine", "true")
+      .json(path("instagram/post_actual.json"))
+    val utc = rows(Social.igPosts(pages))
+    val tzBefore = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Europe/Berlin")
+      assert(rows(Social.igPosts(pages)) === utc,
+        "igPosts output shifted with the session timezone")
+    } finally spark.conf.set("spark.sql.session.timeZone", tzBefore)
+  }
+
   test("ig post insights + condense deltas reproduce post_insights_expected.csv") {
     assume(Files.isDirectory(refData))
     // The reference harness re-reads the posts CSV without dtype=str, so
