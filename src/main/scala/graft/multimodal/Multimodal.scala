@@ -10,12 +10,16 @@ import org.apache.spark.sql.types._
   * typed metadata, and per-batch feature extraction runs as a
   * `mapPartitions` pass (the Scala analog of `mapInPandas` batch UDFs).
   *
-  * The actual codec is STUBBED — this container has no image/audio
-  * libraries — with [[Multimodal.stubDecode]], a deterministic fake
-  * (16-bin byte histogram) standing in for decode+featurize. Everything
-  * around the stub is real and tested: the schema contract, the binary
-  * payload round-trip, partition-batched execution, and the feature
-  * vector shape a downstream embedding/ANN stage consumes.
+  * IMAGE decode is REAL: `image/`-kinded payloads go through the JDK's
+  * `javax.imageio` (PNG/JPEG/GIF/BMP — no external dependency) and
+  * featurize as a 16-bin pixel-luminance histogram
+  * ([[Multimodal.decodeImage]]). Non-image kinds (audio/video codecs are
+  * genuinely absent from the JDK) fall back to [[Multimodal.stubDecode]],
+  * a deterministic byte histogram standing in for decode+featurize, as
+  * does any payload ImageIO cannot parse. Everything around the codec is
+  * real and tested: the schema contract, the binary payload round-trip,
+  * partition-batched execution, and the feature vector shape a
+  * downstream embedding/ANN stage consumes.
   */
 object Multimodal {
 
@@ -120,6 +124,120 @@ object Multimodal {
       rows.map { r =>
         Row(r.getAs[Long]("media_id"),
           stubHistogram(r.getAs[Array[Byte]]("payload")).toSeq)
+      }
+    }(enc)
+  }
+
+  // ------------------------------------------------------------------
+  // Real image codec — JDK javax.imageio, no external dependency.
+  // ------------------------------------------------------------------
+
+  /** Decoded-image features: dimensions plus a 16-bin luminance
+    * histogram, `lum = (r + g + b) / 3` (integer division), `bin =
+    * lum / 16`. Integer-exact, so it is bit-identical across engines. */
+  final case class ImageFeatures(width: Int, height: Int, lumHist: Array[Long])
+
+  /** REAL decode: parse the payload with `javax.imageio.ImageIO` (PNG,
+    * JPEG, GIF, BMP — whatever the JDK registry supports) and compute the
+    * luminance histogram over the decoded pixels. `None` when the payload
+    * is empty, not a supported container, or corrupt — callers fall back
+    * to the stub byte histogram so a mixed-media table never fails. */
+  def decodeImage(payload: Array[Byte]): Option[ImageFeatures] = {
+    if (payload == null || payload.isEmpty) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return None
+    val hist = new Array[Long](featureDim)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        hist(lum / featureDim) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    Some(ImageFeatures(img.getWidth, img.getHeight, hist))
+  }
+
+  /** Deterministic tiny RGB image for seed `k`, PNG-encoded:
+    * `w = 4 + k % 5`, `h = 4 + k % 3`, and per pixel
+    * `r = (k*31 + x*7 + y*13) % 256`, `g = (k*17 + x*11 + y*5) % 256`,
+    * `b = (k*29 + x*3 + y*19) % 256`. PNG is lossless, so decoded pixel
+    * statistics are recomputable from `k` alone — which is exactly what
+    * the `pipe_multimodal_media` SQL oracle does, making the
+    * encode→decode round-trip value-verifiable end-to-end. */
+  def mintPng(k: Long): Array[Byte] = {
+    val w = (4 + java.lang.Math.floorMod(k, 5L)).toInt
+    val h = (4 + java.lang.Math.floorMod(k, 3L)).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = java.lang.Math.floorMod(k * 31 + x * 7 + y * 13, 256L).toInt
+        val g = java.lang.Math.floorMod(k * 17 + x * 11 + y * 5, 256L).toInt
+        val b = java.lang.Math.floorMod(k * 29 + x * 3 + y * 19, 256L).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Image-media fixture rows: one minted PNG per document id. Minting
+    * runs executor-side in the scan stage (a UDF over the id), so the
+    * fixture is as distributed as a real payload column would be. */
+  def asImageMedia(docs: DataFrame): DataFrame = {
+    val mint = udf((id: Long) => mintPng(id))
+    docs.select(col("doc_id").cast("long").as("media_id"),
+        lit("image/png").as("kind"),
+        mint(col("doc_id").cast("long")).as("payload"))
+      .withColumn("n_bytes", length(col("payload")).cast("int"))
+  }
+
+  /** Batched decode over a mixed-media frame: `image/`-kinded payloads take the
+    * REAL ImageIO path (width/height/luminance histogram); anything else
+    * — or an unparseable image — falls back to the stub byte histogram
+    * with `width = height = -1`. `feature` is the L1-normalized
+    * histogram either way, the shape a downstream ANN stage consumes. */
+  def decodeMedia(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("hist", ArrayType(LongType, containsNull = false), nullable = false),
+      StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.mapPartitions { rows =>
+      // Per-partition setup would initialize a shared codec/model here.
+      rows.map { r =>
+        val kind = r.getAs[String]("kind")
+        val payload = r.getAs[Array[Byte]]("payload")
+        val decoded =
+          if (kind != null && kind.startsWith("image/")) decodeImage(payload)
+          else None
+        val (w, h, hist) = decoded match {
+          case Some(f) => (f.width, f.height, f.lumHist)
+          case None    => (-1, -1, stubHistogram(payload))
+        }
+        val total = hist.sum
+        val feature = new Array[Float](featureDim)
+        if (total > 0) {
+          var i = 0
+          while (i < featureDim) {
+            feature(i) = hist(i).toFloat / total; i += 1
+          }
+        }
+        Row(r.getAs[Long]("media_id"), kind, w, h, hist.toSeq, feature.toSeq)
       }
     }(enc)
   }

@@ -338,30 +338,51 @@ object PipelineQueries extends QueryBase {
         "bounded DBSCAN bins → A16 rollup; reference " +
         "post_opinion_patterns.py:104-210,295-448"),
 
-    // Multimodal plumbing: text wrapped as opaque binary payloads, batch
-    // feature extraction via mapPartitions (stub decoder), integrity
-    // checked end-to-end by sha256 over the payload bytes.
+    // Multimodal with a REAL codec: deterministic PNGs minted per doc id
+    // (executor-side), decoded back through JDK javax.imageio, and
+    // featurized as pixel-luminance histograms. PNG is lossless and the
+    // pixel values are an integer formula of the id, so the oracle
+    // recomputes the decoded statistics in pure SQL from the id alone —
+    // a wrong byte anywhere in encode→decode→featurize changes the
+    // histogram and fails the value compare.
     Q(
       "pipe_multimodal_media",
       (s, dir) => {
-        val media = Multimodal.asMedia(th(s, dir, "documents"))
-        val feats = Multimodal.extractFeatures(media)
+        val media = Multimodal.asImageMedia(th(s, dir, "documents"))
+        val dec = Multimodal.decodeMedia(media)
         val l1 = expr("aggregate(feature, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))")
-        media.select(col("media_id"), col("n_bytes"),
-            lower(sha2(col("payload"), 256)).as("payload_sha"))
-          .join(feats.select(col("media_id"), round(l1, 3).as("feature_l1")), "media_id")
+        dec.select(col("media_id"), col("width"), col("height"),
+            concat_ws(",", col("hist")).as("hist_csv"),
+            round(l1, 3).as("feature_l1"))
           .orderBy("media_id")
       },
       Some("""
-        SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
-               lower(sha256(text)) AS payload_sha,
-               -- Mirrors the stub decoder: an empty payload yields the
-               -- all-zero histogram (L1 = 0.0); anything else normalizes
-               -- to L1 = 1.0 (float accumulation stays inside round(.,3)).
-               CASE WHEN octet_length(encode(text)) = 0 THEN 0.0 ELSE 1.0 END
-                 AS feature_l1
-        FROM documents ORDER BY media_id"""),
-      doc = "multimodal binary column + mapPartitions feature extraction (stub decode)"),
+        WITH d AS (
+          SELECT doc_id, 4 + doc_id % 5 AS w, 4 + doc_id % 3 AS h
+          FROM documents),
+        px AS (
+          SELECT d.doc_id,
+                 ((d.doc_id*31 + x*7 + y*13) % 256
+                + (d.doc_id*17 + x*11 + y*5) % 256
+                + (d.doc_id*29 + x*3 + y*19) % 256) // 3 AS lum
+          FROM d,
+          LATERAL (SELECT unnest(range(0, d.w)) AS x),
+          LATERAL (SELECT unnest(range(0, d.h)) AS y)),
+        hist AS (
+          SELECT doc_id, lum // 16 AS bin, count(*) AS c
+          FROM px GROUP BY doc_id, bin),
+        bins AS (SELECT doc_id, unnest(range(0, 16)) AS bin FROM d),
+        filled AS (
+          SELECT b.doc_id, b.bin, CAST(coalesce(h.c, 0) AS BIGINT) AS c
+          FROM bins b LEFT JOIN hist h USING (doc_id, bin))
+        SELECT f.doc_id AS media_id,
+               CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height,
+               string_agg(CAST(f.c AS VARCHAR), ',' ORDER BY f.bin) AS hist_csv,
+               CAST(1.0 AS DOUBLE) AS feature_l1
+        FROM filled f JOIN d USING (doc_id)
+        GROUP BY f.doc_id, d.w, d.h ORDER BY media_id"""),
+      doc = "multimodal binary column + REAL javax.imageio PNG decode via " +
+        "mapPartitions batch featurize; oracle replays the pixel formula"),
 
     // Training-corpus curation composite — the end-to-end pipeline a
     // 100 TB pretraining-data job actually runs, chained from the

@@ -38,6 +38,58 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(frames(1).getAs[Array[Byte]]("frame"), "UTF-8") === "89")
   }
 
+  test("mintPng -> decodeImage: real PNG round-trip reproduces the " +
+      "pixel-formula histogram exactly") {
+    for (k <- Seq(0L, 1L, 7L, 123L, 4999L)) {
+      val png = Multimodal.mintPng(k)
+      // a real PNG container, not a stub payload
+      assert(png.take(4).toSeq === Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+      val f = Multimodal.decodeImage(png).get
+      val (w, h) = ((4 + k % 5).toInt, (4 + k % 3).toInt)
+      assert(f.width === w && f.height === h)
+      // independent model of the formula
+      val expected = new Array[Long](Multimodal.featureDim)
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = ((k * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((k * 17 + x * 11 + y * 5) % 256).toInt
+        val b = ((k * 29 + x * 3 + y * 19) % 256).toInt
+        expected(((r + g + b) / 3) / 16) += 1L
+      }
+      assert(f.lumHist.toSeq === expected.toSeq, s"seed $k")
+      assert(f.lumHist.sum === w.toLong * h)
+    }
+  }
+
+  test("decodeImage: empty and corrupt payloads return None") {
+    assert(Multimodal.decodeImage(null).isEmpty)
+    assert(Multimodal.decodeImage(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodeImage("definitely not a png".getBytes).isEmpty)
+  }
+
+  test("decodeMedia: image/* takes the real path, others and corrupt " +
+      "images fall back to the stub byte histogram") {
+    val rows = Seq(
+      (1L, "image/png", Multimodal.mintPng(1L)),
+      (2L, "text/plain", "AAAA".getBytes("UTF-8")),
+      (3L, "image/png", "corrupt".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+      .withColumn("n_bytes",
+        org.apache.spark.sql.functions.length($"payload").cast("int"))
+    val out = Multimodal.decodeMedia(rows).orderBy("media_id").collect()
+    val img = out(0)
+    assert(img.getAs[Int]("width") === 5 && img.getAs[Int]("height") === 5)
+    assert(img.getSeq[Long](img.fieldIndex("hist")).sum === 25L)
+    val txt = out(1)
+    assert(txt.getAs[Int]("width") === -1)
+    // 'A' = 65 -> byte-hist bin 4, stub fallback
+    assert(txt.getSeq[Long](txt.fieldIndex("hist"))(4) === 4L)
+    assert(txt.getSeq[Float](txt.fieldIndex("feature"))(4) === 1.0f)
+    val bad = out(2)
+    assert(bad.getAs[Int]("width") === -1,
+      "corrupt image payload must fall back to the stub, not fail")
+    assert(bad.getSeq[Long](bad.fieldIndex("hist")).sum === 7L)
+  }
+
   test("resize: every factor-th byte kept, metadata updated") {
     val docs = Seq((1L, "abcdef")).toDF("doc_id", "text")
     val out = Multimodal.resize(Multimodal.asMedia(docs), 2).collect().head
