@@ -165,4 +165,83 @@ object Gomus {
     * (id, ticket, datetime) — reference J1 (daily_entries.py:115-120). */
   def combineDailyEntries(actual: DataFrame, expected: DataFrame): DataFrame =
     actual.join(expected, Seq("id", "ticket", "datetime"), "inner")
+
+  /** `cleanse_umlauts` (reference src/gomus/events.py:174-185): the
+    * two-char German transliteration luigi needs for target paths. */
+  def cleanseUmlauts(c: Column): Column =
+    Seq("Ä" -> "Ae", "ä" -> "ae", "Ö" -> "Oe", "ö" -> "oe",
+        "Ü" -> "Ue", "ü" -> "ue")
+      .foldLeft(c) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
+
+  /** Event-reservation normalizer (reference src/gomus/events.py:40-129):
+    *  - per category only the LATEST TWO bookings by `start_datetime`
+    *    contribute (events.py:125-129 `ORDER BY start_datetime DESC
+    *    LIMIT 2`, the minimal-mode cadence); the reference's LIMIT has no
+    *    tiebreak, so ties are broken on `booking_id` DESC here to make
+    *    the operator deterministic.
+    *  - each kept booking contributes its approved and cancelled
+    *    reservation sheets; sheet parity becomes the status text
+    *    ("Gebucht" / "Storniert", events.py:58-66).
+    *  - per sheet row (events.py:96-107): reservation `ID` → int `id`,
+    *    the booking id becomes `event_id`, `E-Mail` → seed-666 murmur3
+    *    `customer_id` with the non-string → int(float(0)) fallback
+    *    (extract_customers.py:135-140 hash_id), `Plätze` → int
+    *    `reservation_count`, Excel-serial `gebucht am` → `order_date`
+    *    (P7, epoch 1899-12-30).
+    *  - `path_key` is the umlaut-transliterated category — the key the
+    *    reference embeds in every per-category target path.
+    *
+    * Scale shape: the latest-2 pick is one window over (category), the
+    * sheet attach one hash join on booking_id; nothing collects.
+    *
+    * @param bookings (`booking_id`, `category`, `start_datetime`)
+    * @param sheets   raw reservation rows with German report headers
+    *                 (`ID`, `E-Mail`, `Plätze`, `gebucht am`) plus their
+    *                 sheet identity (`booking_id`, boolean `cancelled`).
+    */
+  def extractEvents(bookings: DataFrame, sheets: DataFrame): DataFrame = {
+    GraftFunctions.register(bookings.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("category")
+      .orderBy(col("start_datetime").desc, col("booking_id").desc)
+    val latest2 = bookings
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 2)
+      .select("booking_id", "category")
+    sheets.join(latest2, Seq("booking_id"))
+      .select(
+        col("ID").cast("double").cast("int").as("id"),
+        col("booking_id").cast("int").as("event_id"),
+        coalesce(privacyHash("`E-Mail`"),
+          col("`E-Mail`").cast("double").cast("int"), lit(0))
+          .as("customer_id"),
+        col("`Plätze`").cast("double").cast("int").as("reservation_count"),
+        date_add(to_date(lit("1899-12-30")),
+          floor(col("`gebucht am`").cast("double")).cast("int"))
+          .as("order_date"),
+        when(col("cancelled"), "Storniert").otherwise("Gebucht").as("status"),
+        col("category"),
+        cleanseUmlauts(col("category")).as("path_key"))
+  }
+
+  /** Exhibition extract (reference src/gomus/exhibitions.py:57-80): title
+    * plus the optional `picture.original` URL, straight off the API
+    * payload. */
+  def exhibitions(pages: DataFrame): DataFrame =
+    pages.select(explode(col("exhibitions")).as("e"))
+      .select(col("e.title").as("title"),
+        col("e.picture.original").as("picture_url"))
+
+  /** Exhibition-times extract (exhibitions.py:83-115): one row per
+    * (exhibition, time frame). `dateparser.parse(x).date()` keeps the
+    * LITERAL date written in the ISO string (no timezone conversion), so
+    * the date is sliced off the text, not round-tripped through a
+    * session-zoned timestamp. */
+  def exhibitionTimes(pages: DataFrame): DataFrame =
+    pages.select(explode(col("exhibitions")).as("e"))
+      .select(col("e.title").as("title"),
+        explode(col("e.time_frames")).as("tf"))
+      .select(col("title"),
+        to_date(substring(col("tf.start_at"), 1, 10)).as("start_date"),
+        to_date(substring(col("tf.end_at"), 1, 10)).as("end_date"))
 }

@@ -340,5 +340,162 @@ object BronzeQueries extends QueryBase {
         FROM comments GROUP BY is_from_museum ORDER BY is_from_museum"""),
       doc = "facebook comments normalizer (nested toplevel+reply flatten, " +
         "museum-author tag, composite-key dedup) over expression-minted " +
-        "payloads; reference facebook.py:392-463"))
+        "payloads; reference facebook.py:392-463"),
+
+    // Event-reservation composite end-to-end (reference events.py:40-129):
+    // per-category latest-2 bookings (ORDER BY start_datetime DESC
+    // LIMIT 2), approved+cancelled sheet attach with parity status text,
+    // Excel-serial order dates, seed-666 murmur3 customer ids (18-byte
+    // emails so the SQL murmur3 replays them), umlaut path keys,
+    // category-ordered output. The oracle replays the window pick, the
+    // sheet mint, and the hash — a wrong tiebreak, serial epoch, or
+    // transliteration all change the value hash.
+    Q(
+      "bronze_events",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val key = col("o_orderkey")
+        val bookings = o.select(
+          key.cast("int").as("booking_id"),
+          when(key % 4 === 0, "Führung")
+            .when(key % 4 === 1, "Öffentliche Führung")
+            .when(key % 4 === 2, "Workshop")
+            .otherwise("Abendveranstaltung").as("category"),
+          to_timestamp(concat(
+            date_format(date_add(lit("2022-01-01").cast("date"),
+              ((key * 13) % 500).cast("int")), "yyyy-MM-dd"),
+            lit(" "), lpad((key % 24).cast("string"), 2, "0"), lit(":00")))
+            .as("start_datetime"))
+        // two sheets (approved r∈{0,2} / cancelled r∈{1,3}) × 2 rows per
+        // booking, minted from expressions — German report headers
+        val sheets = o.select(key.as("bk"),
+            explode(sequence(lit(0), lit(3))).as("r"))
+          .select(
+            col("bk").cast("int").as("booking_id"),
+            (col("bk") * 10 + col("r")).cast("string").as("ID"),
+            when((col("bk") * 10 + col("r")) % 3 === 0,
+              lit(null).cast("string"))
+              .otherwise(concat(lit("resv"),
+                lpad((col("bk") * 10 + col("r")).cast("string"), 9, "0"),
+                lit("@x.de"))).as("E-Mail"),
+            concat(((col("bk") + col("r")) % 7).cast("string"), lit(".0"))
+              .as("Plätze"),
+            (col("bk") % 2000 + 40000 + col("r") * 0.25).cast("string")
+              .as("gebucht am"),
+            (col("r") % 2 === 1).as("cancelled"))
+        Gomus.extractEvents(bookings, sheets)
+          .select(col("id"), col("event_id"), col("customer_id"),
+            col("reservation_count"),
+            date_format(col("order_date"), "yyyy-MM-dd").as("order_day"),
+            col("status"), col("category"), col("path_key"))
+          .orderBy("category", "event_id", "id")
+      },
+      Some(s"""
+        WITH bk AS (
+          SELECT o_orderkey AS k,
+            CASE WHEN o_orderkey % 4 = 0 THEN 'Führung'
+                 WHEN o_orderkey % 4 = 1 THEN 'Öffentliche Führung'
+                 WHEN o_orderkey % 4 = 2 THEN 'Workshop'
+                 ELSE 'Abendveranstaltung' END AS category,
+            DATE '2022-01-01' + CAST((o_orderkey * 13) % 500 AS INT)
+              AS start_day,
+            o_orderkey % 24 AS start_hour
+          FROM orders),
+        kept AS (
+          SELECT k, category FROM (
+            SELECT k, category, row_number() OVER (PARTITION BY category
+              ORDER BY start_day DESC, start_hour DESC, k DESC) AS rn
+            FROM bk) WHERE rn <= 2),
+        raw AS (
+          SELECT s.k, s.category, s.k * 10 + r.r AS rid, r.r,
+            CASE WHEN (s.k * 10 + r.r) % 3 = 0 THEN NULL
+                 ELSE concat('resv',
+                   lpad(CAST(s.k * 10 + r.r AS VARCHAR), 9, '0'), '@x.de')
+            END AS email
+          FROM kept s, LATERAL (SELECT unnest(range(0, 4)) AS r) r),
+        ${Mm3Sql.chain("raw", "rid", "email", 18, 666L, "m")}
+        SELECT CAST(r.rid AS INT) AS id, CAST(r.k AS INT) AS event_id,
+          coalesce(m.hash, 0) AS customer_id,
+          CAST((r.k + r.r) % 7 AS INT) AS reservation_count,
+          strftime(DATE '1899-12-30' + CAST(r.k % 2000 + 40000 AS INT),
+                   '%Y-%m-%d') AS order_day,
+          CASE WHEN r.r % 2 = 1 THEN 'Storniert' ELSE 'Gebucht' END
+            AS status,
+          r.category,
+          CASE r.category WHEN 'Führung' THEN 'Fuehrung'
+               WHEN 'Öffentliche Führung' THEN 'Oeffentliche Fuehrung'
+               ELSE r.category END AS path_key
+        FROM raw r LEFT JOIN m_fin m ON m.k = r.rid
+        ORDER BY category, event_id, id"""),
+      doc = "gomus event-reservation composite (latest-2 window, sheet " +
+        "parity status, serial dates, murmur3 ids, umlaut path keys); " +
+        "reference events.py:40-129"),
+
+    // Exhibition + time-frame extract (reference exhibitions.py:57-115):
+    // API payloads are minted as JSON TEXT (to_json over expression
+    // structs), parsed back with an explicit schema, and flattened —
+    // optional picture handling and the literal-date semantics of
+    // dateparser.parse(...).date() included. The +02:00 offset at
+    // T00:30 makes the literal-date contract sharp: a timezone-converting
+    // parse would land on the previous day.
+    Q(
+      "bronze_exhibitions",
+      (s, dir) => {
+        val n = t(s, dir, "nation")
+        val key = col("n_nationkey")
+        val tf = (startOff: org.apache.spark.sql.Column,
+            endOff: org.apache.spark.sql.Column) => struct(
+          concat(date_format(date_add(lit("2020-01-01").cast("date"),
+            startOff.cast("int")), "yyyy-MM-dd"), lit("T00:30:00+02:00"))
+            .as("start_at"),
+          concat(date_format(date_add(lit("2020-01-01").cast("date"),
+            endOff.cast("int")), "yyyy-MM-dd"), lit("T00:30:00+02:00"))
+            .as("end_at"))
+        val base = (key * 11) % 800
+        val exhibition = struct(
+          concat(lit("Ausstellung "), col("n_name")).as("title"),
+          when(key % 3 === 0,
+            lit(null).cast("struct<original:string>"))
+            .otherwise(struct(concat(lit("https://img.example/"),
+              key.cast("string"), lit(".jpg")).as("original"))).as("picture"),
+          when(key % 2 === 0, array(tf(base, base + 90)))
+            .otherwise(array(tf(base, base + 90),
+              tf(base + 100, base + 200))).as("time_frames"))
+        val payloads = n.select(
+          to_json(struct(array(exhibition).as("exhibitions"))).as("payload"))
+        val schema = "STRUCT<exhibitions: ARRAY<STRUCT<title: STRING, " +
+          "picture: STRUCT<original: STRING>, " +
+          "time_frames: ARRAY<STRUCT<start_at: STRING, end_at: STRING>>>>>"
+        val pages = payloads
+          .select(from_json(col("payload"), schema,
+            Map.empty[String, String]).as("p"))
+          .select(col("p.*"))
+        Gomus.exhibitions(pages)
+          .join(Gomus.exhibitionTimes(pages), Seq("title"))
+          .select(col("title"), col("picture_url"),
+            date_format(col("start_date"), "yyyy-MM-dd").as("start_day"),
+            date_format(col("end_date"), "yyyy-MM-dd").as("end_day"))
+          .orderBy("title", "start_day")
+      },
+      Some("""
+        WITH n AS (
+          SELECT n_nationkey AS k,
+                 concat('Ausstellung ', n_name) AS title,
+                 CASE WHEN n_nationkey % 3 = 0 THEN NULL
+                      ELSE concat('https://img.example/', n_nationkey, '.jpg')
+                 END AS picture_url,
+                 DATE '2020-01-01' + CAST((n_nationkey * 11) % 800 AS INT)
+                   AS s1
+          FROM nation),
+        frames AS (
+          SELECT title, picture_url, s1 AS s, s1 + 90 AS e FROM n
+          UNION ALL
+          SELECT title, picture_url, s1 + 100, s1 + 200 FROM n WHERE k % 2 = 1)
+        SELECT title, picture_url,
+               strftime(s, '%Y-%m-%d') AS start_day,
+               strftime(e, '%Y-%m-%d') AS end_day
+        FROM frames ORDER BY title, start_day"""),
+      doc = "gomus exhibition + time-frame extract over JSON payloads " +
+        "(optional picture, literal-date time frames); reference " +
+        "exhibitions.py:57-115"))
 }

@@ -139,4 +139,74 @@ class BronzeSpec extends SparkSpec {
       .collect()
     assert(at10.toSeq === Seq(Row(7, "Tagesticket", 5, 8)))
   }
+
+  test("extractEvents: latest-2 window with tiebreak, parity status, " +
+      "hash fallback, serial dates, umlaut path key") {
+    val bookings = Seq(
+      // category Führung: 3 bookings — id 1 is OLDEST and must drop;
+      // ids 2 and 3 tie on start_datetime → both kept (desc-id tiebreak
+      // only orders them, n=2 keeps both)
+      (1, "Führung", "2022-01-01 10:00:00"),
+      (2, "Führung", "2022-06-01 10:00:00"),
+      (3, "Führung", "2022-06-01 10:00:00"),
+      (4, "Workshop", "2022-03-01 09:00:00"))
+      .toDF("booking_id", "category", "s")
+      .withColumn("start_datetime", $"s".cast("timestamp")).drop("s")
+    val sheets = Seq(
+      // booking 1's sheet must NOT survive (booking dropped)
+      (1, "10", "a@b.c", "3.0", "44000.5", false),
+      (2, "20", "mail@example.de", "2.0", "44000.5", false),
+      (2, "21", null, "1.0", "44001.9", true),
+      (3, "30", null, "5.0", "44002.0", false),
+      (4, "40", "x@y.zz", "0.0", "44003.25", true))
+      .toDF("booking_id", "ID", "E-Mail", "Plätze", "gebucht am", "cancelled")
+    val out = Gomus.extractEvents(bookings, sheets)
+      .orderBy("id").collect()
+    assert(out.map(_.getAs[Int]("id")).toSeq === Seq(20, 21, 30, 40))
+    val r20 = out(0)
+    assert(r20.getAs[Int]("event_id") === 2)
+    assert(r20.getAs[Int]("customer_id") ===
+      graft.functions.Murmur3Ops.hashBytes("mail@example.de".getBytes("UTF-8"), 666))
+    assert(r20.getAs[Int]("reservation_count") === 2)
+    // xldate epoch 1899-12-30: serial 44000 → 2020-06-18; .5 floors away
+    assert(r20.getAs[java.sql.Date]("order_date").toString === "2020-06-18")
+    assert(r20.getAs[String]("status") === "Gebucht")
+    assert(r20.getAs[String]("path_key") === "Fuehrung")
+    // null email → hash fallback 0; cancelled sheet → Storniert
+    assert(out(1).getAs[Int]("customer_id") === 0)
+    assert(out(1).getAs[String]("status") === "Storniert")
+  }
+
+  test("exhibitions + exhibitionTimes: optional picture, literal dates " +
+      "(no timezone conversion)") {
+    val json =
+      """{"exhibitions":[
+        |{"title":"A","picture":{"original":"https://img/a.jpg"},
+        | "time_frames":[{"start_at":"2020-03-01T00:30:00+02:00",
+        |                 "end_at":"2020-05-31T00:30:00+02:00"}]},
+        |{"title":"B",
+        | "time_frames":[{"start_at":"2021-01-15T10:00:00+01:00",
+        |                 "end_at":"2021-02-15T10:00:00+01:00"},
+        |                {"start_at":"2021-06-01T00:30:00+02:00",
+        |                 "end_at":"2021-07-01T00:30:00+02:00"}]}]}""".stripMargin
+    val schema = "STRUCT<exhibitions: ARRAY<STRUCT<title: STRING, " +
+      "picture: STRUCT<original: STRING>, " +
+      "time_frames: ARRAY<STRUCT<start_at: STRING, end_at: STRING>>>>>"
+    val pages = Seq(json).toDF("payload")
+      .select(org.apache.spark.sql.functions.from_json(
+        $"payload", schema, Map.empty[String, String]).as("p"))
+      .select("p.*")
+    val ex = Gomus.exhibitions(pages).orderBy("title").collect()
+    assert(ex.map(r => (r.getAs[String]("title"),
+      r.getAs[String]("picture_url"))).toSeq ===
+      Seq(("A", "https://img/a.jpg"), ("B", null)))
+    val times = Gomus.exhibitionTimes(pages)
+      .orderBy("title", "start_date").collect()
+    // 2020-03-01T00:30+02:00 is 2020-02-29T22:30 UTC — the literal-date
+    // contract keeps 03-01, a timezone-converting parse would not
+    assert(times.map(_.getAs[java.sql.Date]("start_date").toString).toSeq
+      === Seq("2020-03-01", "2021-01-15", "2021-06-01"))
+    assert(times.map(_.getAs[java.sql.Date]("end_date").toString).toSeq
+      === Seq("2020-05-31", "2021-02-15", "2021-07-01"))
+  }
 }
