@@ -83,26 +83,34 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val first = timeOne(name, fn)
-      // This VM takes multi-second scheduler/IO stalls at random moments
-      // (same trivial query measures 1.4 s or 4.7 s across runs). A
-      // suspicious first measurement gets ONE full re-execution and the
-      // min is reported — best-of-2, only when the first run exceeds 2 s,
-      // so a noisy timeslice doesn't misrepresent a plan.
-      val runs = if (first > 2.0) Seq(first, timeOne(name, fn)) else Seq(first)
-      val sec = runs.min
+      // Every query is timed at least twice: the FIRST execution carries
+      // one-off costs (parquet footer reads, broadcast builds, codegen
+      // compilation for this plan shape) — that is the "cold" number; the
+      // warm number is the min of the repeats. Reporting both keeps
+      // round-over-round comparisons from conflating the two (cold-only
+      // was the r2 artifact; warm-only hid cold costs in r3). This VM also
+      // takes multi-second scheduler stalls at random moments, so a
+      // suspicious warm repeat (>2 s) gets one extra execution and the
+      // repeat-min is reported as warm.
+      val cold = timeOne(name, fn)
+      val second = timeOne(name, fn)
+      val repeats =
+        if (second > 2.0) Seq(second, timeOne(name, fn)) else Seq(second)
+      val warm = repeats.min
+      val runs = cold +: repeats
       // Untimed row count (plan re-executes column-pruned; not part of
       // the reported seconds) — lets the artifact distinguish "plan got
       // slower" from "plan produced different work".
       val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-      System.err.println(f"[bench] $name%-28s $sec%8.2f s  rows=$rows")
-      (name, sec, runs, rows)
+      System.err.println(
+        f"[bench] $name%-28s cold $cold%8.2f s  warm $warm%8.2f s  rows=$rows")
+      (name, cold, warm, runs, rows)
     }
     // Full per-query detail (every repeat + row count) goes to a sidecar
     // file; stdout carries only the compact one-line summary the driver
     // captures (its tail window truncated the r2 line — keep it short and
     // make it the LAST line printed).
-    val detail = results.map { case (name, _, runs, rows) =>
+    val detail = results.map { case (name, _, _, runs, rows) =>
       val rs = runs.map(r => f"$r%.3f").mkString("[", ",", "]")
       s""""$name":{"runs":$rs,"rows":$rows}"""
     }.mkString("{", ",", "}")
@@ -110,10 +118,16 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
       s"""{"sf":"$sfDir","detail":$detail}""")
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.2f" }
+    // Tail JSON carries BOTH numbers per query: "queries" stays the warm
+    // map (comparable with earlier rounds' best-of semantics), "cold" is
+    // the first-execution map. "value" remains the warm total.
+    val qs = results.map { case (k, _, w, _, _) => "\"" + k + "\":" + f"$w%.2f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val cs = results.map { case (k, c, _, _, _) => "\"" + k + "\":" + f"$c%.2f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._3).sum
+    val coldTotal = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","cold_total":$coldTotal%.2f,"queries":$qs,"cold":$cs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
