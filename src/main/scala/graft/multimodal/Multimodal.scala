@@ -23,6 +23,15 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's default ImageInputStream/ImageOutputStream cache is a TEMP
+  // FILE per read/write — for thousands of small in-memory payloads per
+  // partition that is one create+delete syscall pair per image and
+  // dominates decode cost. Payloads here are always in-memory byte
+  // arrays, so the memory-backed cache is strictly better. Object-init
+  // runs once per JVM, including on executors (the mapPartitions lambdas
+  // reference this object).
+  javax.imageio.ImageIO.setUseCache(false)
+
   val featureDim = 16
 
   val mediaSchema: StructType = StructType(Seq(

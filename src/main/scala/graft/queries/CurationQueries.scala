@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators beyond near-dup: the remaining transforms a
+  * large-scale training-data job runs between "raw crawl" and "tokenizer
+  * input" — benchmark decontamination, per-stratum mix sampling, and
+  * token-budget shard packing.
+  *
+  * Scale posture: decontamination broadcasts the (small by construction)
+  * eval-set n-gram table so the corpus side never shuffles for the probe;
+  * sampling is a map-only deterministic hash test; shard packing windows
+  * over (lang, stream) where `stream` is a hash split, so no packing
+  * partition ever exceeds 1/N of a language and the sort stays bounded.
+  */
+object CurationQueries extends QueryBase {
+
+  /** Distinct word-5-grams of lower(text) — decontamination standard
+    * practice probes long n-grams so natural re-use doesn't false-flag. */
+  private def ngrams5(c: Column): Column = {
+    val tk = split(lower(c), "\\s+")
+    array_distinct(
+      when(size(tk) >= 5,
+        transform(sequence(lit(1), size(tk) - 4),
+          i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
+            element_at(tk, i + 2), element_at(tk, i + 3),
+            element_at(tk, i + 4))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  val all: Seq[Q] = Seq(
+    // Benchmark decontamination: flag training docs sharing >= 3 distinct
+    // word-5-grams with a held-out eval set. The fixture plants real
+    // leaks (every eval doc re-keyed +100000 with a 2-token prefix —
+    // an eval passage embedded in a crawl page); the threshold separates
+    // planted leaks (~50 shared grams) from chance vocabulary collisions.
+    // Plan shape: the eval n-gram table is small by construction and
+    // BROADCAST, so the corpus side is map-only (explode + hash probe);
+    // the only shuffle is the final groupBy over matched (doc, gram)
+    // rows — contamination-sized, not corpus-sized. At 100 TB the same
+    // plan holds: eval sets are fixed-size benchmarks, never fact-scale.
+    Q(
+      "dedup_decontaminate",
+      (s, dir) => {
+        val d = th(s, dir, "documents")
+        val eval = d.filter(col("doc_id") % 25 === 0)
+        val corpus = d.filter(col("doc_id") % 25 =!= 0)
+          .select(col("doc_id"), col("text"))
+          .unionByName(eval.select(
+            (col("doc_id") + 100000L).as("doc_id"),
+            concat(lit("leak marker "), col("text")).as("text")))
+        val evalGrams = eval
+          .select(explode(ngrams5(col("text"))).as("ng")).distinct()
+        corpus.select(col("doc_id"), explode(ngrams5(col("text"))).as("ng"))
+          .join(broadcast(evalGrams), Seq("ng"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hits"))
+          .filter(col("n_hits") >= 3)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (SELECT doc_id, text FROM documents),
+        corpus AS (
+          SELECT doc_id, text FROM base WHERE doc_id % 25 <> 0
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, 'leak marker ' || text AS text
+          FROM base WHERE doc_id % 25 = 0),
+        cg AS (
+          SELECT doc_id,
+                 unnest(list_distinct(CASE WHEN len(tk) >= 5
+                   THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                         tk[i+3] || ' ' || tk[i+4]
+                         FOR i IN range(1, len(tk) - 3)]
+                   ELSE CAST([] AS VARCHAR[]) END)) AS ng
+          FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk
+                FROM corpus)),
+        eg AS (
+          SELECT DISTINCT
+                 unnest(list_distinct(CASE WHEN len(tk) >= 5
+                   THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                         tk[i+3] || ' ' || tk[i+4]
+                         FOR i IN range(1, len(tk) - 3)]
+                   ELSE CAST([] AS VARCHAR[]) END)) AS ng
+          FROM (SELECT string_split_regex(lower(text), '\s+') AS tk
+                FROM base WHERE doc_id % 25 = 0))
+        SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM cg JOIN eg USING (ng)
+        GROUP BY cg.doc_id HAVING count(*) >= 3
+        ORDER BY doc_id"""),
+      doc = "benchmark decontamination via 5-gram overlap against a " +
+        "broadcast eval-set gram table; planted leak fixture"),
+
+    // Training-mix stratified sampling: per-language keep rates applied
+    // with the deterministic md5 hash-mod test (same mechanism as
+    // pipe_sample_hash, per-stratum rate instead of global). Map-only:
+    // the hash test evaluates inside the scan stage; the rollup below
+    // exists to make the achieved mix checkable. At 100 TB this is the
+    // one-pass "20% en / 30% de / 10% rest" mix cut with NO shuffle of
+    // the kept rows themselves (downstream consumers read the filter).
+    Q(
+      "pipe_stratified_sample",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val rate = when(col("lang") === "en", lit(500L))
+          .when(col("lang") === "de", lit(300L))
+          .otherwise(lit(100L))
+        val bucket = pmod(
+          conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long"), lit(1000L))
+        d.withColumn("kept", bucket < rate)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+          .orderBy("lang")
+      },
+      Some("""
+        SELECT lang, count(*) AS n_total,
+               CAST(sum(CASE WHEN
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 1000 <
+                 (CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 300
+                  ELSE 100 END)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM documents GROUP BY lang ORDER BY lang"""),
+      doc = "per-stratum deterministic hash-mod sampling for training " +
+        "mixes; map-only rate test, rollup verifies the achieved mix"),
+
+    // Token-budget shard packing (sequence packing's distribution half):
+    // assign docs to ~1500-token shards per (lang, stream), stream =
+    // doc_id % 4 — the hash split that keeps every packing partition at
+    // 1/N of a language, so the running-total window never sorts more
+    // than one stream. At 100 TB: streams scale with the cluster (N =
+    // executors), shards stay budget-sized, and no global sort exists.
+    // A doc's shard is decided by its STARTING offset (cum - ntok), the
+    // standard greedy rule — a shard may overflow by at most one doc.
+    Q(
+      "pipe_token_shards",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val ntok = size(split(lower(col("text")), "\\s+")).cast("long")
+        val w = Window.partitionBy("lang", "stream").orderBy("doc_id")
+        d.select(col("lang"), pmod(col("doc_id"), lit(4L)).as("stream"),
+            col("doc_id"), ntok.as("ntok"))
+          .withColumn("cum", sum(col("ntok")).over(w))
+          .withColumn("shard",
+            ((col("cum") - col("ntok")) / lit(1500L)).cast("long"))
+          .groupBy("lang", "stream", "shard")
+          .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("sum_tokens"))
+          .orderBy("lang", "stream", "shard")
+      },
+      Some("""
+        WITH t AS (
+          SELECT lang, doc_id % 4 AS stream, doc_id,
+                 CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+                   AS ntok
+          FROM documents),
+        c AS (
+          SELECT lang, stream, ntok,
+                 CAST(sum(ntok) OVER (PARTITION BY lang, stream
+                                      ORDER BY doc_id) AS BIGINT) AS cum
+          FROM t)
+        SELECT lang, stream, CAST((cum - ntok) // 1500 AS BIGINT) AS shard,
+               count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS sum_tokens
+        FROM c
+        GROUP BY lang, stream, shard
+        ORDER BY lang, stream, shard"""),
+      doc = "token-budget shard packing: greedy cumulative assignment " +
+        "inside hash-split (lang, stream) packing partitions"))
+}
