@@ -251,6 +251,129 @@ object Multimodal {
     }(enc)
   }
 
+  // ------------------------------------------------------------------
+  // Real audio codec — JDK javax.sound.sampled (WAV/PCM), no external
+  // dependency. Mirrors the ImageIO design: deterministic minted
+  // payloads, real container decode, integer-exact features the SQL
+  // oracle recomputes from the id alone.
+  // ------------------------------------------------------------------
+
+  /** Decoded-audio features: sample count, sample rate, a 16-bin
+    * amplitude histogram over the unsigned 16-bit range
+    * (`bin = (sample + 32768) / 4096`), and the exact sum of absolute
+    * sample values. All integers, so bit-identical across engines. */
+  final case class AudioFeatures(nSamples: Int, sampleRate: Int,
+      ampHist: Array[Long], sumAbs: Long)
+
+  /** REAL decode: parse the payload with
+    * `javax.sound.sampled.AudioSystem` and featurize the PCM samples.
+    * Handles 16-bit signed PCM (either endianness, any channel count —
+    * channels are interleaved and all counted). `None` when the payload
+    * is not a parseable audio container or not 16-bit PCM — callers fall
+    * back to the stub byte histogram, as with images. */
+  def decodeAudio(payload: Array[Byte]): Option[AudioFeatures] = {
+    if (payload == null || payload.isEmpty) return None
+    val stream =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case _: java.io.IOException => null
+      }
+    if (stream == null) return None
+    try {
+      val fmt = stream.getFormat
+      val enc = fmt.getEncoding
+      if (fmt.getSampleSizeInBits != 16 ||
+        (enc != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED))
+        return None
+      val bytes = stream.readAllBytes()
+      val n = bytes.length / 2
+      val hist = new Array[Long](featureDim)
+      var sumAbs = 0L
+      var i = 0
+      while (i < n) {
+        val lo = bytes(2 * i) & 0xff
+        val hi = bytes(2 * i + 1) & 0xff
+        val s =
+          if (fmt.isBigEndian) ((lo << 8) | hi).toShort.toInt
+          else ((hi << 8) | lo).toShort.toInt
+        hist((s + 32768) / 4096) += 1L
+        sumAbs += math.abs(s)
+        i += 1
+      }
+      Some(AudioFeatures(n, fmt.getSampleRate.toInt, hist, sumAbs))
+    } finally stream.close()
+  }
+
+  /** Deterministic 16-bit PCM mono WAV for seed `k`, encoded through the
+    * JDK's own WAV writer: `n = 64 + k % 65` samples at 8 kHz, sample
+    * `i` = `(k*131 + i*17) % 65536 - 32768`. WAV/PCM is lossless, so the
+    * decoded statistics are recomputable from `k` alone — which is what
+    * the `pipe_multimodal_audio` SQL oracle does, making the
+    * encode→decode round-trip value-verifiable end-to-end. */
+  def mintWav(k: Long): Array[Byte] = {
+    val n = (64 + java.lang.Math.floorMod(k, 65L)).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (java.lang.Math.floorMod(k * 131 + i * 17, 65536L) - 32768L).toInt
+      pcm(2 * i) = (s & 0xff).toByte // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Audio-media fixture rows: one minted WAV per document id,
+    * executor-side like [[asImageMedia]]. */
+  def asAudioMedia(docs: DataFrame): DataFrame = {
+    val mint = udf((id: Long) => mintWav(id))
+    docs.select(col("doc_id").cast("long").as("media_id"),
+        lit("audio/wav").as("kind"),
+        mint(col("doc_id").cast("long")).as("payload"))
+      .withColumn("n_bytes", length(col("payload")).cast("int"))
+  }
+
+  /** Batched audio decode (same mapPartitions batch shape as
+    * [[decodeMedia]]): `audio/`-kinded payloads take the REAL
+    * javax.sound.sampled path; anything else — or an unparseable
+    * payload — falls back to the stub byte histogram with
+    * `n_samples = sample_rate = -1` and `sum_abs = -1`. */
+  def decodeAudioMedia(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("amp_hist", ArrayType(LongType, containsNull = false), nullable = false),
+      StructField("sum_abs", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val kind = r.getAs[String]("kind")
+        val payload = r.getAs[Array[Byte]]("payload")
+        val decoded =
+          if (kind != null && kind.startsWith("audio/")) decodeAudio(payload)
+          else None
+        decoded match {
+          case Some(f) =>
+            Row(r.getAs[Long]("media_id"), kind, f.nSamples, f.sampleRate,
+              f.ampHist.toSeq, f.sumAbs)
+          case None =>
+            Row(r.getAs[Long]("media_id"), kind, -1, -1,
+              stubHistogram(payload).toSeq, -1L)
+        }
+      }
+    }(enc)
+  }
+
   /** Batched feature extraction over media rows: one decoder pass per
     * partition (amortizes per-batch model/codec setup, the reason
     * mapInPandas exists), emitting `(media_id, kind, n_bytes, feature)`. */

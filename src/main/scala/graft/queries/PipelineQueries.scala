@@ -384,6 +384,51 @@ object PipelineQueries extends QueryBase {
       doc = "multimodal binary column + REAL javax.imageio PNG decode via " +
         "mapPartitions batch featurize; oracle replays the pixel formula"),
 
+    // Multimodal audio with a REAL codec: deterministic 16-bit PCM WAVs
+    // minted per doc id through the JDK's own WAV writer
+    // (javax.sound.sampled — audio's ImageIO analog), decoded back via
+    // AudioSystem, featurized as an integer amplitude histogram + exact
+    // abs-sum. WAV/PCM is lossless and the samples are an integer
+    // formula of the id, so the oracle recomputes the decoded statistics
+    // in pure SQL — a wrong byte anywhere in the 44-byte RIFF header
+    // handling, endianness, or sample math changes the values.
+    Q(
+      "pipe_multimodal_audio",
+      (s, dir) => {
+        val media = Multimodal.asAudioMedia(th(s, dir, "documents"))
+        Multimodal.decodeAudioMedia(media)
+          .select(col("media_id"), col("n_samples"), col("sample_rate"),
+            concat_ws(",", col("amp_hist")).as("hist_csv"), col("sum_abs"))
+          .orderBy("media_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, 64 + doc_id % 65 AS n FROM documents),
+        sm AS (
+          SELECT d.doc_id, (d.doc_id*131 + i*17) % 65536 AS u
+          FROM d, LATERAL (SELECT unnest(range(0, d.n)) AS i)),
+        hist AS (
+          SELECT doc_id, u // 4096 AS bin, count(*) AS c
+          FROM sm GROUP BY doc_id, bin),
+        bins AS (SELECT doc_id, unnest(range(0, 16)) AS bin FROM d),
+        filled AS (
+          SELECT b.doc_id, b.bin, CAST(coalesce(h.c, 0) AS BIGINT) AS c
+          FROM bins b LEFT JOIN hist h USING (doc_id, bin)),
+        sums AS (
+          SELECT doc_id, CAST(sum(abs(u - 32768)) AS BIGINT) AS sum_abs
+          FROM sm GROUP BY doc_id)
+        SELECT f.doc_id AS media_id,
+               CAST(d.n AS INTEGER) AS n_samples,
+               CAST(8000 AS INTEGER) AS sample_rate,
+               string_agg(CAST(f.c AS VARCHAR), ',' ORDER BY f.bin)
+                 AS hist_csv,
+               s.sum_abs
+        FROM filled f JOIN d USING (doc_id) JOIN sums s USING (doc_id)
+        GROUP BY f.doc_id, d.n, s.sum_abs ORDER BY media_id"""),
+      doc = "multimodal audio: REAL javax.sound.sampled WAV/PCM decode " +
+        "via mapPartitions batch featurize; oracle replays the sample " +
+        "formula"),
+
     // Training-corpus curation composite — the end-to-end pipeline a
     // 100 TB pretraining-data job actually runs, chained from the
     // engine's individually-verified stages: quality gate → exact dedup

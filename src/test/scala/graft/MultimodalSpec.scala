@@ -90,6 +90,61 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.getSeq[Long](bad.fieldIndex("hist")).sum === 7L)
   }
 
+  test("mintWav -> decodeAudio: real WAV round-trip reproduces the " +
+      "sample-formula statistics exactly") {
+    for (k <- Seq(0L, 1L, 7L, 123L, 4999L)) {
+      val wav = Multimodal.mintWav(k)
+      // a real RIFF/WAVE container, not a stub payload
+      assert(wav.take(4).toSeq === "RIFF".getBytes("US-ASCII").toSeq)
+      assert(wav.slice(8, 12).toSeq === "WAVE".getBytes("US-ASCII").toSeq)
+      val f = Multimodal.decodeAudio(wav).get
+      val n = (64 + k % 65).toInt
+      assert(f.nSamples === n && f.sampleRate === 8000)
+      // independent model of the formula
+      val expected = new Array[Long](Multimodal.featureDim)
+      var sumAbs = 0L
+      for (i <- 0 until n) {
+        val s = ((k * 131 + i * 17) % 65536 - 32768).toInt
+        expected((s + 32768) / 4096) += 1L
+        sumAbs += math.abs(s)
+      }
+      assert(f.ampHist.toSeq === expected.toSeq, s"seed $k")
+      assert(f.sumAbs === sumAbs, s"seed $k")
+      assert(f.ampHist.sum === n.toLong)
+    }
+  }
+
+  test("decodeAudio: empty, corrupt, and non-PCM-16 payloads return None") {
+    assert(Multimodal.decodeAudio(null).isEmpty)
+    assert(Multimodal.decodeAudio(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodeAudio("definitely not a wav".getBytes).isEmpty)
+    // a valid PNG is not a valid audio container
+    assert(Multimodal.decodeAudio(Multimodal.mintPng(1L)).isEmpty)
+  }
+
+  test("decodeAudioMedia: audio/* takes the real path, others fall back " +
+      "to the stub byte histogram") {
+    val rows = Seq(
+      (1L, "audio/wav", Multimodal.mintWav(1L)),
+      (2L, "text/plain", "AAAA".getBytes("UTF-8")),
+      (3L, "audio/wav", "corrupt".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+      .withColumn("n_bytes",
+        org.apache.spark.sql.functions.length($"payload").cast("int"))
+    val out = Multimodal.decodeAudioMedia(rows).orderBy("media_id").collect()
+    val wav = out(0)
+    assert(wav.getAs[Int]("n_samples") === 65)
+    assert(wav.getAs[Int]("sample_rate") === 8000)
+    assert(wav.getSeq[Long](wav.fieldIndex("amp_hist")).sum === 65L)
+    val txt = out(1)
+    assert(txt.getAs[Int]("n_samples") === -1 &&
+      txt.getAs[Long]("sum_abs") === -1L)
+    assert(txt.getSeq[Long](txt.fieldIndex("amp_hist"))(4) === 4L)
+    val bad = out(2)
+    assert(bad.getAs[Int]("n_samples") === -1,
+      "corrupt audio payload must fall back to the stub, not fail")
+  }
+
   test("resize: every factor-th byte kept, metadata updated") {
     val docs = Seq((1L, "abcdef")).toDF("doc_id", "text")
     val out = Multimodal.resize(Multimodal.asMedia(docs), 2).collect().head
