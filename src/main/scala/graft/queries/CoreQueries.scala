@@ -202,5 +202,29 @@ object CoreQueries extends QueryBase {
                round(stddev_samp(l_discount), 6) AS stddev_disc
         FROM lineitem GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus"""),
-      doc = "A1 avg/stddev sentiment rollup; reference post_sentiments.py:255-283"))
+      doc = "A1 avg/stddev sentiment rollup; reference post_sentiments.py:255-283"),
+
+    // Exact interpolated percentiles per group (p50/p90/p99 of order value
+    // by priority) — the distribution rollup a data-quality report needs.
+    // Spark's `percentile` aggregate sorts within each group's partial
+    // state; DuckDB's quantile_cont uses the same (n-1)*q linear
+    // interpolation, so values are bit-comparable after rounding.
+    Q(
+      "agg_percentiles",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            round(percentile(col("o_totalprice"), lit(0.5)), 6).as("p50"),
+            round(percentile(col("o_totalprice"), lit(0.9)), 6).as("p90"),
+            round(percentile(col("o_totalprice"), lit(0.99)), 6).as("p99"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+               round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+               round(quantile_cont(o_totalprice, 0.99), 6) AS p99
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      doc = "exact interpolated percentiles per group (quantile_cont parity)"))
 }

@@ -167,5 +167,57 @@ object CurationQueries extends QueryBase {
         GROUP BY lang, stream, shard
         ORDER BY lang, stream, shard"""),
       doc = "token-budget shard packing: greedy cumulative assignment " +
-        "inside hash-split (lang, stream) packing partitions"))
+        "inside hash-split (lang, stream) packing partitions"),
+
+    // PII redaction — the scrub pass a curation job runs before text ever
+    // reaches a tokenizer: mask emails and phone numbers, count what was
+    // masked (the counts feed the pipeline's privacy audit). The test
+    // tables carry no live PII, so the query first MINTS a support-note
+    // column from customer fields (deterministically, identically in the
+    // oracle — the minting is fixture plumbing, the redaction is the op).
+    // Patterns stay in the RE2 ∩ java.util.regex common dialect so both
+    // engines compile them identically. Row-level map work, no shuffle.
+    Q(
+      "pipe_pii_redact",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val emailRe = "[a-z0-9.]+@[a-z0-9.-]+"
+        val phoneRe = "\\+\\d{2}-\\d{3}-\\d{4}"
+        val txt = concat(
+          lit("reach "), col("c_name"), lit(" <"),
+          lower(regexp_replace(col("c_name"), "#", ".")),
+          lit("@example.com> or +49-"),
+          lpad((col("c_custkey") % 900 + 100).cast("string"), 3, "0"),
+          lit("-"),
+          lpad(((col("c_custkey") * 7) % 10000).cast("string"), 4, "0"),
+          lit(" re: "), col("c_mktsegment"))
+        c.select(col("c_custkey"), txt.as("txt"))
+          .select(col("c_custkey"),
+            regexp_replace(
+              regexp_replace(col("txt"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>").as("redacted"),
+            size(regexp_extract_all(col("txt"), lit(emailRe), lit(0)))
+              .as("n_emails"),
+            size(regexp_extract_all(col("txt"), lit(phoneRe), lit(0)))
+              .as("n_phones"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        WITH minted AS (
+          SELECT c_custkey,
+            'reach ' || c_name || ' <' || lower(replace(c_name, '#', '.')) ||
+            '@example.com> or +49-' ||
+            lpad(CAST(c_custkey % 900 + 100 AS VARCHAR), 3, '0') || '-' ||
+            lpad(CAST((c_custkey * 7) % 10000 AS VARCHAR), 4, '0') ||
+            ' re: ' || c_mktsegment AS txt
+          FROM customer)
+        SELECT c_custkey,
+          regexp_replace(regexp_replace(txt, '[a-z0-9.]+@[a-z0-9.-]+',
+                                        '<EMAIL>', 'g'),
+                         '\+\d{2}-\d{3}-\d{4}', '<PHONE>', 'g') AS redacted,
+          len(regexp_extract_all(txt, '[a-z0-9.]+@[a-z0-9.-]+')) AS n_emails,
+          len(regexp_extract_all(txt, '\+\d{2}-\d{3}-\d{4}')) AS n_phones
+        FROM minted ORDER BY c_custkey"""),
+      doc = "PII redaction (email/phone masking + audit counts) over minted " +
+        "support notes; regex in the RE2-compatible common dialect"))
 }

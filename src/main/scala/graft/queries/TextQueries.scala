@@ -325,5 +325,106 @@ object TextQueries extends QueryBase {
         WHERE word NOT IN (SELECT word FROM tokens
                            GROUP BY word HAVING count(DISTINCT doc_id) = 1)
         GROUP BY doc_id ORDER BY doc_id"""),
-      doc = "A11 document-frequency prune; reference topic_modeling.py:322-330"))
+      doc = "A11 document-frequency prune; reference topic_modeling.py:322-330"),
+
+    // Repetition-based quality gate (the Gopher-style dup-ngram rules a
+    // crawl-curation job applies before tokenization): per doc, the
+    // fraction of word-bigrams that are duplicates and the token coverage
+    // of the single most frequent bigram; docs over either threshold drop.
+    // Plan shape: ZERO shuffles before the final sort — the duplicate
+    // fraction is array arithmetic and the top-bigram count is a run-length
+    // scan over the doc's own sorted bigram array (aggregate HOF), so the
+    // whole filter is row-level map work that scales embarrassingly; the
+    // oracle recomputes the mode via the independent unnest+GROUP BY route.
+    Q(
+      "text_repetition_filter",
+      (s, dir) => {
+        val d = th(s, dir, "documents")
+        val t = toks
+        val g2 = when(size(t) >= 2,
+          transform(sequence(lit(1), size(t) - 1),
+            i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+          .otherwise(array().cast("array<string>"))
+        // Most-frequent-bigram count without a shuffle: longest equal run
+        // in the sorted bigram array.
+        val topCnt = aggregate(
+          array_sort(g2),
+          struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+          (acc, x) => {
+            val run = when(x === acc.getField("prev"),
+              acc.getField("run") + 1).otherwise(lit(1))
+            struct(x.as("prev"), run.as("run"),
+              greatest(acc.getField("best"), run).as("best"))
+          },
+          acc => acc.getField("best"))
+        val dupFrac = (size(g2) - size(array_distinct(g2))) /
+          greatest(size(g2), lit(1))
+        val topFrac = lit(2.0) * topCnt / greatest(size(t), lit(1))
+        d.select(col("doc_id"), size(t).as("n_tokens"),
+            round(dupFrac, 6).as("dup_bigram_frac"),
+            round(topFrac, 6).as("top_bigram_frac"),
+            (dupFrac <= 0.08 && topFrac <= 0.2).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH tk AS (
+          SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+          FROM documents),
+        g AS (
+          SELECT doc_id, t,
+                 CASE WHEN len(t) >= 2
+                      THEN list_transform(generate_series(1, len(t) - 1),
+                             i -> t[i] || ' ' || t[i + 1])
+                      ELSE [] END AS g2
+          FROM tk),
+        big AS (
+          SELECT doc_id, g2w, count(*) AS c
+          FROM (SELECT doc_id, unnest(g2) AS g2w FROM g)
+          GROUP BY doc_id, g2w),
+        top AS (SELECT doc_id, max(c) AS top_c FROM big GROUP BY doc_id)
+        SELECT g.doc_id, len(t) AS n_tokens,
+               round((len(g2) - len(list_distinct(g2))) / greatest(len(g2), 1), 6)
+                 AS dup_bigram_frac,
+               round(2.0 * coalesce(top_c, 0) / greatest(len(t), 1), 6)
+                 AS top_bigram_frac,
+               ((len(g2) - len(list_distinct(g2))) / greatest(len(g2), 1) <= 0.08
+                AND 2.0 * coalesce(top_c, 0) / greatest(len(t), 1) <= 0.2) AS keep
+        FROM g LEFT JOIN top ON g.doc_id = top.doc_id
+        ORDER BY g.doc_id"""),
+      doc = "repetition-based quality gate (dup-bigram + top-bigram coverage " +
+        "fractions), shuffle-free via sorted-run-length aggregate HOF"),
+
+    // Context-window chunking: split each document into stride-overlapped
+    // token windows (32 tokens, stride 24, min tail 8) — the step that
+    // turns curated documents into training/RAG sequences. Expression-only
+    // (sequence + explode + slice): per-row map work, no shuffle, so a
+    // 100 TB corpus chunks at scan speed.
+    Q(
+      "text_chunk_split",
+      (s, dir) => {
+        val d = th(s, dir, "documents")
+        d.select(col("doc_id"), toks.as("t"))
+          .select(col("doc_id"), col("t"),
+            explode(sequence(lit(1), size(col("t")), lit(24))).as("s"))
+          .select(col("doc_id"), col("s").as("chunk_start"),
+            (least(col("s") + 31, size(col("t"))) - col("s") + 1)
+              .as("n_chunk_tokens"),
+            concat_ws(" ", slice(col("t"), col("s"),
+              least(lit(32), size(col("t")) - col("s") + 1))).as("chunk"))
+          .filter(col("n_chunk_tokens") >= 8)
+          .orderBy("doc_id", "chunk_start")
+      },
+      Some("""
+        WITH tk AS (
+          SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+          FROM documents)
+        SELECT doc_id, s AS chunk_start,
+               least(s + 31, len(t)) - s + 1 AS n_chunk_tokens,
+               array_to_string(t[s:least(s + 31, len(t))], ' ') AS chunk
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t), 24)) AS s
+              FROM tk)
+        WHERE least(s + 31, len(t)) - s + 1 >= 8
+        ORDER BY doc_id, chunk_start"""),
+      doc = "stride-overlapped token-window chunking (32/24, min tail 8) " +
+        "for sequence/RAG preparation; expression-only, shuffle-free"))
 }

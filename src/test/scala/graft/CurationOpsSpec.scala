@@ -1,0 +1,115 @@
+package graft
+
+import graft.queries.Catalog
+
+/** Value-level verification of the round-4 curation operators against
+  * independent plain-Scala models (collections code sharing nothing with
+  * the DataFrame implementations), on the sf0.001 tables. The DuckDB
+  * oracle gate checks the same queries a third way.
+  */
+class CurationOpsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def toks(text: String): Vector[String] =
+    text.toLowerCase.split("\\s+", -1).toVector
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private lazy val docs: Map[Long, Vector[String]] =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> toks(r.getString(1))).toMap
+
+  test("text_repetition_filter matches a plain-Scala model") {
+    val got = Catalog.byName("text_repetition_filter").spark(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq.sortBy(_._1)
+    assert(got.nonEmpty)
+    got.foreach { case (id, nTok, dupF, topF, keep) =>
+      val t = docs(id)
+      val g2 = if (t.size >= 2) t.sliding(2).map(_.mkString(" ")).toVector
+               else Vector.empty[String]
+      val dup = (g2.size - g2.distinct.size).toDouble / math.max(g2.size, 1)
+      val top = if (g2.isEmpty) 0 else g2.groupBy(identity).values.map(_.size).max
+      val topFrac = 2.0 * top / math.max(t.size, 1)
+      assert(nTok === t.size, s"doc $id n_tokens")
+      assert(dupF === round6(dup), s"doc $id dup_bigram_frac")
+      assert(topF === round6(topFrac), s"doc $id top_bigram_frac")
+      assert(keep === (dup <= 0.08 && topFrac <= 0.2), s"doc $id keep")
+    }
+    // the thresholds must actually separate: some docs kept, model agrees
+    assert(got.exists(_._5) )
+  }
+
+  test("text_repetition_filter flags a pathological repeated doc") {
+    // "spam spam spam ..." has dup_bigram_frac → 1 and top coverage > 1;
+    // model check that such a doc would be dropped (the rule itself, not
+    // the fixture, is under test here).
+    val t = Vector.fill(40)("spam")
+    val g2 = t.sliding(2).map(_.mkString(" ")).toVector
+    val dup = (g2.size - g2.distinct.size).toDouble / g2.size
+    val top = g2.groupBy(identity).values.map(_.size).max
+    assert(dup > 0.08 && 2.0 * top / t.size > 0.2)
+  }
+
+  test("text_chunk_split matches a plain-Scala model (boundaries included)") {
+    val got = Catalog.byName("text_chunk_split").spark(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getString(3))).toSeq.sortBy(t => (t._1, t._2))
+    val want = docs.toSeq.sortBy(_._1).flatMap { case (id, t) =>
+      (1 to t.size by 24).flatMap { s =>
+        val n = math.min(s + 31, t.size) - s + 1
+        if (n >= 8)
+          Some((id, s, n, t.slice(s - 1, s - 1 + math.min(32, t.size - s + 1))
+            .mkString(" ")))
+        else None
+      }
+    }
+    assert(got === want)
+    // overlap invariant: consecutive chunks of one doc overlap by 8 tokens
+    got.groupBy(_._1).values.foreach { cs =>
+      cs.sliding(2).foreach {
+        case Seq((_, s1, n1, _), (_, s2, _, _)) =>
+          assert(s2 - s1 === 24 && s1 + n1 - s2 >= 0)
+        case _ =>
+      }
+    }
+  }
+
+  test("pipe_pii_redact masks every email and phone it mints") {
+    val got = Catalog.byName("pipe_pii_redact").spark(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val red = r.getString(1)
+      assert(!red.contains("@"), s"unmasked email in: $red")
+      assert(!red.matches(".*\\+\\d{2}-\\d{3}-\\d{4}.*"), s"unmasked phone in: $red")
+      assert(red.contains("<EMAIL>") && red.contains("<PHONE>"))
+      assert(r.getInt(2) === 1 && r.getInt(3) === 1, "audit counts")
+    }
+  }
+
+  test("agg_percentiles matches a plain-Scala interpolation model") {
+    val prices = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderpriority", "o_totalprice").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    def pct(xs: IndexedSeq[Double], q: Double): Double = {
+      val idx = (xs.size - 1) * q
+      val lo = math.floor(idx).toInt
+      val hi = math.ceil(idx).toInt
+      xs(lo) + (xs(hi) - xs(lo)) * (idx - lo)
+    }
+    val got = Catalog.byName("agg_percentiles").spark(spark, sfDir).collect()
+    assert(got.map(_.getString(0)).toSet === prices.keySet)
+    got.foreach { r =>
+      val xs = prices(r.getString(0))
+      assert(r.getLong(1) === xs.size.toLong)
+      Seq(0.5 -> r.getDouble(2), 0.9 -> r.getDouble(3), 0.99 -> r.getDouble(4))
+        .foreach { case (q, v) =>
+          assert(math.abs(v - pct(xs, q)) <= 1e-6, s"${r.getString(0)} p$q")
+        }
+    }
+  }
+}
