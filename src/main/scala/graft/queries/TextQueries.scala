@@ -426,5 +426,68 @@ object TextQueries extends QueryBase {
         WHERE least(s + 31, len(t)) - s + 1 >= 8
         ORDER BY doc_id, chunk_start"""),
       doc = "stride-overlapped token-window chunking (32/24, min tail 8) " +
-        "for sequence/RAG preparation; expression-only, shuffle-free"))
+        "for sequence/RAG preparation; expression-only, shuffle-free"),
+
+    // BM25 ranked retrieval (k1 = 1.2, b = 0.75, Lucene-style
+    // idf = ln((N-df+0.5)/(df+0.5)+1)) for a fixed 3-term query — the
+    // relevance scorer a curation stack uses to mine domain-matched
+    // documents. Plan shape: per-doc tf/dl are row-level array ops; the
+    // ONLY aggregation is one global 1-row stats frame (N, avgdl, per-term
+    // df) broadcast back over the corpus, so at 100 TB the corpus makes
+    // two streaming passes and never shuffles by key.
+    Q(
+      "text_bm25_rank",
+      (s, dir) => {
+        val terms = Seq("spark", "window", "merge")
+        val t = toks
+        val d = th(s, dir, "documents")
+          .select(col("doc_id") +: size(t).cast("long").as("dl") +:
+            terms.zipWithIndex.map { case (w, i) =>
+              size(filter(t, x => x === w)).cast("long").as(s"tf${i + 1}")
+            }: _*)
+        val aggs = avg(col("dl")).as("avgdl") +: count(lit(1)).as("n") +:
+          terms.indices.map { i =>
+            sum((col(s"tf${i + 1}") > 0).cast("long")).as(s"df${i + 1}")
+          }
+        val stats = d.agg(aggs.head, aggs.tail: _*)
+        val norm = lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))
+        val score = terms.indices.map { i =>
+          val tf = col(s"tf${i + 1}").cast("double")
+          val df = col(s"df${i + 1}")
+          log((col("n") - df + lit(0.5)) / (df + lit(0.5)) + lit(1)) *
+            tf * lit(2.2) / (tf + norm)
+        }.reduce(_ + _)
+        d.crossJoin(broadcast(stats))
+          .select(col("doc_id"), round(score, 6).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""
+        WITH tk AS (
+          SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+          FROM documents),
+        d AS (
+          SELECT doc_id, len(t) AS dl,
+                 len([w FOR w IN t IF w = 'spark'])  AS tf1,
+                 len([w FOR w IN t IF w = 'window']) AS tf2,
+                 len([w FOR w IN t IF w = 'merge'])  AS tf3
+          FROM tk),
+        stats AS (
+          SELECT avg(dl) AS avgdl, count(*) AS n,
+                 CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+                 CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+                 CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+          FROM d)
+        SELECT doc_id,
+               round(
+                 ln((n - df1 + 0.5) / (df1 + 0.5) + 1) * tf1 * 2.2
+                   / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+                 ln((n - df2 + 0.5) / (df2 + 0.5) + 1) * tf2 * 2.2
+                   / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+                 ln((n - df3 + 0.5) / (df3 + 0.5) + 1) * tf3 * 2.2
+                   / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25
+        FROM d, stats
+        ORDER BY bm25 DESC, doc_id LIMIT 20"""),
+      doc = "BM25 ranked retrieval (k1=1.2, b=0.75, Lucene idf) — one global " +
+        "stats row broadcast back over row-level tf/dl; no keyed shuffle"))
 }

@@ -90,6 +90,27 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("text_bm25_rank matches a plain-Scala BM25 model") {
+    val terms = Seq("spark", "window", "merge")
+    val n = docs.size
+    val avgdl = docs.values.map(_.size).sum.toDouble / n
+    val dfs = terms.map(w => w -> docs.values.count(_.contains(w))).toMap
+    def score(t: Vector[String]): Double = terms.map { w =>
+      val tf = t.count(_ == w).toDouble
+      val df = dfs(w)
+      val idf = math.log((n - df + 0.5) / (df + 0.5) + 1)
+      idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * t.size / avgdl))
+    }.sum
+    val want = docs.toSeq.map { case (id, t) => (id, round6(score(t))) }
+      .sortBy { case (id, sc) => (-sc, id) }.take(20)
+    val got = Catalog.byName("text_bm25_rank").spark(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    got.zip(want).foreach { case ((gi, gs), (wi, ws)) =>
+      assert(gi === wi, "ranking order")
+      assert(math.abs(gs - ws) <= 1e-6, s"score for doc $gi")
+    }
+  }
+
   test("agg_percentiles matches a plain-Scala interpolation model") {
     val prices = spark.read.parquet(s"$sfDir/orders.parquet")
       .select("o_orderpriority", "o_totalprice").collect()
