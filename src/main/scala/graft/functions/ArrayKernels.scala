@@ -132,6 +132,28 @@ object ArrayKernelOps {
     val union = sa.size + sb.size - inter
     if (union == 0) 0.0 else inter.toDouble / union
   }
+
+  /** One-pass word-bigram stats (total, distinct, mode count) for the
+    * repetition quality gate. Bigram = adjacent tokens joined with one
+    * space — byte-identical to the `concat_ws(' ', ...)` construction.
+    */
+  def bigramStats(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = arr.numElements()
+    val counts = new java.util.HashMap[UTF8String, Integer]()
+    val space = UTF8String.fromString(" ")
+    var top = 0
+    var i = 0
+    while (i < n - 1) {
+      val g = UTF8String.concat(arr.getUTF8String(i), space,
+        arr.getUTF8String(i + 1))
+      val c = counts.getOrDefault(g, 0) + 1
+      counts.put(g, c)
+      if (c > top) top = c
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](math.max(n - 1, 0), counts.size(), top))
+  }
 }
 
 private[functions] trait StringArrayInput { self: Expression =>
@@ -254,6 +276,32 @@ case class BandKeysF(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev,
       c => s"graft.functions.ArrayKernelOps.bandKeysF($c)")
   override protected def withNewChildInternal(c: Expression): BandKeysF =
+    copy(child = c)
+}
+
+/** `bigram_stats(array<string>) → struct<n_bigrams:int, n_distinct:int,
+  * top_count:int>` — one-pass word-bigram statistics for the repetition
+  * quality gate (dup fraction + mode coverage), replacing an interpreted
+  * transform + array_distinct + array_sort + aggregate-HOF chain with a
+  * single codegen'd kernel. Bigrams are adjacent tokens joined with a
+  * single space, identical to the `concat_ws(' ', t[i], t[i+1])` form the
+  * DuckDB oracle uses, so counts are value-identical.
+  */
+case class BigramStats(child: Expression)
+    extends UnaryExpression with StringArrayInput {
+  override protected def arrayChild: Expression = child
+  override def checkInputDataTypes(): TypeCheckResult = requireStringArray()
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bigrams", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("top_count", IntegerType, nullable = false)))
+  override def prettyName: String = "bigram_stats"
+  override protected def nullSafeEval(a: Any): Any =
+    ArrayKernelOps.bigramStats(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ArrayKernelOps.bigramStats($c)")
+  override protected def withNewChildInternal(c: Expression): BigramStats =
     copy(child = c)
 }
 

@@ -35,7 +35,8 @@ object GraftFunctions {
     "jaccard_sim" -> (exprs => JaccardSim(exprs(0), exprs(1))),
     "cosine_ff" -> (exprs => CosineFF(exprs(0), exprs(1))),
     "cosine_fd" -> (exprs => CosineFD(exprs(0), exprs(1))),
-    "band_keys_f" -> (exprs => BandKeysF(exprs(0))))
+    "band_keys_f" -> (exprs => BandKeysF(exprs(0))),
+    "bigram_stats" -> (exprs => BigramStats(exprs(0))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

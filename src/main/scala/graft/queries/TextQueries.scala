@@ -331,36 +331,25 @@ object TextQueries extends QueryBase {
     // crawl-curation job applies before tokenization): per doc, the
     // fraction of word-bigrams that are duplicates and the token coverage
     // of the single most frequent bigram; docs over either threshold drop.
-    // Plan shape: ZERO shuffles before the final sort — the duplicate
-    // fraction is array arithmetic and the top-bigram count is a run-length
-    // scan over the doc's own sorted bigram array (aggregate HOF), so the
-    // whole filter is row-level map work that scales embarrassingly; the
-    // oracle recomputes the mode via the independent unnest+GROUP BY route.
+    // Plan shape: ZERO shuffles before the final sort — all three bigram
+    // statistics come from ONE pass over the doc's own token array in the
+    // codegen'd `bigram_stats` kernel (graft.functions.BigramStats), so
+    // the whole filter is row-level map work that scales embarrassingly;
+    // the oracle recomputes the mode via the independent unnest+GROUP BY
+    // route and the ScalaTest model via a third (collections) route.
     Q(
       "text_repetition_filter",
       (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
         val d = th(s, dir, "documents")
-        val t = toks
-        val g2 = when(size(t) >= 2,
-          transform(sequence(lit(1), size(t) - 1),
-            i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
-          .otherwise(array().cast("array<string>"))
-        // Most-frequent-bigram count without a shuffle: longest equal run
-        // in the sorted bigram array.
-        val topCnt = aggregate(
-          array_sort(g2),
-          struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
-          (acc, x) => {
-            val run = when(x === acc.getField("prev"),
-              acc.getField("run") + 1).otherwise(lit(1))
-            struct(x.as("prev"), run.as("run"),
-              greatest(acc.getField("best"), run).as("best"))
-          },
-          acc => acc.getField("best"))
-        val dupFrac = (size(g2) - size(array_distinct(g2))) /
-          greatest(size(g2), lit(1))
-        val topFrac = lit(2.0) * topCnt / greatest(size(t), lit(1))
-        d.select(col("doc_id"), size(t).as("n_tokens"),
+        val bs = col("bs")
+        val dupFrac = (bs("n_bigrams") - bs("n_distinct")) /
+          greatest(bs("n_bigrams"), lit(1))
+        val topFrac = lit(2.0) * bs("top_count") / greatest(col("n_tokens"), lit(1))
+        d.select(col("doc_id"), toks.as("t"))
+          .select(col("doc_id"), size(col("t")).as("n_tokens"),
+            expr("bigram_stats(t)").as("bs"))
+          .select(col("doc_id"), col("n_tokens"),
             round(dupFrac, 6).as("dup_bigram_frac"),
             round(topFrac, 6).as("top_bigram_frac"),
             (dupFrac <= 0.08 && topFrac <= 0.2).as("keep"))
