@@ -19,6 +19,50 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries extends QueryBase {
 
+  /** Verified embedding near-dup pairs (banded hyperplane LSH candidates,
+    * cosine >= 0.4), shared by `dedup_embedding_cosine` (pair surface) and
+    * `dedup_semantic_cluster` (pairs → components → representatives).
+    *
+    * Embeddings stay raw array<float>: the float→double widening happens
+    * inside the compiled kernels (exact), not as an interpreted
+    * transform-cast re-evaluated at every use of the column — that cast
+    * was the dominant cost of this query. The band keys and verify cosine
+    * are native codegen expressions (the interpreted-lambda formulation of
+    * the same math was ~50x slower; the UDF form boxed every element on
+    * top). Buckets are materialized once (the self-join below would
+    * otherwise run the band-key expression + window for BOTH sides — the
+    * minhash persist point, SURVEY §4) and dropped as soon as the tiny
+    * verified pair set is cached; per-bucket probe cap 32 bounds the
+    * quadratic term at any corpus size.
+    */
+  private def embeddingPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = th(s, dir, "embeddings")
+    val v = e.select(col("vec_id"), col("embedding").as("vv"))
+    graft.functions.GraftFunctions.register(s)
+    val wCap = Window.partitionBy("bd", "bkey").orderBy("vec_id")
+    val buckets = v.select(col("vec_id"),
+        posexplode(expr("band_keys_f(vv)")).as(Seq("bd", "bkey")))
+      .withColumn("rk", row_number().over(wCap))
+      .filter(col("rk") <= 32)
+      .select(col("vec_id"), col("bd"), col("bkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.bd") === col("b.bd") && col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("left_id"), col("b.vec_id").as("right_id"))
+      .distinct()
+    val out = cand
+      .join(v.select(col("vec_id").as("lid"), col("vv").as("va")), col("left_id") === col("lid"))
+      .join(v.select(col("vec_id").as("rid"), col("vv").as("vb")), col("right_id") === col("rid"))
+      .withColumn("cosine", expr("cosine_ff(va, vb)"))
+      .filter(col("cosine") >= 0.4)
+      .select(col("left_id"), col("right_id"), col("cosine"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    buckets.unpersist()
+    out
+  }
+
   /** Deterministic 60-bit hash from md5 — identical in Spark and DuckDB. */
   private def h64(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
@@ -260,47 +304,9 @@ object DedupQueries extends QueryBase {
     // hot LSH buckets going quadratic.
     Q(
       "dedup_embedding_cosine",
-      (s, dir) => {
-        val e = th(s, dir, "embeddings")
-        // Embeddings stay raw array<float>: the float→double widening
-        // happens inside the compiled kernels (exact), not as an
-        // interpreted transform-cast re-evaluated at every use of the
-        // column — that cast was the dominant cost of this query.
-        val v = e.select(col("vec_id"), col("embedding").as("vv"))
-        // Compiled kernels as native expressions: hyperplane
-        // coefficients derive once per JVM, the 8 band keys and the
-        // verify cosine are primitive loops over raw ArrayData (the
-        // interpreted-lambda formulation of the same math was ~50x
-        // slower; the UDF form boxed every element on top).
-        graft.functions.GraftFunctions.register(s)
-        val wCap = Window.partitionBy("bd", "bkey").orderBy("vec_id")
-        // Materialized once: the self-join below would otherwise run the
-        // band-key UDF + window for BOTH sides (the minhash persist point,
-        // SURVEY §4); dropped as soon as the tiny verified result is
-        // cached.
-        val buckets = v.select(col("vec_id"),
-            posexplode(expr("band_keys_f(vv)")).as(Seq("bd", "bkey")))
-          .withColumn("rk", row_number().over(wCap))
-          .filter(col("rk") <= 32)
-          .select(col("vec_id"), col("bd"), col("bkey"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val cand = buckets.as("a").join(buckets.as("b"),
-            col("a.bd") === col("b.bd") && col("a.bkey") === col("b.bkey") &&
-              col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("left_id"), col("b.vec_id").as("right_id"))
-          .distinct()
-        val out = cand
-          .join(v.select(col("vec_id").as("lid"), col("vv").as("va")), col("left_id") === col("lid"))
-          .join(v.select(col("vec_id").as("rid"), col("vv").as("vb")), col("right_id") === col("rid"))
-          .withColumn("cosine", expr("cosine_ff(va, vb)"))
-          .filter(col("cosine") >= 0.4)
-          .select(col("left_id"), col("right_id"), round(col("cosine"), 6).as("cosine"))
-          .orderBy("left_id", "right_id")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        out.count()
-        buckets.unpersist()
-        out
-      },
+      (s, dir) => embeddingPairs(s, dir)
+        .select(col("left_id"), col("right_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("left_id", "right_id"),
       Some("""
         WITH v AS (
           SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS vv FROM embeddings),
@@ -365,5 +371,67 @@ object DedupQueries extends QueryBase {
         SELECT label, count(*) AS n_members, max(m) AS max_member
         FROM members GROUP BY label ORDER BY label"""),
       doc = "near-dup cluster assembly: distributed connected components " +
-        "(min-label propagation) over planted chain+bridge pair graph"))
+        "(min-label propagation) over planted chain+bridge pair graph"),
+
+    // SemDeDup-style end-to-end semantic dedup: the full pipeline a
+    // 100 TB embedding dedup runs — LSH-blocked verified cosine pairs
+    // (embeddingPairs, probe-capped) → distributed connected components
+    // (min-label propagation, O(diameter) rounds) → one representative
+    // (min vec_id = the component label) kept per cluster. Output is the
+    // cluster ledger: label, size, the kept representative, and how many
+    // vectors a keep-one policy drops. The oracle rebuilds the clusters
+    // through DuckDB's recursive CTE — a completely different closure
+    // algorithm — over the same pair SQL as dedup_embedding_cosine.
+    Q(
+      "dedup_semantic_cluster",
+      (s, dir) => {
+        val pairs = embeddingPairs(s, dir)
+        val labels = graft.ml.ConnectedComponents.run(
+          pairs.select(col("left_id").as("src"), col("right_id").as("dst")))
+        labels.groupBy("label")
+          .agg(count(lit(1)).as("n_members"),
+            min(col("id")).as("representative"),
+            (count(lit(1)) - 1).as("n_dropped"))
+          .orderBy("label")
+      },
+      Some("""
+        WITH RECURSIVE v AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS vv FROM embeddings),
+        buckets AS (
+          SELECT vec_id, bd, bkey FROM (
+            SELECT vec_id, bd,
+                   CAST(list_sum([CASE WHEN list_sum([vv[d+1] *
+                       CAST((CAST(concat('0x', substr(md5(CAST(bd*4+j AS VARCHAR) || '_' ||
+                         CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % 2001) - 1000 AS DOUBLE)
+                       FOR d IN range(0, 64)]) > 0
+                     THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END FOR j IN range(0, 4)]) AS BIGINT) AS bkey
+            FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS bd) t)
+          QUALIFY row_number() OVER (PARTITION BY bd, bkey ORDER BY vec_id) <= 32),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS left_id, b.vec_id AS right_id
+          FROM buckets a JOIN buckets b
+            ON a.bd = b.bd AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+        pairs AS (
+          SELECT left_id, right_id
+          FROM (SELECT left_id, right_id,
+                 list_sum([va.vv[i+1] * vb.vv[i+1] FOR i IN range(0, 64)]) /
+                 (sqrt(list_sum([va.vv[i+1] * va.vv[i+1] FOR i IN range(0, 64)])) *
+                  sqrt(list_sum([vb.vv[i+1] * vb.vv[i+1] FOR i IN range(0, 64)]))) AS cosine
+                FROM cand JOIN v va ON cand.left_id = va.vec_id
+                          JOIN v vb ON cand.right_id = vb.vec_id)
+          WHERE cosine >= 0.4),
+        edges AS (
+          SELECT left_id AS u, right_id AS w FROM pairs
+          UNION ALL SELECT right_id, left_id FROM pairs),
+        reach(u, r) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT e.u, reach.r FROM edges e JOIN reach ON e.w = reach.u),
+        lab AS (SELECT u AS id, min(r) AS label FROM reach GROUP BY u)
+        SELECT label, count(*) AS n_members, min(id) AS representative,
+               count(*) - 1 AS n_dropped
+        FROM lab GROUP BY label ORDER BY label"""),
+      doc = "SemDeDup-style semantic dedup composite: LSH cosine pairs -> " +
+        "connected components -> keep-one-per-cluster ledger; oracle " +
+        "replays the closure via recursive CTE"))
 }
