@@ -17,6 +17,36 @@ import org.apache.spark.sql.functions._
   */
 object CurationQueries extends QueryBase {
 
+  /** Shared batch/streaming curation-intake transform: repetition quality
+    * gate (one-pass codegen `bigram_stats` kernel, same thresholds as
+    * `text_repetition_filter`) then stride-overlapped token chunking
+    * (same 32/24/min-8 geometry as `text_chunk_split`). Every step is a
+    * stateless row-level expression, so the SAME function runs unchanged
+    * under Structured Streaming ([[graft.streaming.Incremental
+    * .curationIntake]]) — no watermark or state store; at continuous
+    * ingest scale this is pure map parallelism.
+    */
+  def curateChunks(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val t = split(lower(col("text")), "\\s+")
+    val bs = col("bs")
+    val dupFrac = (bs("n_bigrams") - bs("n_distinct")) /
+      greatest(bs("n_bigrams"), lit(1))
+    val topFrac = lit(2.0) * bs("top_count") / greatest(size(col("t")), lit(1))
+    docs.select(col("doc_id"), t.as("t"))
+      .select(col("doc_id"), col("t"), expr("bigram_stats(t)").as("bs"))
+      .filter(dupFrac <= 0.08 && topFrac <= 0.2)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")), lit(24))).as("s"))
+      .select(col("doc_id"), col("s").as("chunk_start"),
+        (least(col("s") + 31, size(col("t"))) - col("s") + 1)
+          .as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("t"), col("s"),
+          least(lit(32), size(col("t")) - col("s") + 1))).as("chunk"))
+      .filter(col("n_chunk_tokens") >= 8)
+  }
+
   /** Distinct word-5-grams of lower(text) — decontamination standard
     * practice probes long n-grams so natural re-use doesn't false-flag. */
   private def ngrams5(c: Column): Column = {
@@ -219,5 +249,45 @@ object CurationQueries extends QueryBase {
           len(regexp_extract_all(txt, '\+\d{2}-\d{3}-\d{4}')) AS n_phones
         FROM minted ORDER BY c_custkey"""),
       doc = "PII redaction (email/phone masking + audit counts) over minted " +
-        "support notes; regex in the RE2-compatible common dialect"))
+        "support notes; regex in the RE2-compatible common dialect"),
+
+    // Batch face of the shared batch/streaming curation intake
+    // (curateChunks): repetition gate -> chunk explode in one lineage.
+    // The streaming face (Incremental.curationIntake) runs the SAME
+    // function under AvailableNow — StreamingSpec asserts output parity,
+    // and this row gives the transform a value oracle.
+    Q(
+      "pipe_corpus_intake",
+      (s, dir) => curateChunks(th(s, dir, "documents"))
+        .orderBy("doc_id", "chunk_start"),
+      Some("""
+        WITH tk AS (
+          SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+          FROM documents),
+        g AS (
+          SELECT doc_id, t,
+                 CASE WHEN len(t) >= 2
+                      THEN list_transform(generate_series(1, len(t) - 1),
+                             i -> t[i] || ' ' || t[i + 1])
+                      ELSE [] END AS g2
+          FROM tk),
+        big AS (
+          SELECT doc_id, g2w, count(*) AS c
+          FROM (SELECT doc_id, unnest(g2) AS g2w FROM g)
+          GROUP BY doc_id, g2w),
+        top AS (SELECT doc_id, max(c) AS top_c FROM big GROUP BY doc_id),
+        keep AS (
+          SELECT g.doc_id, t
+          FROM g LEFT JOIN top ON g.doc_id = top.doc_id
+          WHERE (len(g2) - len(list_distinct(g2))) / greatest(len(g2), 1) <= 0.08
+            AND 2.0 * coalesce(top_c, 0) / greatest(len(t), 1) <= 0.2)
+        SELECT doc_id, s AS chunk_start,
+               least(s + 31, len(t)) - s + 1 AS n_chunk_tokens,
+               array_to_string(t[s:least(s + 31, len(t))], ' ') AS chunk
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t), 24)) AS s
+              FROM keep)
+        WHERE least(s + 31, len(t)) - s + 1 >= 8
+        ORDER BY doc_id, chunk_start"""),
+      doc = "curation intake composite (repetition gate -> chunking), the " +
+        "batch face of the shared batch/streaming transform"))
 }

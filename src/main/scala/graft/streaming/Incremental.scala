@@ -56,6 +56,17 @@ object Incremental {
       .withWatermark(tsCol, late)
       .dropDuplicatesWithinWatermark(fingerprintCol)
 
+  /** Streaming curation intake — the ingest-time quality gate + sequence
+    * chunking of the LLM-pipeline family, running the SAME transform as
+    * the batch `pipe_corpus_intake` query
+    * ([[graft.queries.CurationQueries.curateChunks]]). Every step is a
+    * stateless row-level expression (codegen bigram_stats kernel,
+    * explode, slice), so it needs no watermark or state store and keeps
+    * exactly the batch plan's map parallelism under continuous ingest.
+    */
+  def curationIntake(docs: DataFrame): DataFrame =
+    graft.queries.CurationQueries.curateChunks(docs)
+
   /** Run a streaming transform over everything currently unprocessed, then
     * stop (the FillDbHourly cadence). Restart with the same checkpoint to
     * pick up only new files. */

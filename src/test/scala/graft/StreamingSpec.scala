@@ -115,6 +115,25 @@ class StreamingSpec extends SparkSpec {
     assert(batchDistinct === 100L)
   }
 
+  test("streaming curation intake equals the batch transform row-for-row") {
+    val tmp = Files.createTempDirectory("graft-stream-curate").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.write.mode("overwrite").parquet(s"$tmp/src")
+    val src = Incremental.readStream(spark, s"$tmp/src",
+      spark.read.parquet(s"$tmp/src").schema)
+    val q = Incremental.runAvailableNow(
+      Incremental.curationIntake(src), s"$tmp/ckpt", s"$tmp/out")
+    q.awaitTermination()
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.queries.CurationQueries
+      .curateChunks(spark.read.parquet(s"$tmp/src"))
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+    assert(streamed === batch,
+      "stateless intake must produce identical chunks in both modes")
+  }
+
   test("session_window gap sessionization runs in streaming mode") {
     val batchEvents = graft.core.Tables.events(spark, sfDir)
     val tmp = Files.createTempDirectory("graft-stream-sess").toString
