@@ -226,5 +226,31 @@ object CoreQueries extends QueryBase {
                round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
                round(quantile_cont(o_totalprice, 0.99), 6) AS p99
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
-      doc = "exact interpolated percentiles per group (quantile_cont parity)"))
+      doc = "exact interpolated percentiles per group (quantile_cont parity)"),
+
+    // ROLLUP grouping sets: subtotal + grand-total rows in one pass
+    // (Spark plans this as a single Expand + hash aggregate — one shuffle
+    // for all three grouping levels, not three jobs). Grouping nulls are
+    // rendered '(all)' for a deterministic compare (the grouped columns
+    // themselves are never null in this data).
+    Q(
+      "agg_rollup_sets",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+          .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+            coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+            col("n_rows"), col("sum_qty"))
+          .orderBy("rf", "ls")
+      },
+      Some("""
+        SELECT coalesce(l_returnflag, '(all)') AS rf,
+               coalesce(l_linestatus, '(all)') AS ls,
+               count(*) AS n_rows,
+               CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY rf, ls"""),
+      doc = "ROLLUP grouping sets (detail + subtotal + grand total) in one " +
+        "Expand + single-shuffle aggregate"))
 }

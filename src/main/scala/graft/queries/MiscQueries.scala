@@ -144,5 +144,82 @@ object MiscQueries extends QueryBase {
                count(*) AS n_orders
         FROM orders WHERE o_custkey < 200
         GROUP BY o_custkey ORDER BY o_custkey"""),
-      doc = "A16 ordered collect_list aggregation; reference post_opinion_patterns.py:140-148"))
+      doc = "A16 ordered collect_list aggregation; reference post_opinion_patterns.py:140-148"),
+
+    // One-pass table profiler: per-column null/distinct/min/max — the
+    // data-quality summary a pipeline emits before trusting a new drop.
+    // ONE aggregation over one scan produces every column's stats (the
+    // multi-COUNT(DISTINCT) plans as a single Expand + aggregate — row
+    // multiplication by #distinct-columns, the standard trade for a
+    // single-pass profile), then the wide 1-row result is exploded into
+    // the per-column ledger driver-side-free.
+    Q(
+      "pipe_profile_table",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val ag = o.agg(
+          count(lit(1)).as("n"),
+          count(col("o_orderstatus")).as("nn_s"),
+          countDistinct(col("o_orderstatus")).as("nd_s"),
+          min(col("o_orderstatus")).as("mn_s"),
+          max(col("o_orderstatus")).as("mx_s"),
+          count(col("o_orderpriority")).as("nn_p"),
+          countDistinct(col("o_orderpriority")).as("nd_p"),
+          min(col("o_orderpriority")).as("mn_p"),
+          max(col("o_orderpriority")).as("mx_p"),
+          count(col("o_totalprice")).as("nn_t"),
+          countDistinct(col("o_totalprice")).as("nd_t"),
+          min(col("o_totalprice")).as("mn_t"),
+          max(col("o_totalprice")).as("mx_t"),
+          count(col("o_orderdate")).as("nn_d"),
+          countDistinct(col("o_orderdate")).as("nd_d"),
+          date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("mn_d"),
+          date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("mx_d"))
+        val nullD = lit(null).cast("double")
+        val nullS = lit(null).cast("string")
+        def row(name: String, nn: String, nd: String,
+            mnNum: org.apache.spark.sql.Column, mxNum: org.apache.spark.sql.Column,
+            mnStr: org.apache.spark.sql.Column, mxStr: org.apache.spark.sql.Column) =
+          struct(lit(name).as("col"), col("n").as("n_rows"),
+            col(nn).as("n_nonnull"), col(nd).as("n_distinct"),
+            mnNum.as("min_num"), mxNum.as("max_num"),
+            mnStr.as("min_str"), mxStr.as("max_str"))
+        ag.select(explode(array(
+            row("o_orderdate", "nn_d", "nd_d", nullD, nullD, col("mn_d"), col("mx_d")),
+            row("o_orderpriority", "nn_p", "nd_p", nullD, nullD, col("mn_p"), col("mx_p")),
+            row("o_orderstatus", "nn_s", "nd_s", nullD, nullD, col("mn_s"), col("mx_s")),
+            row("o_totalprice", "nn_t", "nd_t", col("mn_t"), col("mx_t"), nullS, nullS)))
+          .as("p"))
+          .select(col("p.*"))
+          .orderBy("col")
+      },
+      Some("""
+        SELECT 'o_orderdate' AS col, count(*) AS n_rows,
+               count(o_orderdate) AS n_nonnull,
+               count(DISTINCT o_orderdate) AS n_distinct,
+               CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+               strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_str,
+               strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_str
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*), count(o_orderpriority),
+               count(DISTINCT o_orderpriority),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               min(o_orderpriority), max(o_orderpriority)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+               count(DISTINCT o_orderstatus),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               min(o_orderstatus), max(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', count(*), count(o_totalprice),
+               count(DISTINCT o_totalprice),
+               min(o_totalprice), max(o_totalprice),
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        FROM orders
+        ORDER BY col"""),
+      doc = "one-pass per-column table profiler (null/distinct/min/max " +
+        "ledger) via single Expand aggregate + explode"))
 }
