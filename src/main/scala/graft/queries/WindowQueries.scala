@@ -165,5 +165,55 @@ object WindowQueries extends QueryBase {
                                     ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
               FROM customer)
         GROUP BY c_nationkey, quartile ORDER BY c_nationkey, quartile"""),
-      doc = "W5 ordinal bucketing via ntile; §2.6"))
+      doc = "W5 ordinal bucketing via ntile; §2.6"),
+
+    // Time-series gap fill + forward fill (LOCF): densify each user's
+    // observed purchase days to a full daily grid, carrying the last
+    // observation across gaps — the resampling step a forecasting
+    // pipeline runs before feature extraction. Plan shape: the grid is
+    // an explode of per-user (min,max) spans (rows ∝ users × days, never
+    // a calendar cross join), the fill is one window per user ordered by
+    // day; at scale both shuffle once on user_id and the window state is
+    // a single value.
+    Q(
+      "window_forward_fill",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .filter(col("user_id") < 20 && col("event_type") === "purchase")
+        val daily = e.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(round(max(col("value")), 6).as("v"))
+        val span = daily.groupBy("user_id")
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        val grid = span.select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+        val w = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            last(col("v"), ignoreNulls = true).over(w).as("v_filled"),
+            col("v").isNull.as("was_gap"))
+          .orderBy("user_id", "day")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day, round(max(value), 6) AS v
+          FROM events WHERE user_id < 20 AND event_type = 'purchase'
+          GROUP BY 1, 2),
+        span AS (
+          SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+        grid AS (
+          SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                   CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+          FROM span)
+        SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+               last_value(d.v IGNORE NULLS) OVER (
+                 PARTITION BY g.user_id ORDER BY g.day
+                 ROWS UNBOUNDED PRECEDING) AS v_filled,
+               d.v IS NULL AS was_gap
+        FROM grid g LEFT JOIN daily d
+          ON g.user_id = d.user_id AND g.day = d.day
+        ORDER BY g.user_id, day"""),
+      doc = "time-series densify + LOCF forward fill (per-user day grid " +
+        "from span explode, one window per user)"))
 }
