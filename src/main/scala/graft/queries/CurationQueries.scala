@@ -157,6 +157,56 @@ object CurationQueries extends QueryBase {
       doc = "per-stratum deterministic hash-mod sampling for training " +
         "mixes; map-only rate test, rollup verifies the achieved mix"),
 
+    // Temperature-scaled mixture sampling (the UniMax-style alpha=0.5
+    // resample): per-language keep rates DERIVED FROM THE DATA —
+    // r_l = sqrt(n_min / n_l), so the rarest language keeps 100% and a
+    // language 4x its size keeps 50%, flattening the mix toward
+    // share^0.5. Rates are integerized to millis through sqrt + round
+    // only (both IEEE exact-rounded, so Spark and DuckDB derive the SAME
+    // integer rate — no pow() ulp hazard), then applied as the same
+    // deterministic md5 hash-mod test as pipe_stratified_sample.
+    // Plan: one language-cardinality agg + 1-row min, broadcast back;
+    // the corpus side stays map-only.
+    Q(
+      "pipe_temperature_mix",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val counts = d.groupBy("lang").agg(count(lit(1)).as("n_l"))
+        val minN = counts.agg(min(col("n_l")).as("n_min"))
+        val rates = counts.crossJoin(broadcast(minN))
+          .select(col("lang"),
+            round(lit(1000.0) *
+              sqrt(col("n_min").cast("double") / col("n_l").cast("double")))
+              .cast("long").as("rate_millis"))
+        val bucket = pmod(
+          conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long"), lit(1000L))
+        d.join(broadcast(rates), Seq("lang"))
+          .withColumn("kept", bucket < col("rate_millis"))
+          .groupBy("lang", "rate_millis")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+        r AS (
+          SELECT lang,
+                 CAST(round(1000 * sqrt(CAST((SELECT min(n_l) FROM c) AS DOUBLE)
+                                        / CAST(n_l AS DOUBLE))) AS BIGINT)
+                   AS rate_millis
+          FROM c)
+        SELECT d.lang, r.rate_millis, count(*) AS n_total,
+               CAST(sum(CASE WHEN
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 1000 < r.rate_millis
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM documents d JOIN r ON d.lang = r.lang
+        GROUP BY d.lang, r.rate_millis ORDER BY d.lang"""),
+      doc = "temperature-scaled mixture sampling (alpha=0.5): data-derived " +
+        "per-language rates sqrt(n_min/n_l), broadcast back over a " +
+        "map-only hash test"),
+
     // Token-budget shard packing (sequence packing's distribution half):
     // assign docs to ~1500-token shards per (lang, stream), stream =
     // doc_id % 4 — the hash split that keeps every packing partition at

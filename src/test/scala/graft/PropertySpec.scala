@@ -248,4 +248,25 @@ class PropertySpec extends AnyFunSuite {
         s"//$x//$y")
     }
   }
+
+  // ------------------------------------------------- bigram_stats kernel
+
+  test("bigram_stats kernel: model parity on arbitrary token arrays") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val tokGen = Gen.oneOf(Gen.const(""), Gen.const("a"), Gen.const("😀"),
+      Gen.const("Mür"), Gen.stringOfN(3, Gen.alphaLowerChar),
+      Gen.stringOfN(1, Gen.alphaLowerChar))
+    val arrGen = Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, tokGen))
+    forAll(arrGen) { toks =>
+      val arr = new GenericArrayData(
+        toks.map(t => UTF8String.fromString(t): AnyRef).toArray)
+      val row = graft.functions.ArrayKernelOps.bigramStats(arr)
+      val g2 = if (toks.size >= 2)
+        toks.sliding(2).map(_.mkString(" ")).toVector else Vector.empty[String]
+      val top = if (g2.isEmpty) 0 else g2.groupBy(identity).values.map(_.size).max
+      assert(row.getInt(0) === g2.size, s"n_bigrams for $toks")
+      assert(row.getInt(1) === g2.distinct.size, s"n_distinct for $toks")
+      assert(row.getInt(2) === top, s"top_count for $toks")
+    }
+  }
 }
