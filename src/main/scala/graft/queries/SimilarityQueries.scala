@@ -212,5 +212,84 @@ object SimilarityQueries extends QueryBase {
                  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rank
           FROM scored)
         WHERE rank <= 5 ORDER BY qid, rank"""),
-      doc = "LSH-bucketed ANN over banded hyperplane buckets, probe-capped (training pipeline)"))
+      doc = "LSH-bucketed ANN over banded hyperplane buckets, probe-capped (training pipeline)"),
+
+    // Int8 scalar-quantized search (the FAISS SQ8 memory path): per-dim
+    // [min,max] ranges from ONE corpus pass → every vector stored as 64
+    // uint8 codes (4x smaller than float32, the difference between
+    // fitting a 100 TB corpus's vectors in cluster RAM or not) → search
+    // scores queries (kept full-precision) against DEQUANTIZED codes.
+    // Everything is exact-rounded IEEE arithmetic (min/max/`round`/
+    // +-*/ /sqrt), so Spark and DuckDB produce bit-identical scores —
+    // the oracle replays quantize→dequantize→score end-to-end. The
+    // 1-row range frame broadcasts; the corpus never shuffles.
+    Q(
+      "sim_ann_sq8",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val v = vv(th(s, dir, "embeddings"))
+        val rng = v.select(posexplode(col("vv")).as(Seq("d0", "x")))
+          .groupBy("d0")
+          .agg(min(col("x").cast("double")).as("mn"),
+            max(col("x").cast("double")).as("mx"))
+        val rngArr = rng.agg(
+          transform(array_sort(collect_list(struct(col("d0"), col("mn")))),
+            t => t.getField("mn")).as("mns"),
+          transform(array_sort(collect_list(struct(col("d0"), col("mx")))),
+            t => t.getField("mx")).as("mxs"))
+        val deq = transform(sequence(lit(0), lit(dims - 1)), i => {
+          val x = element_at(col("vv"), i + 1).cast("double")
+          val mn = element_at(col("mns"), i + 1)
+          val span = element_at(col("mxs"), i + 1) - mn
+          val code = when(span > 0,
+            round(lit(255.0) * (x - mn) / span)).otherwise(lit(0.0))
+          mn + code * span / lit(255.0)
+        })
+        val corpus = v.crossJoin(broadcast(rngArr)).withColumn("dv", deq)
+        val q = broadcast(v.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("vv").as("qv")))
+        val w = Window.partitionBy("qid")
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+        corpus.crossJoin(q)
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("cosine", expr("cosine_fd(qv, dv)"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("rank"), col("vec_id"),
+            round(col("cosine"), 6).as("cosine_sq8"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS vv FROM embeddings),
+        rng AS (
+          SELECT d, min(x) AS mn, max(x) AS mx
+          FROM (SELECT unnest(vv) AS x, generate_subscripts(vv, 1) AS d FROM v)
+          GROUP BY d),
+        r1 AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
+               FROM rng),
+        corpus AS (
+          SELECT vec_id,
+                 [CASE WHEN mxs[i+1] - mns[i+1] > 0
+                       THEN mns[i+1] + round(255.0 * (vv[i+1] - mns[i+1])
+                              / (mxs[i+1] - mns[i+1]))
+                            * (mxs[i+1] - mns[i+1]) / 255.0
+                       ELSE mns[i+1] END
+                  FOR i IN range(0, $dims)] AS dv
+          FROM v CROSS JOIN r1),
+        q AS (SELECT vec_id AS qid, vv AS qv FROM v WHERE vec_id < 5),
+        scored AS (
+          SELECT qid, vec_id,
+                 list_sum([qv[i+1] * dv[i+1] FOR i IN range(0, $dims)]) /
+                 (sqrt(list_sum([qv[i+1] * qv[i+1] FOR i IN range(0, $dims)])) *
+                  sqrt(list_sum([dv[i+1] * dv[i+1] FOR i IN range(0, $dims)]))) AS cosine
+          FROM corpus CROSS JOIN q WHERE vec_id <> qid)
+        SELECT qid, rank, vec_id, round(cosine, 6) AS cosine_sq8 FROM (
+          SELECT qid, vec_id, cosine,
+                 row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rank
+          FROM scored)
+        WHERE rank <= 5 ORDER BY qid, rank"""),
+      doc = "int8 scalar-quantized ANN (FAISS SQ8-style): one-pass per-dim " +
+        "ranges, 4x-compressed codes, full quantize->dequantize->score " +
+        "replayed by the oracle"))
 }

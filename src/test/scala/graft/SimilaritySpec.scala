@@ -43,4 +43,19 @@ class SimilaritySpec extends SparkSpec {
     assert(topk("sim_ann_ivf").values.forall(_.size == 5))
     assert(topk("sim_ann_lsh").values.forall(_.size == 5))
   }
+
+  test("SQ8 scalar-quantized search recall@5 against the exact baseline") {
+    // SQ8 scans the whole corpus (it compresses memory, not candidates),
+    // so unlike IVF/LSH its only error source is quantization noise —
+    // recall must be near-perfect, not merely above a probe floor.
+    val exact = topk("sim_ann_bruteforce")
+    val sq = topk("sim_ann_sq8")
+    val per = exact.map { case (q, ids) =>
+      sq.getOrElse(q, Set.empty).intersect(ids).size.toDouble / ids.size
+    }
+    val recall = per.sum / per.size
+    info(f"recall@5: sq8=$recall%.2f")
+    assert(recall >= 0.8, f"SQ8 recall below quantization-noise bound: $recall%.2f")
+    assert(sq.values.forall(_.size == 5))
+  }
 }
