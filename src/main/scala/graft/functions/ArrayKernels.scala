@@ -154,6 +154,27 @@ object ArrayKernelOps {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](math.max(n - 1, 0), counts.size(), top))
   }
+
+  /** Repetition quality gate as ONE boolean kernel call — the predicate
+    * form of [[bigramStats]] for filter contexts. Catalyst pushes filter
+    * predicates through projections by alias substitution, so a predicate
+    * built from several GetStructField(bigram_stats(...)) references would
+    * run the stats kernel once PER REFERENCE per row inside FilterExec
+    * (no cross-reference CSE there); this single call computes the stats
+    * once and applies both thresholds. The arithmetic replicates the SQL
+    * form exactly: int-diff/int-max division and 2.0*top/nTok in the same
+    * left-to-right IEEE order as the oracle.
+    */
+  def repetitionKeep(arr: ArrayData, dupMax: Double, topMax: Double): Boolean = {
+    val row = bigramStats(arr)
+    val nB = row.getInt(0)
+    val nD = row.getInt(1)
+    val top = row.getInt(2)
+    val nTok = arr.numElements()
+    val dup = (nB - nD).toDouble / math.max(nB, 1)
+    val topFrac = 2.0 * top / math.max(nTok, 1)
+    dup <= dupMax && topFrac <= topMax
+  }
 }
 
 private[functions] trait StringArrayInput { self: Expression =>
@@ -302,6 +323,27 @@ case class BigramStats(child: Expression)
     defineCodeGen(ctx, ev,
       c => s"graft.functions.ArrayKernelOps.bigramStats($c)")
   override protected def withNewChildInternal(c: Expression): BigramStats =
+    copy(child = c)
+}
+
+/** `repetition_keep(array<string>, dupMax, topMax) → boolean` — the gate
+  * predicate of [[BigramStats]] in one call (thresholds are literals).
+  * See [[ArrayKernelOps.repetitionKeep]] for why the predicate form
+  * exists: pushed filters evaluate each struct-field reference
+  * independently.
+  */
+case class RepetitionKeep(child: Expression, dupMax: Double, topMax: Double)
+    extends UnaryExpression with StringArrayInput {
+  override protected def arrayChild: Expression = child
+  override def checkInputDataTypes(): TypeCheckResult = requireStringArray()
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "repetition_keep"
+  override protected def nullSafeEval(a: Any): Any =
+    ArrayKernelOps.repetitionKeep(a.asInstanceOf[ArrayData], dupMax, topMax)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ArrayKernelOps.repetitionKeep($c, $dupMax, $topMax)")
+  override protected def withNewChildInternal(c: Expression): RepetitionKeep =
     copy(child = c)
 }
 

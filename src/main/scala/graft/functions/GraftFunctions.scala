@@ -26,6 +26,16 @@ object GraftFunctions {
       s"murmur3_seeded seed must be an integer literal, got $other")
   }
 
+  private def dblOf(e: Expression): Double = e.eval() match {
+    case d: Double => d
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case i: Int => i.toDouble
+    case l: Long => l.toDouble
+    case f: Float => f.toDouble
+    case other => throw new IllegalArgumentException(
+      s"expected a numeric literal, got $other")
+  }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "trigram_sim" -> (exprs => TrigramSimilarity(exprs(0), exprs(1))),
     "murmur3_seeded" -> (exprs => Murmur3Seeded(exprs(0), seedOf(exprs(1)))),
@@ -36,7 +46,9 @@ object GraftFunctions {
     "cosine_ff" -> (exprs => CosineFF(exprs(0), exprs(1))),
     "cosine_fd" -> (exprs => CosineFD(exprs(0), exprs(1))),
     "band_keys_f" -> (exprs => BandKeysF(exprs(0))),
-    "bigram_stats" -> (exprs => BigramStats(exprs(0))))
+    "bigram_stats" -> (exprs => BigramStats(exprs(0))),
+    "repetition_keep" -> (exprs =>
+      RepetitionKeep(exprs(0), dblOf(exprs(1)), dblOf(exprs(2)))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -15,36 +15,65 @@ import org.apache.spark.sql.functions._
   * over (lang, stream) where `stream` is a hash split, so no packing
   * partition ever exceeds 1/N of a language and the sort stays bounded.
   */
-object CurationQueries extends QueryBase {
+/** The single source of truth for the curation gate/chunk parameters and
+  * the shared expression builders — `text_repetition_filter`,
+  * `text_chunk_split`, and the batch/streaming intake all read THESE, so
+  * the "same thresholds / same geometry" parity the docs and
+  * StreamingSpec claim is enforced structurally, not by convention.
+  */
+object CurationDefs {
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.functions._
 
-  /** Shared batch/streaming curation-intake transform: repetition quality
-    * gate (one-pass codegen `bigram_stats` kernel, same thresholds as
-    * `text_repetition_filter`) then stride-overlapped token chunking
-    * (same 32/24/min-8 geometry as `text_chunk_split`). Every step is a
-    * stateless row-level expression, so the SAME function runs unchanged
-    * under Structured Streaming ([[graft.streaming.Incremental
-    * .curationIntake]]) — no watermark or state store; at continuous
-    * ingest scale this is pure map parallelism.
-    */
-  def curateChunks(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions._
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    val t = split(lower(col("text")), "\\s+")
-    val bs = col("bs")
-    val dupFrac = (bs("n_bigrams") - bs("n_distinct")) /
-      greatest(bs("n_bigrams"), lit(1))
-    val topFrac = lit(2.0) * bs("top_count") / greatest(size(col("t")), lit(1))
-    docs.select(col("doc_id"), t.as("t"))
-      .select(col("doc_id"), col("t"), expr("bigram_stats(t)").as("bs"))
-      .filter(dupFrac <= 0.08 && topFrac <= 0.2)
+  /** Repetition-gate thresholds (dup-bigram fraction, top-bigram token
+    * coverage). */
+  val DupMax = 0.08
+  val TopMax = 0.2
+
+  /** Chunk geometry: window length, stride, minimum tail length. */
+  val ChunkLen = 32
+  val ChunkStride = 24
+  val ChunkMinTail = 8
+
+  /** Lowercased whitespace tokens of `text` (the curation tokenizer). */
+  def toks: Column = split(lower(col("text")), "\\s+")
+
+  /** Stride-overlapped token-window chunking of a (doc_id, t) frame —
+    * expression-only (sequence + explode + slice), no shuffle. */
+  def chunkExplode(withToks: DataFrame): DataFrame =
+    withToks
       .select(col("doc_id"), col("t"),
-        explode(sequence(lit(1), size(col("t")), lit(24))).as("s"))
+        explode(sequence(lit(1), size(col("t")), lit(ChunkStride))).as("s"))
       .select(col("doc_id"), col("s").as("chunk_start"),
-        (least(col("s") + 31, size(col("t"))) - col("s") + 1)
+        (least(col("s") + (ChunkLen - 1), size(col("t"))) - col("s") + 1)
           .as("n_chunk_tokens"),
         concat_ws(" ", slice(col("t"), col("s"),
-          least(lit(32), size(col("t")) - col("s") + 1))).as("chunk"))
-      .filter(col("n_chunk_tokens") >= 8)
+          least(lit(ChunkLen), size(col("t")) - col("s") + 1))).as("chunk"))
+      .filter(col("n_chunk_tokens") >= ChunkMinTail)
+}
+
+object CurationQueries extends QueryBase {
+  import CurationDefs._
+
+  /** Shared batch/streaming curation-intake transform: repetition quality
+    * gate then stride-overlapped token chunking, both driven by
+    * [[CurationDefs]]. The gate is the single-call `repetition_keep`
+    * kernel rather than threshold arithmetic over `bigram_stats` fields:
+    * Catalyst pushes the filter below the token projection by alias
+    * substitution, and FilterExec evaluates each struct-field reference
+    * independently — the one-call predicate keeps the stats pass at
+    * exactly one kernel run per row wherever the filter lands. Every
+    * step is a stateless row-level expression, so the SAME function runs
+    * unchanged under Structured Streaming
+    * ([[graft.streaming.Incremental.curationIntake]]) — no watermark or
+    * state store; at continuous ingest scale this is pure map
+    * parallelism.
+    */
+  def curateChunks(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    chunkExplode(
+      docs.select(col("doc_id"), toks.as("t"))
+        .filter(expr(s"repetition_keep(t, $DupMax, $TopMax)")))
   }
 
   /** Distinct word-5-grams of lower(text) — decontamination standard

@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries extends QueryBase {
 
-  /** Lowercased whitespace tokens of `text` (shared tokenizer base). */
-  private def toks = split(lower(col("text")), "\\s+")
+  /** Lowercased whitespace tokens of `text` (shared tokenizer base —
+    * the same expression the curation family uses, see
+    * [[CurationDefs.toks]]). */
+  private def toks = CurationDefs.toks
 
   val all: Seq[Q] = Seq(
     // N1/W5: tokenize + 1-based positional explode, global term counts.
@@ -330,13 +332,16 @@ object TextQueries extends QueryBase {
     // Repetition-based quality gate (the Gopher-style dup-ngram rules a
     // crawl-curation job applies before tokenization): per doc, the
     // fraction of word-bigrams that are duplicates and the token coverage
-    // of the single most frequent bigram; docs over either threshold drop.
-    // Plan shape: ZERO shuffles before the final sort — all three bigram
-    // statistics come from ONE pass over the doc's own token array in the
-    // codegen'd `bigram_stats` kernel (graft.functions.BigramStats), so
-    // the whole filter is row-level map work that scales embarrassingly;
-    // the oracle recomputes the mode via the independent unnest+GROUP BY
-    // route and the ScalaTest model via a third (collections) route.
+    // of the single most frequent bigram; docs over either threshold
+    // (CurationDefs.DupMax / TopMax — shared with the batch/streaming
+    // intake) drop. Plan shape: ZERO shuffles before the final sort —
+    // all three bigram statistics come from ONE pass over the doc's own
+    // token array in the codegen'd `bigram_stats` kernel
+    // (graft.functions.BigramStats), and all references stay inside one
+    // Project where subexpression elimination collapses them to a single
+    // kernel run; the oracle recomputes the mode via the independent
+    // unnest+GROUP BY route and the ScalaTest model via a third
+    // (collections) route.
     Q(
       "text_repetition_filter",
       (s, dir) => {
@@ -352,7 +357,8 @@ object TextQueries extends QueryBase {
           .select(col("doc_id"), col("n_tokens"),
             round(dupFrac, 6).as("dup_bigram_frac"),
             round(topFrac, 6).as("top_bigram_frac"),
-            (dupFrac <= 0.08 && topFrac <= 0.2).as("keep"))
+            (dupFrac <= CurationDefs.DupMax && topFrac <= CurationDefs.TopMax)
+              .as("keep"))
           .orderBy("doc_id")
       },
       Some("""
@@ -384,23 +390,16 @@ object TextQueries extends QueryBase {
         "fractions), shuffle-free via sorted-run-length aggregate HOF"),
 
     // Context-window chunking: split each document into stride-overlapped
-    // token windows (32 tokens, stride 24, min tail 8) — the step that
-    // turns curated documents into training/RAG sequences. Expression-only
-    // (sequence + explode + slice): per-row map work, no shuffle, so a
-    // 100 TB corpus chunks at scan speed.
+    // token windows (CurationDefs geometry: 32 tokens, stride 24, min
+    // tail 8 — the same chunkExplode the batch/streaming intake uses) —
+    // the step that turns curated documents into training/RAG sequences.
+    // Expression-only (sequence + explode + slice): per-row map work, no
+    // shuffle, so a 100 TB corpus chunks at scan speed.
     Q(
       "text_chunk_split",
       (s, dir) => {
         val d = th(s, dir, "documents")
-        d.select(col("doc_id"), toks.as("t"))
-          .select(col("doc_id"), col("t"),
-            explode(sequence(lit(1), size(col("t")), lit(24))).as("s"))
-          .select(col("doc_id"), col("s").as("chunk_start"),
-            (least(col("s") + 31, size(col("t"))) - col("s") + 1)
-              .as("n_chunk_tokens"),
-            concat_ws(" ", slice(col("t"), col("s"),
-              least(lit(32), size(col("t")) - col("s") + 1))).as("chunk"))
-          .filter(col("n_chunk_tokens") >= 8)
+        CurationDefs.chunkExplode(d.select(col("doc_id"), toks.as("t")))
           .orderBy("doc_id", "chunk_start")
       },
       Some("""
