@@ -444,5 +444,78 @@ object DedupQueries extends QueryBase {
         FROM lab GROUP BY label ORDER BY label"""),
       doc = "SemDeDup-style semantic dedup composite: LSH cosine pairs -> " +
         "connected components -> keep-one-per-cluster ledger; oracle " +
-        "replays the closure via recursive CTE"))
+        "replays the closure via recursive CTE"),
+
+    // Keep-BEST-per-cluster: the representative policy production
+    // curation actually uses — keep the highest-quality member of each
+    // near-dup cluster (here: longest document, ties to lowest id), not
+    // the arbitrary min-id. Same pair graph and components as
+    // dedup_semantic_cluster (memoized — the CC labels join the quality
+    // table once, one hash shuffle on id); the argmax is a per-cluster
+    // window over cluster-sized partitions.
+    Q(
+      "dedup_keep_best",
+      (s, dir) => {
+        val pairs = embeddingPairs(s, dir)
+        val labels = graft.ml.ConnectedComponents.run(
+          pairs.select(col("left_id").as("src"), col("right_id").as("dst")))
+        val quality = t(s, dir, "documents")
+          .select(col("doc_id").as("id"), col("n_chars"))
+        val w = Window.partitionBy("label")
+          .orderBy(col("n_chars").desc, col("id").asc)
+        labels.join(quality, Seq("id"))
+          .withColumn("rk", row_number().over(w))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_members"),
+            max(when(col("rk") === 1, col("id"))).as("best_id"),
+            max(when(col("rk") === 1, col("n_chars"))).as("best_n_chars"))
+          .orderBy("label")
+      },
+      Some("""
+        WITH RECURSIVE v AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS vv FROM embeddings),
+        buckets AS (
+          SELECT vec_id, bd, bkey FROM (
+            SELECT vec_id, bd,
+                   CAST(list_sum([CASE WHEN list_sum([vv[d+1] *
+                       CAST((CAST(concat('0x', substr(md5(CAST(bd*4+j AS VARCHAR) || '_' ||
+                         CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % 2001) - 1000 AS DOUBLE)
+                       FOR d IN range(0, 64)]) > 0
+                     THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END FOR j IN range(0, 4)]) AS BIGINT) AS bkey
+            FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS bd) t)
+          QUALIFY row_number() OVER (PARTITION BY bd, bkey ORDER BY vec_id) <= 32),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS left_id, b.vec_id AS right_id
+          FROM buckets a JOIN buckets b
+            ON a.bd = b.bd AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+        pairs AS (
+          SELECT left_id, right_id
+          FROM (SELECT left_id, right_id,
+                 list_sum([va.vv[i+1] * vb.vv[i+1] FOR i IN range(0, 64)]) /
+                 (sqrt(list_sum([va.vv[i+1] * va.vv[i+1] FOR i IN range(0, 64)])) *
+                  sqrt(list_sum([vb.vv[i+1] * vb.vv[i+1] FOR i IN range(0, 64)]))) AS cosine
+                FROM cand JOIN v va ON cand.left_id = va.vec_id
+                          JOIN v vb ON cand.right_id = vb.vec_id)
+          WHERE cosine >= 0.4),
+        edges AS (
+          SELECT left_id AS u, right_id AS w FROM pairs
+          UNION ALL SELECT right_id, left_id FROM pairs),
+        reach(u, r) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT e.u, reach.r FROM edges e JOIN reach ON e.w = reach.u),
+        lab AS (SELECT u AS id, min(r) AS label FROM reach GROUP BY u),
+        q AS (
+          SELECT lab.id, label, n_chars,
+                 row_number() OVER (PARTITION BY label
+                                    ORDER BY n_chars DESC, lab.id ASC) AS rk
+          FROM lab JOIN documents d ON lab.id = d.doc_id)
+        SELECT label, count(*) AS n_members,
+               max(CASE WHEN rk = 1 THEN id END) AS best_id,
+               max(CASE WHEN rk = 1 THEN n_chars END) AS best_n_chars
+        FROM q GROUP BY label ORDER BY label"""),
+      doc = "keep-best-per-cluster dedup policy: semantic clusters joined " +
+        "to a quality signal, per-cluster argmax (longest doc, ties to " +
+        "lowest id) replayed by the oracle's window over the recursive " +
+        "closure"))
 }
