@@ -35,18 +35,19 @@ object DedupQueries extends QueryBase {
     * verified pair set is cached; per-bucket probe cap 32 bounds the
     * quadratic term at any corpus size.
     *
-    * Memoized per (session, dir): both consumers (and bench repeats)
-    * share ONE persisted pair set instead of re-running the pipeline and
-    * stacking duplicate cache entries.
+    * Each call rebuilds the PLAN, but storage is shared: Spark's
+    * CacheManager registers cache entries by canonicalized plan, so the
+    * identical `persist()` from a second consumer (or a bench repeat)
+    * attaches to the existing entry instead of stacking a copy, and its
+    * `count()` materialization is served from that cache. No
+    * driver-side memo is kept on purpose — a memo map would pin dead
+    * sessions, serve stale pairs if the dir's data were rewritten
+    * mid-session, and run multi-second Spark jobs inside a map lock;
+    * the CacheManager already provides the sharing with none of that.
+    * (Cross-query timing consequence: whichever dedup query touches the
+    * pair set first pays the build — documented in the verify skill.)
     */
-  private val pairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
-  private def embeddingPairs(s: SparkSession, dir: String): DataFrame =
-    pairsMemo.computeIfAbsent((s, dir),
-      (k: (SparkSession, String)) => buildEmbeddingPairs(k._1, k._2))
-
-  private def buildEmbeddingPairs(s: SparkSession, dir: String): DataFrame = {
+  private def embeddingPairs(s: SparkSession, dir: String): DataFrame = {
     val e = th(s, dir, "embeddings")
     val v = e.select(col("vec_id"), col("embedding").as("vv"))
     graft.functions.GraftFunctions.register(s)
