@@ -368,5 +368,84 @@ object CurationQueries extends QueryBase {
         WHERE least(s + 31, len(t)) - s + 1 >= 8
         ORDER BY doc_id, chunk_start"""),
       doc = "curation intake composite (repetition gate -> chunking), the " +
-        "batch face of the shared batch/streaming transform"))
+        "batch face of the shared batch/streaming transform"),
+
+    // DSIR importance resampling (Data Selection for Language Models via
+    // Importance Resampling, Xie et al. 2023): score raw documents by
+    // how target-like their hashed-n-gram feature distribution is.
+    // Features are bigrams folded into B=64 buckets by a char-level
+    // polynomial hash (acc*31+code mod 1000003, then mod B — the same
+    // left fold evaluates in DuckDB's list_reduce, keeping the oracle
+    // independent); target = the doc_id%10==0 slice standing in for the
+    // high-quality domain, raw = the rest. Per doc:
+    // logw = Σ_f [ln p̂_target(f) − ln p̂_raw(f)] over its bigram
+    // occurrences, add-0.5 smoothed. Selection is then orderBy(logw
+    // desc) ∘ limit — kept OUT of this row so the hash-compare never
+    // rides on float ordering. Plan shape: the two feature tables are
+    // bounded by B=64 rows AT ANY CORPUS SIZE (the entire point of
+    // feature hashing) and broadcast; scoring is map-side against those
+    // broadcasts plus one per-doc reduce — at 100 TB the only keyed
+    // shuffle is the final doc_id aggregation.
+    Q(
+      "pipe_dsir_resample",
+      (s, dir) => {
+        val bg = th(s, dir, "documents")
+          .select(col("doc_id"), toks.as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
+              concat(element_at(col("t"), i), lit(" "),
+                element_at(col("t"), i + 1)))).as("bs"))
+          .select(col("doc_id"),
+            expr("aggregate(transform(sequence(1, char_length(bs)), " +
+              "i -> ascii(substring(bs, i, 1))), 0L, " +
+              "(acc, c) -> (acc * 31 + c) % 1000003) % 64").as("f"))
+        val isT = col("doc_id") % 10 === 0
+        val tc = bg.filter(isT).groupBy("f").agg(count(lit(1)).as("ct"))
+        val rc = bg.filter(!isT).groupBy("f").agg(count(lit(1)).as("cr"))
+        val tot = bg.agg(
+          sum(isT.cast("long")).as("nt"),
+          sum((!isT).cast("long")).as("nr"))
+        bg.filter(!isT)
+          .join(broadcast(tc), Seq("f"), "left")
+          .join(broadcast(rc), Seq("f"), "left")
+          .crossJoin(broadcast(tot))
+          .groupBy("doc_id")
+          .agg(
+            round(sum(
+              log((coalesce(col("ct"), lit(0L)) + lit(0.5)) /
+                (col("nt") + lit(32.0))) -
+              log((coalesce(col("cr"), lit(0L)) + lit(0.5)) /
+                (col("nr") + lit(32.0)))), 6).as("logw"),
+            count(lit(1)).as("n_feats"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH tk AS (
+          SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+          FROM documents),
+        bg AS (
+          SELECT doc_id,
+                 list_reduce(
+                   [unicode(c) FOR c IN string_split(p[1] || ' ' || p[2], '')],
+                   (a, b) -> (a * 31 + b) % 1000003) % 64 AS f
+          FROM (SELECT doc_id,
+                       unnest([[t[i], t[i+1]] FOR i IN range(1, len(t))]) AS p
+                FROM tk WHERE len(t) >= 2)),
+        tc AS (SELECT f, count(*) AS ct FROM bg WHERE doc_id % 10 = 0 GROUP BY 1),
+        rc AS (SELECT f, count(*) AS cr FROM bg WHERE doc_id % 10 <> 0 GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+                 CAST(sum(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nr
+          FROM bg)
+        SELECT bg.doc_id,
+               round(sum(ln((COALESCE(tc.ct, 0) + 0.5) / (nt + 32.0))
+                       - ln((COALESCE(rc.cr, 0) + 0.5) / (nr + 32.0))), 6) AS logw,
+               CAST(count(*) AS BIGINT) AS n_feats
+        FROM bg LEFT JOIN tc USING (f) LEFT JOIN rc USING (f), tot
+        WHERE bg.doc_id % 10 <> 0
+        GROUP BY bg.doc_id
+        ORDER BY doc_id"""),
+      doc = "DSIR hashed-bigram importance weights (B=64 buckets, add-0.5 " +
+        "smoothing); feature tables are B-bounded broadcasts at any scale"))
 }

@@ -477,5 +477,78 @@ object TextQueries extends QueryBase {
         FROM d, stats
         ORDER BY bm25 DESC, doc_id LIMIT 20"""),
       doc = "BM25 ranked retrieval (k1=1.2, b=0.75, Lucene idf) — one global " +
-        "stats row broadcast back over row-level tf/dl; no keyed shuffle"))
+        "stats row broadcast back over row-level tf/dl; no keyed shuffle"),
+
+    // LM-perplexity quality scoring (the CCNet-style filter: score every
+    // document by an n-gram language model and gate on the score;
+    // Wenzek et al. 2020 use an external KenLM 5-gram — here a 2-gram
+    // add-0.5 model trained on the corpus itself, the self-contained
+    // variant). nll = mean over the doc's bigrams of
+    // -ln((C(w1,w2)+0.5) / (C(w1)+0.5·V)). The fixture plants repetitive
+    // boilerplate (first bigram ×40, re-keyed +200000): template spam is
+    // the LOW-perplexity tail a real pipeline trims, and the plants
+    // separate fully from natural docs (CurationOpsSpec asserts the gap).
+    // Plan shape: bigram extraction is a row-level array transform; the
+    // LM tables cost ONE hash shuffle each and are vocabulary-sized
+    // (distinct bigrams ≪ corpus rows); scoring re-joins corpus bigrams
+    // to the tables on their natural keys (AQE broadcasts them when they
+    // fit) and reduces per doc — no all-pairs term anywhere, so the same
+    // plan holds at 100 TB.
+    Q(
+      "text_lm_score",
+      (s, dir) => {
+        val base = th(s, dir, "documents").select(col("doc_id"), toks.as("t"))
+        val corpus = base
+          .unionByName(base
+            .filter(col("doc_id") % 50 === 0 && size(col("t")) >= 2)
+            .select((col("doc_id") + 200000L).as("doc_id"),
+              flatten(array_repeat(slice(col("t"), 1, 2), 40)).as("t")))
+          .filter(size(col("t")) >= 2)
+        val bg = corpus
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
+              struct(element_at(col("t"), i).as("w1"),
+                element_at(col("t"), i + 1).as("w2")))).as("p"))
+          .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+        val uc = bc.groupBy("w1").agg(sum(col("cb")).as("cu"))
+        val vv = corpus.select(explode(col("t")).as("w"))
+          .agg(countDistinct(col("w")).as("v"))
+        bg.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
+          .crossJoin(broadcast(vv))
+          .groupBy("doc_id")
+          .agg(
+            round(avg(-log((col("cb") + lit(0.5)) /
+              (col("cu") + lit(0.5) * col("v")))), 6).as("nll"),
+            count(lit(1)).as("n_bigrams"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH tk0 AS (
+          SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+          FROM documents),
+        tk AS (
+          SELECT doc_id, t FROM tk0
+          UNION ALL
+          SELECT doc_id + 200000 AS doc_id,
+                 flatten([t[1:2] FOR i IN range(1, 41)]) AS t
+          FROM tk0 WHERE doc_id % 50 = 0 AND len(t) >= 2),
+        bg AS (
+          SELECT doc_id, p[1] AS w1, p[2] AS w2
+          FROM (SELECT doc_id,
+                       unnest([[t[i], t[i+1]] FOR i IN range(1, len(t))]) AS p
+                FROM tk WHERE len(t) >= 2)),
+        bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+        uc AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM bc GROUP BY 1),
+        vv AS (SELECT count(DISTINCT w) AS v
+               FROM (SELECT unnest(t) AS w FROM tk WHERE len(t) >= 2))
+        SELECT bg.doc_id,
+               round(avg(-ln((bc.cb + 0.5) / (uc.cu + 0.5 * vv.v))), 6) AS nll,
+               CAST(count(*) AS BIGINT) AS n_bigrams
+        FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1), vv
+        GROUP BY bg.doc_id
+        ORDER BY doc_id"""),
+      doc = "bigram-LM perplexity scoring (CCNet-style quality filter, " +
+        "self-trained add-0.5 model); planted boilerplate lands in the " +
+        "low-NLL tail"))
 }

@@ -133,4 +133,68 @@ class CurationOpsSpec extends SparkSpec {
         }
     }
   }
+
+  test("text_lm_score matches a plain-Scala bigram LM and separates plants") {
+    // Corpus = natural docs + repetitive boilerplate plants (first bigram
+    // ×40, re-keyed +200000), exactly as the query mints them.
+    val corpus: Map[Long, Vector[String]] =
+      docs.filter(_._2.size >= 2) ++
+        docs.collect { case (id, t) if id % 50 == 0 && t.size >= 2 =>
+          (id + 200000L) -> Vector.fill(40)(t.take(2)).flatten
+        }
+    val bigrams = corpus.view.mapValues(t => t.sliding(2).map {
+      p => (p(0), p(1))
+    }.toVector).toMap
+    val bc = bigrams.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val uc = bc.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val v = corpus.values.flatten.toSet.size
+    val want = bigrams.map { case (id, bs) =>
+      id -> (round6(bs.map { b =>
+        -math.log((bc(b) + 0.5) / (uc(b._1) + 0.5 * v))
+      }.sum / bs.size), bs.size.toLong)
+    }
+    val got = Catalog.byName("text_lm_score").spark(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (id, (nll, n)) =>
+      assert(got(id)._2 === n, s"doc $id n_bigrams")
+      assert(math.abs(got(id)._1 - nll) <= 1e-6, s"doc $id nll")
+    }
+    // the filterable signal: every boilerplate plant scores strictly below
+    // every natural doc (the low-perplexity template-spam tail)
+    val (planted, natural) = got.partition(_._1 >= 200000L)
+    assert(planted.nonEmpty && natural.nonEmpty)
+    assert(planted.values.map(_._1).max < natural.values.map(_._1).min)
+  }
+
+  test("pipe_dsir_resample matches a plain-Scala importance model") {
+    val B = 64
+    def bucket(w1: String, w2: String): Long = {
+      val s = w1 + " " + w2
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000003L) % B
+    }
+    val feats: Map[Long, Vector[Long]] = docs.collect {
+      case (id, t) if t.size >= 2 =>
+        id -> t.sliding(2).map(p => bucket(p(0), p(1))).toVector
+    }
+    val (tgt, raw) = feats.partition(_._1 % 10 == 0)
+    val tc = tgt.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val rc = raw.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val (nt, nr) = (tgt.values.map(_.size).sum, raw.values.map(_.size).sum)
+    val want = raw.map { case (id, fs) =>
+      id -> (round6(fs.map { f =>
+        math.log((tc.getOrElse(f, 0) + 0.5) / (nt + 0.5 * B)) -
+          math.log((rc.getOrElse(f, 0) + 0.5) / (nr + 0.5 * B))
+      }.sum), fs.size.toLong)
+    }
+    val got = Catalog.byName("pipe_dsir_resample").spark(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (id, (lw, n)) =>
+      assert(got(id)._2 === n, s"doc $id n_feats")
+      assert(math.abs(got(id)._1 - lw) <= 1e-6, s"doc $id logw")
+    }
+    // weights must discriminate, not collapse to a constant
+    assert(got.values.map(_._1).toSet.size > 1)
+  }
 }
