@@ -252,5 +252,51 @@ object CoreQueries extends QueryBase {
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY rf, ls"""),
       doc = "ROLLUP grouping sets (detail + subtotal + grand total) in one " +
-        "Expand + single-shuffle aggregate"))
+        "Expand + single-shuffle aggregate"),
+
+    // Sketch aggregates with a VERIFIED error contract — the 100 TB
+    // cardinality/quantile path. approx_count_distinct is HLL++ and
+    // percentile_approx is a GK quantile summary: both are fixed-size
+    // mergeable state (map-side partials, no per-value shuffle), which is
+    // what replaces exact COUNT(DISTINCT)/percentile when the value set
+    // itself is too big to shuffle. The query computes sketch AND exact
+    // per group and emits the bound checks (HLL within 5% of exact;
+    // approx p50 within 5% of the group's value range); the oracle
+    // recomputes the exact columns and expects every contract flag TRUE —
+    // so the sketches' accuracy is value-gated, not taken on faith.
+    Q(
+      "agg_sketch_contract",
+      (s, dir) => {
+        val d = th(s, dir, "documents")
+        val tok = d.select(col("lang"), explode(CurationDefs.toks).as("w"))
+          .groupBy("lang")
+          .agg(countDistinct(col("w")).as("n_distinct"),
+            approx_count_distinct(col("w"), 0.02).as("hll"))
+        val doc = d.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            round(percentile(col("n_chars"), lit(0.5)), 6).as("p50"),
+            percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("p50a"),
+            min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+        tok.join(doc, Seq("lang"))
+          .select(col("lang"), col("n_docs"), col("n_distinct"),
+            (abs(col("hll") - col("n_distinct")) <=
+              ceil(col("n_distinct") * 0.05)).as("hll_ok"),
+            col("p50"),
+            (abs(col("p50a") - col("p50")) <=
+              (col("hi") - col("lo")) * 0.05 + 1e-9).as("p50_ok"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS w
+          FROM documents),
+        td AS (SELECT lang, count(DISTINCT w) AS n_distinct FROM tok GROUP BY 1),
+        dd AS (SELECT lang, count(*) AS n_docs,
+                      round(quantile_cont(n_chars, 0.5), 6) AS p50
+               FROM documents GROUP BY 1)
+        SELECT lang, n_docs, n_distinct, TRUE AS hll_ok, p50, TRUE AS p50_ok
+        FROM td JOIN dd USING (lang)
+        ORDER BY lang"""),
+      doc = "HLL++ approx-distinct + GK approx-percentile next to their " +
+        "exact twins, with the error contract value-gated by the oracle"))
 }
