@@ -28,7 +28,9 @@ class OracleLintSpec extends AnyFunSuite {
     // windowed session counter used as a GROUP BY key only (window_sessionize)
     ("sum(case when gap_sec", "grouping key, dropped before final projection"),
     // list_sum is DuckDB's array fold over DOUBLE vectors (cosine oracles)
-    ("list_sum(", "array fold over DOUBLE embeddings")
+    ("list_sum(", "array fold over DOUBLE embeddings"),
+    // double-typed: DSIR importance weights are sums of ln() terms
+    ("sum(ln(", "sum over DOUBLE log-ratio terms")
   )
 
   test("every projected integer sum in oracle SQL is CAST to BIGINT") {
