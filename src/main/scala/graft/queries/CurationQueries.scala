@@ -38,6 +38,13 @@ object CurationDefs {
   /** Lowercased whitespace tokens of `text` (the curation tokenizer). */
   def toks: Column = split(lower(col("text")), "\\s+")
 
+  /** Adjacent-token bigram pairs of token array `t` as
+    * array<struct<w1,w2>> (empty below 2 tokens) — shared by the LM
+    * scorer and the DSIR featurizer so the pair geometry can't drift. */
+  def bigramPairs(t: Column): Column =
+    transform(sequence(lit(1), size(t) - 1), i =>
+      struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2")))
+
   /** Stride-overlapped token-window chunking of a (doc_id, t) frame —
     * expression-only (sequence + explode + slice), no shuffle. */
   def chunkExplode(withToks: DataFrame): DataFrame =
@@ -381,42 +388,41 @@ object CurationQueries extends QueryBase {
     // logw = Σ_f [ln p̂_target(f) − ln p̂_raw(f)] over its bigram
     // occurrences, add-0.5 smoothed. Selection is then orderBy(logw
     // desc) ∘ limit — kept OUT of this row so the hash-compare never
-    // rides on float ordering. Plan shape: the two feature tables are
-    // bounded by B=64 rows AT ANY CORPUS SIZE (the entire point of
-    // feature hashing) and broadcast; scoring is map-side against those
-    // broadcasts plus one per-doc reduce — at 100 TB the only keyed
-    // shuffle is the final doc_id aggregation.
+    // rides on float ordering. Plan shape: TWO corpus passes total —
+    // one groupBy("f") with conditional counts builds the single
+    // feature-stats frame (bounded by B=64 rows AT ANY CORPUS SIZE, the
+    // entire point of feature hashing; nt/nr fold from those 64 rows
+    // rather than a third corpus scan, since every occurrence lands in
+    // exactly one bucket), and one pass scores map-side against its
+    // broadcast — at 100 TB the only keyed shuffle is the final
+    // doc_id aggregation.
     Q(
       "pipe_dsir_resample",
       (s, dir) => {
         val bg = th(s, dir, "documents")
           .select(col("doc_id"), toks.as("t"))
           .filter(size(col("t")) >= 2)
+          .select(col("doc_id"), explode(bigramPairs(col("t"))).as("p"))
           .select(col("doc_id"),
-            explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
-              concat(element_at(col("t"), i), lit(" "),
-                element_at(col("t"), i + 1)))).as("bs"))
+            concat(col("p.w1"), lit(" "), col("p.w2")).as("bs"))
           .select(col("doc_id"),
             expr("aggregate(transform(sequence(1, char_length(bs)), " +
               "i -> ascii(substring(bs, i, 1))), 0L, " +
               "(acc, c) -> (acc * 31 + c) % 1000003) % 64").as("f"))
         val isT = col("doc_id") % 10 === 0
-        val tc = bg.filter(isT).groupBy("f").agg(count(lit(1)).as("ct"))
-        val rc = bg.filter(!isT).groupBy("f").agg(count(lit(1)).as("cr"))
-        val tot = bg.agg(
-          sum(isT.cast("long")).as("nt"),
-          sum((!isT).cast("long")).as("nr"))
+        val fc = bg.groupBy("f").agg(
+          sum(isT.cast("long")).as("ct"),
+          sum((!isT).cast("long")).as("cr"))
+        val tot = fc.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
         bg.filter(!isT)
-          .join(broadcast(tc), Seq("f"), "left")
-          .join(broadcast(rc), Seq("f"), "left")
+          .join(broadcast(fc), Seq("f"))
           .crossJoin(broadcast(tot))
           .groupBy("doc_id")
           .agg(
             round(sum(
-              log((coalesce(col("ct"), lit(0L)) + lit(0.5)) /
-                (col("nt") + lit(32.0))) -
-              log((coalesce(col("cr"), lit(0L)) + lit(0.5)) /
-                (col("nr") + lit(32.0)))), 6).as("logw"),
+              log((col("ct") + lit(0.5)) / (col("nt") + lit(32.0))) -
+              log((col("cr") + lit(0.5)) / (col("nr") + lit(32.0)))), 6)
+              .as("logw"),
             count(lit(1)).as("n_feats"))
           .orderBy("doc_id")
       },

@@ -41,9 +41,11 @@ object DedupQueries extends QueryBase {
     * attaches to the existing entry instead of stacking a copy, and its
     * `count()` materialization is served from that cache. No
     * driver-side memo is kept on purpose — a memo map would pin dead
-    * sessions, serve stale pairs if the dir's data were rewritten
-    * mid-session, and run multi-second Spark jobs inside a map lock;
-    * the CacheManager already provides the sharing with none of that.
+    * sessions and run multi-second Spark jobs inside a map lock; the
+    * CacheManager already provides the sharing with neither hazard.
+    * (Staleness is the same either way: a cached entry keeps serving the
+    * materialized pairs if the dir's parquet is rewritten mid-session —
+    * re-mint fixtures into a fresh dir or clearCache() first.)
     * (Cross-query timing consequence: whichever dedup query touches the
     * pair set first pays the build — documented in the verify skill.)
     */
@@ -451,9 +453,10 @@ object DedupQueries extends QueryBase {
     // curation actually uses — keep the highest-quality member of each
     // near-dup cluster (here: longest document, ties to lowest id), not
     // the arbitrary min-id. Same pair graph and components as
-    // dedup_semantic_cluster (memoized — the CC labels join the quality
-    // table once, one hash shuffle on id); the argmax is a per-cluster
-    // window over cluster-sized partitions.
+    // dedup_semantic_cluster (shared via the CacheManager persist on the
+    // pair set — the CC labels join the quality table once, one hash
+    // shuffle on id); the argmax is a per-cluster window over
+    // cluster-sized partitions.
     Q(
       "dedup_keep_best",
       (s, dir) => {

@@ -488,12 +488,16 @@ object TextQueries extends QueryBase {
     // boilerplate (first bigram ×40, re-keyed +200000): template spam is
     // the LOW-perplexity tail a real pipeline trims, and the plants
     // separate fully from natural docs (CurationOpsSpec asserts the gap).
-    // Plan shape: bigram extraction is a row-level array transform; the
-    // LM tables cost ONE hash shuffle each and are vocabulary-sized
-    // (distinct bigrams ≪ corpus rows); scoring re-joins corpus bigrams
-    // to the tables on their natural keys (AQE broadcasts them when they
-    // fit) and reduces per doc — no all-pairs term anywhere, so the same
-    // plan holds at 100 TB.
+    // Plan shape: TWO corpus passes total — bigram extraction is a
+    // row-level array transform feeding ONE hash shuffle for the bigram
+    // count table (vocabulary-sized, ≪ corpus rows); the context table
+    // AND the vocabulary size both derive from that small table (every
+    // token of a ≥2-token doc occurs as some bigram's w1 or w2, so
+    // distinct(w1 ∪ w2) of the count table IS the vocabulary — no
+    // separate corpus-wide countDistinct pass); the second pass re-joins
+    // corpus bigrams to the tables on their natural keys (AQE broadcasts
+    // them when they fit) and reduces per doc — no all-pairs term
+    // anywhere, so the same plan holds at 100 TB.
     Q(
       "text_lm_score",
       (s, dir) => {
@@ -506,13 +510,11 @@ object TextQueries extends QueryBase {
           .filter(size(col("t")) >= 2)
         val bg = corpus
           .select(col("doc_id"),
-            explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
-              struct(element_at(col("t"), i).as("w1"),
-                element_at(col("t"), i + 1).as("w2")))).as("p"))
+            explode(CurationDefs.bigramPairs(col("t"))).as("p"))
           .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
         val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
         val uc = bc.groupBy("w1").agg(sum(col("cb")).as("cu"))
-        val vv = corpus.select(explode(col("t")).as("w"))
+        val vv = bc.select(explode(array(col("w1"), col("w2"))).as("w"))
           .agg(countDistinct(col("w")).as("v"))
         bg.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
           .crossJoin(broadcast(vv))

@@ -170,8 +170,12 @@ class CurationOpsSpec extends SparkSpec {
   test("pipe_dsir_resample matches a plain-Scala importance model") {
     val B = 64
     def bucket(w1: String, w2: String): Long = {
+      // fold CODEPOINTS, not UTF-16 units: Spark's ascii(substring(s,i,1))
+      // and DuckDB's unicode() both yield codepoints, and a surrogate
+      // pair folded as two units would land in a different bucket
       val s = w1 + " " + w2
-      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000003L) % B
+      s.codePoints().toArray
+        .foldLeft(0L)((acc, c) => (acc * 31 + c) % 1000003L) % B
     }
     val feats: Map[Long, Vector[Long]] = docs.collect {
       case (id, t) if t.size >= 2 =>
