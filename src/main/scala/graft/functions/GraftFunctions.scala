@@ -36,6 +36,12 @@ object GraftFunctions {
       s"expected a numeric literal, got $other")
   }
 
+  private def binOf(e: Expression): Array[Byte] = e.eval() match {
+    case b: Array[Byte] => b
+    case other => throw new IllegalArgumentException(
+      s"expected a binary literal, got $other")
+  }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "trigram_sim" -> (exprs => TrigramSimilarity(exprs(0), exprs(1))),
     "murmur3_seeded" -> (exprs => Murmur3Seeded(exprs(0), seedOf(exprs(1)))),
@@ -48,7 +54,8 @@ object GraftFunctions {
     "band_keys_f" -> (exprs => BandKeysF(exprs(0))),
     "bigram_stats" -> (exprs => BigramStats(exprs(0))),
     "repetition_keep" -> (exprs =>
-      RepetitionKeep(exprs(0), dblOf(exprs(1)), dblOf(exprs(2)))))
+      RepetitionKeep(exprs(0), dblOf(exprs(1)), dblOf(exprs(2)))),
+    "bloom_contains" -> (exprs => BloomContainsLong(exprs(0), binOf(exprs(1)))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

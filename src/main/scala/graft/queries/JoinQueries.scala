@@ -311,5 +311,44 @@ object JoinQueries extends QueryBase {
           FROM events)
         WHERE bucket IS DISTINCT FROM prev
         GROUP BY event_type ORDER BY event_type"""),
-      doc = "J4 snapshot change-detection condenser; reference data_preparation.py:242-365"))
+      doc = "J4 snapshot change-detection condenser; reference data_preparation.py:242-365"),
+
+    // Runtime Bloom-filter join pruning — the 100 TB shuffle-reduction
+    // pattern for a fact⋈(selective dim) join. Stage 1 aggregates a
+    // fixed-size Bloom filter over the filtered dim keys (distributed
+    // build, only the ~KB filter reaches the driver — same contract as a
+    // broadcast dim). Stage 2 probes it with the native codegen
+    // `bloom_contains` expression INSIDE the fact scan's pushed filter
+    // chain, so ~non-matching fact rows never enter the join shuffle.
+    // The equi-join then repairs false positives — output is exactly the
+    // plain join, which is what the oracle runs. At sf0.01 the dim
+    // filter keeps ~1/5 of customers, so ~80% of orders drop pre-shuffle;
+    // the ratio is scale-invariant. `PlanSpec` asserts the probe sits in
+    // the scan-side Filter, not after the join.
+    Q(
+      "join_bloom_prune",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val dim = t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey", "c_nationkey")
+        val bloom = dim.stat.bloomFilter("c_custkey", 4096, 0.01)
+        val bits = graft.functions.BloomOps.toBytes(bloom)
+        val fact = t(s, dir, "orders")
+          .filter(call_function("bloom_contains", col("o_custkey"), lit(bits)))
+        fact.join(dim, fact("o_custkey") === dim("c_custkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice"), 10000L).as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      doc = "runtime Bloom-filter join pruning: distributed filter build, " +
+        "codegen probe pushed to the fact scan, exact join repairs " +
+        "false positives"))
 }
