@@ -55,7 +55,8 @@ object GraftFunctions {
     "bigram_stats" -> (exprs => BigramStats(exprs(0))),
     "repetition_keep" -> (exprs =>
       RepetitionKeep(exprs(0), dblOf(exprs(1)), dblOf(exprs(2)))),
-    "bloom_contains" -> (exprs => BloomContainsLong(exprs(0), binOf(exprs(1)))))
+    "bloom_contains" -> (exprs => BloomContainsLong(exprs(0), binOf(exprs(1)))),
+    "misra_gries" -> (exprs => MisraGriesAgg(exprs(0), seedOf(exprs(1)))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -298,5 +298,76 @@ object CoreQueries extends QueryBase {
         FROM td JOIN dd USING (lang)
         ORDER BY lang"""),
       doc = "HLL++ approx-distinct + GK approx-percentile next to their " +
-        "exact twins, with the error contract value-gated by the oracle"))
+        "exact twins, with the error contract value-gated by the oracle"),
+
+    // Misra–Gries heavy hitters (custom mergeable TypedImperativeAggregate,
+    // graft.functions.MisraGriesAgg) — the O(k)-state frequent-items path
+    // that replaces exact top-N when the item set is too big to shuffle.
+    // k=8 counters against a 31-token vocabulary keeps the summary under
+    // constant eviction pressure, and the query value-gates the two
+    // THEOREMS that hold on any data and any merge tree (underestimate:
+    // 0 <= exact - est <= N/(k+1) for all summary items; coverage: every
+    // item with exact > N/(k+1) is present), not the layout-dependent
+    // sketch rows. n_heavy documents how many guaranteed-coverage items
+    // this near-uniform corpus has (0 — the bound gate still bites via
+    // the constant decrements); top-k RECOVERY on a skewed stream is
+    // proven on a planted Zipf fixture in MisraGriesSpec.
+    Q(
+      "agg_heavy_hitters",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val K = 8
+        val tok = th(s, dir, "documents")
+          .select(col("lang"), explode(CurationDefs.toks).as("w"))
+        val sk = tok.groupBy("lang")
+          .agg(expr(s"misra_gries(w, $K)").as("sketch"),
+            count(lit(1)).as("n_tok"))
+        val exact = tok.groupBy("lang", "w").agg(count(lit(1)).as("n"))
+        val items = sk
+          .select(col("lang"), col("n_tok"), explode(col("sketch")).as("it"))
+          .select(col("lang"), col("n_tok"),
+            col("it.item").as("w"), col("it.est").as("est"))
+          .join(exact, Seq("lang", "w"))
+        val bound = items.groupBy("lang").agg(
+          min(col("est") <= col("n") &&
+            (col("n") - col("est")) * (K + 1) <= col("n_tok")).as("bound_ok"))
+        val cov = exact.join(sk.select("lang", "n_tok"), "lang")
+          .filter(col("n") * (K + 1) > col("n_tok"))
+          .join(items.select(col("lang"), col("w")).withColumn("in_sk", lit(true)),
+            Seq("lang", "w"), "left")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_heavy"),
+            min(coalesce(col("in_sk"), lit(false))).as("present_ok"))
+        val w5 = Window.partitionBy("lang").orderBy(col("n").desc, col("w"))
+        exact.withColumn("rk", row_number().over(w5)).filter(col("rk") <= 5)
+          .join(sk.select("lang", "n_tok"), "lang")
+          .join(bound, "lang")
+          .join(cov, Seq("lang"), "left")
+          .select(col("lang"), col("rk"), col("w"), col("n"), col("n_tok"),
+            coalesce(col("n_heavy"), lit(0L)).as("n_heavy"),
+            col("bound_ok"),
+            coalesce(col("present_ok"), lit(true)).as("present_ok"))
+          .orderBy("lang", "rk")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS w
+          FROM documents),
+        ex AS (SELECT lang, w, count(*) AS n FROM tok GROUP BY 1, 2),
+        nt AS (SELECT lang, count(*) AS n_tok FROM tok GROUP BY 1),
+        hv AS (SELECT ex.lang, count(*) AS n_heavy
+               FROM ex JOIN nt ON ex.lang = nt.lang
+               WHERE ex.n * 9 > nt.n_tok GROUP BY 1),
+        top AS (SELECT lang, w, n,
+                       row_number() OVER (PARTITION BY lang ORDER BY n DESC, w) AS rk
+                FROM ex)
+        SELECT top.lang AS lang, rk, w, n, n_tok,
+               coalesce(n_heavy, 0) AS n_heavy,
+               TRUE AS bound_ok, TRUE AS present_ok
+        FROM top JOIN nt ON top.lang = nt.lang
+                 LEFT JOIN hv ON top.lang = hv.lang
+        WHERE rk <= 5 ORDER BY lang, rk"""),
+      doc = "Misra-Gries heavy-hitters summary (custom mergeable Catalyst " +
+        "aggregate, O(k) state per group) with its theorem bounds " +
+        "value-gated by the oracle next to the exact top-5"))
 }
