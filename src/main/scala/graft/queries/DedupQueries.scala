@@ -521,5 +521,107 @@ object DedupQueries extends QueryBase {
       doc = "keep-best-per-cluster dedup policy: semantic clusters joined " +
         "to a quality signal, per-cluster argmax (longest doc, ties to " +
         "lowest id) replayed by the oracle's window over the recursive " +
-        "closure"))
+        "closure"),
+
+    // Substring-level dedup span detection (the distributed form of
+    // Lee et al. 2022's suffix-array ExactSubstr dedup): any substring of
+    // >= 8 tokens that occurs twice anywhere in the corpus shares all its
+    // 8-token shingles, so duplicated spans = the merged union of
+    // duplicated-shingle windows. Three linear shuffles at any corpus
+    // size: (1) hash-groupBy shingle to find multiply-occurring hashes,
+    // (2) hash join back to positions, (3) per-doc window to merge
+    // overlapping/adjacent windows into maximal spans (the island trick:
+    // running max of span ends). No suffix array, no global sort — this
+    // is the scalable approximation production curation pipelines use.
+    // Output: per affected doc, the merged span count, covered token
+    // count, and covered fraction.
+    Q(
+      "dedup_substring_spans",
+      (s, dir) =>
+        DedupQueries.substringSpans(
+          th(s, dir, "documents").select(col("doc_id"), col("text")), 8)
+          .orderBy("doc_id"),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+          FROM documents),
+        pos AS (
+          SELECT doc_id, len(ws) AS n_tokens,
+                 unnest(generate_series(1, len(ws) - 7)) AS i, ws
+          FROM t WHERE len(ws) >= 8),
+        sh AS (
+          SELECT doc_id, n_tokens, i AS start,
+                 md5(array_to_string(ws[i:i+7], ' ')) AS h
+          FROM pos),
+        dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) > 1),
+        hits AS (SELECT doc_id, n_tokens, start FROM sh
+                 WHERE h IN (SELECT h FROM dup)),
+        isl AS (
+          SELECT doc_id, n_tokens, start,
+                 CASE WHEN start > coalesce(
+                        max(start + 7) OVER (PARTITION BY doc_id ORDER BY start
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1) + 1 THEN 1 ELSE 0 END AS brk
+          FROM hits),
+        isl2 AS (
+          SELECT doc_id, n_tokens, start,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM isl),
+        spans AS (
+          SELECT doc_id, n_tokens, island,
+                 max(start) + 7 - min(start) + 1 AS span_len
+          FROM isl2 GROUP BY 1, 2, 3)
+        SELECT doc_id, n_tokens, count(*) AS n_spans,
+               CAST(sum(span_len) AS BIGINT) AS dup_tokens,
+               round(CAST(sum(span_len) AS BIGINT) / n_tokens, 6) AS dup_frac
+        FROM spans GROUP BY doc_id, n_tokens ORDER BY doc_id"""),
+      doc = "substring-level dedup spans (Lee et al. ExactSubstr, " +
+        "distributed shingle form): duplicated 8-token shingle windows " +
+        "merged into maximal per-doc spans via the island window trick"))
+
+  /** Duplicated-substring span detection over a (doc_id, text) frame:
+    * every substring of >= `k` tokens occurring more than once in the
+    * corpus is covered by duplicated k-shingles; the merged
+    * (overlapping-or-adjacent) union of those shingle windows per doc is
+    * returned as (doc_id, n_tokens, n_spans, dup_tokens, dup_frac),
+    * docs without duplicated spans omitted. Three linear shuffles:
+    * shingle-hash groupBy, hash join back, per-doc window merge. */
+  def substringSpans(docs: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val toked = docs
+      .select(col("doc_id"), CurationDefs.toks.as("ws"))
+      .withColumn("n_tokens", size(col("ws")))
+      .filter(col("n_tokens") >= k)
+    val sh = toked
+      .select(col("doc_id"), col("n_tokens"),
+        explode(transform(sequence(lit(1), col("n_tokens") - (k - 1)),
+          i => struct(i.as("start"),
+            md5(concat_ws(" ", slice(col("ws"), i, lit(k)))).as("h"))))
+          .as("sg"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("sg.start").as("start"), col("sg.h").as("h"))
+    val dupH = sh.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("h")
+    val hits = sh.join(dupH, "h")
+    val wDoc = Window.partitionBy("doc_id").orderBy("start")
+    val isl = hits
+      .withColumn("prev_end",
+        max(col("start") + (k - 1)).over(
+          wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("start") > coalesce(col("prev_end"), lit(-1L)) + 1, 1)
+          .otherwise(0))
+      .withColumn("island",
+        sum(col("brk")).over(
+          wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    isl.groupBy("doc_id", "n_tokens", "island")
+      .agg((max(col("start")) + (k - 1) - min(col("start")) + 1)
+        .as("span_len"))
+      .groupBy("doc_id", "n_tokens")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_len")).cast("long").as("dup_tokens"))
+      .withColumn("dup_frac",
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 6))
+  }
 }
