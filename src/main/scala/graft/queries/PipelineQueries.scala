@@ -758,5 +758,36 @@ object PipelineQueries extends QueryBase {
         ORDER BY user_id"""),
       doc = "J4 batch condenser with linear deltas (drop-unchanged + " +
         "new-minus-old, missing-prior -> 0); reference " +
-        "data_preparation.py:242-365"))
+        "data_preparation.py:242-365"),
+
+    // Per-stratum minwise sampling: EXACTLY min(k, |stratum|) docs per
+    // language, chosen by smallest md5(doc_id) — a deterministic uniform
+    // sample without replacement that any engine reproduces bit-for-bit
+    // (the keep set depends only on ids, not partitioning). Complements
+    // pipe_sample_hash (hash-mod = Bernoulli RATE sample, approximate
+    // count) with the exact-COUNT cut a training-mix spec needs ("20 docs
+    // per language"). One shuffle (the per-stratum window); at 100 TB the
+    // same plan holds — the window sorts within language partitions only.
+    Q(
+      "pipe_minwise_sample",
+      (s, dir) => {
+        val k = 20
+        val d = t(s, dir, "documents")
+        val w = Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        d.select(col("doc_id"), col("lang"), col("n_chars"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= k)
+          .orderBy("lang", "rk")
+      },
+      Some("""
+        SELECT doc_id, lang, n_chars, rk FROM (
+          SELECT doc_id, lang, n_chars,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents)
+        WHERE rk <= 20 ORDER BY lang, rk"""),
+      doc = "deterministic minwise per-stratum sampling: exactly k docs " +
+        "per language by smallest md5(doc_id), reproducible on any " +
+        "engine and partitioning"))
 }

@@ -552,5 +552,94 @@ object TextQueries extends QueryBase {
         ORDER BY doc_id"""),
       doc = "bigram-LM perplexity scoring (CCNet-style quality filter, " +
         "self-trained add-0.5 model); planted boilerplate lands in the " +
-        "low-NLL tail"))
+        "low-NLL tail"),
+
+    // URL canonicalization + host-level dedup rollup — the web-corpus
+    // curation step that collapses crawl-duplicate URLs before content
+    // dedup: lowercase scheme/host, strip leading www. and default
+    // ports, drop tracking params (utm_*) and fragments, keep meaningful
+    // params in order. Expression-only (regex + array HOF — runs at scan
+    // speed, no shuffle until the per-host rollup). URLs are minted
+    // deterministically from doc_id so both engines see the same crawl
+    // frontier: 4 host spellings of 2 canonical hosts x tracking-param /
+    // fragment variants, collapsing ~3:1.
+    Q(
+      "text_url_normalize",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val url = concat(
+          lit("HTTPS://"),
+          element_at(
+            array(lit("WWW.Example.COM"), lit("example.com"),
+              lit("blog.example.com"), lit("Docs.Example.Com:443")),
+            (col("doc_id") % 4 + 1).cast("int")),
+          lit("/p/"), (col("doc_id") % 50).cast("string"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("?utm_source=feed&id="), (col("doc_id") % 7).cast("string")))
+            .when(col("doc_id") % 3 === 1,
+              concat(lit("?id="), (col("doc_id") % 7).cast("string"),
+                lit("&utm_campaign=x")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+        t(s, dir, "documents").select(col("doc_id"), url.as("url"))
+          .withColumn("host",
+            regexp_replace(
+              regexp_replace(
+                lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1)),
+                "^www\\.", ""),
+              ":(443|80)$", ""))
+          .withColumn("path",
+            regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1))
+          .withColumn("q", regexp_extract(col("url"), "\\?([^#]*)", 1))
+          .withColumn("q2", concat_ws("&",
+            filter(split(col("q"), "&"),
+              x => !x.startsWith("utm_") && x =!= lit(""))))
+          .withColumn("canon", concat(lit("https://"), col("host"), col("path"),
+            when(col("q2") =!= "", concat(lit("?"), col("q2"))).otherwise(lit(""))))
+          .groupBy("host")
+          .agg(count(lit(1)).as("n_urls"),
+            countDistinct(col("url")).as("n_raw_distinct"),
+            countDistinct(col("canon")).as("n_canonical"),
+            min(col("canon")).as("first_canon"))
+          .orderBy("host")
+      },
+      Some("""
+        WITH u AS (
+          SELECT doc_id,
+            'HTTPS://' ||
+            CASE doc_id % 4 WHEN 0 THEN 'WWW.Example.COM'
+                            WHEN 1 THEN 'example.com'
+                            WHEN 2 THEN 'blog.example.com'
+                            ELSE 'Docs.Example.Com:443' END ||
+            '/p/' || CAST(doc_id % 50 AS VARCHAR) ||
+            CASE WHEN doc_id % 3 = 0
+                   THEN '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR)
+                 WHEN doc_id % 3 = 1
+                   THEN '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=x'
+                 ELSE '' END ||
+            CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+          FROM documents),
+        p AS (
+          SELECT doc_id, url,
+                 regexp_replace(regexp_replace(
+                   lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+                   '^www\.', ''), ':(443|80)$', '') AS host,
+                 regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+                 regexp_extract(url, '\?([^#]*)', 1) AS q
+          FROM u),
+        c AS (
+          SELECT doc_id, url, host,
+                 'https://' || host || path ||
+                 CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END AS canon
+          FROM (SELECT *, array_to_string(
+                  list_filter(string_split(q, '&'),
+                    x -> NOT starts_with(x, 'utm_') AND x <> ''), '&') AS q2
+                FROM p))
+        SELECT host, count(*) AS n_urls,
+               count(DISTINCT url) AS n_raw_distinct,
+               count(DISTINCT canon) AS n_canonical,
+               min(canon) AS first_canon
+        FROM c GROUP BY host ORDER BY host"""),
+      doc = "URL canonicalization (host/port/www/tracking-param/fragment " +
+        "normalization) + per-host crawl-dedup rollup, expression-only"))
 }
