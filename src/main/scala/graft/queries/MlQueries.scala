@@ -412,5 +412,50 @@ object MlQueries extends QueryBase {
         ORDER BY "window", topic"""),
       doc = "N8 per-window GSDMM (reference's per-year model loop): " +
         "independent bounded fits, per-window broadcast assignment; " +
-        "reference topic_modeling.py:181-245"))
+        "reference topic_modeling.py:181-245"),
+
+    // Integer-exact PageRank over the event interaction graph
+    // (src = user, dst = the JSON payload's target entity). 8 fixed
+    // iterations of one-shuffle-per-round label flow — the iterative
+    // graph-algorithm pattern next to connected components, without
+    // GraphX and without float nondeterminism (micro-unit ranks, floor
+    // division; see graft.ml.PageRank). The oracle unrolls the same 8
+    // iterations as chained CTEs with identical integer arithmetic, so
+    // ranks hash-match bit-for-bit.
+    Q(
+      "ml_pagerank",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val edges = ev.select(col("user_id").as("src"),
+            get_json_object(col("props"), "$.k").cast("long").as("dst"))
+          .filter(col("dst").isNotNull)
+        graft.ml.PageRank.run(edges, 8)
+          .orderBy(col("r").desc, col("id")).limit(25)
+      },
+      Some {
+        val iterCtes = (1 to 8).map { i =>
+          s"""p$i AS (
+             |  SELECT n.id, CAST(150000 + coalesce(c.s, 0) AS BIGINT) AS r
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT e.dst, CAST(sum((85 * p.r) // (100 * d.d)) AS BIGINT) AS s
+             |    FROM p${i - 1} p JOIN edges e ON p.id = e.src
+             |                     JOIN deg d ON d.src = e.src
+             |    GROUP BY e.dst) c ON n.id = c.dst)""".stripMargin
+        }.mkString(",\n")
+        s"""
+        WITH edges AS (
+          SELECT DISTINCT user_id AS src,
+                 CAST(json_extract_string(props, '$$.k') AS BIGINT) AS dst
+          FROM events
+          WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+        deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+        nodes AS (SELECT DISTINCT id FROM (
+          SELECT src AS id FROM edges UNION SELECT dst FROM edges)),
+        p0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        $iterCtes
+        SELECT id, r FROM p8 ORDER BY r DESC, id LIMIT 25"""
+      },
+      doc = "integer-exact PageRank (8 unrolled iterations, micro-unit " +
+        "ranks, floor-division damping) over the user->entity event " +
+        "graph; one shuffle per iteration, localCheckpointed lineage"))
 }
