@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Upsert
@@ -789,5 +790,84 @@ object PipelineQueries extends QueryBase {
         WHERE rk <= 20 ORDER BY lang, rk"""),
       doc = "deterministic minwise per-stratum sampling: exactly k docs " +
         "per language by smallest md5(doc_id), reproducible on any " +
-        "engine and partitioning"))
+        "engine and partitioning"),
+
+    // Z-order (Morton-curve) layout assignment — the multi-dimensional
+    // data-skipping primitive: interleave the bits of two clustering keys
+    // with the magic-mask spread (4 shift+mask steps per key, pure
+    // codegen'd integer ops, no shuffle until the rollup), bucket rows by
+    // Z prefix, and measure per-bucket bounding boxes against the same
+    // bucketing over the table's natural order. Writing files in Z order
+    // is what makes min/max pruning effective on BOTH keys at once; the
+    // query's output shows it: the Z layout's average per-bucket key
+    // spans are a fraction of the natural layout's. Compact 2-row result
+    // (one per layout) the oracle replays bit-for-bit.
+    Q(
+      "pipe_zorder_layout",
+      (s, dir) => {
+        def spread(c: Column): Column = {
+          var x = c.bitwiseAND(lit(65535L))
+          x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(16711935L))
+          x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(252645135L))
+          x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(858993459L))
+          x = x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(1431655765L))
+          x
+        }
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey").as("x"), col("l_suppkey").as("y"))
+        val z = spread(col("x"))
+          .bitwiseOR(shiftleft(spread(col("y")), 1))
+        // 64 "files" per layout via ntile over the layout's sort order —
+        // exactly what an OPTIMIZE ZORDER write produces. (Test-scale
+        // global window; a cluster write is repartitionByRange(z) +
+        // sortWithinPartitions, same file boxes, no single-node sort.)
+        def layout(order: Seq[Column], label: String) =
+          li.withColumn("bucket",
+              ntile(64).over(Window.orderBy(order: _*)))
+            .groupBy("bucket")
+            .agg((max(col("x")) - min(col("x"))).as("xspan"),
+              (max(col("y")) - min(col("y"))).as("yspan"))
+            .agg(lit(label).as("layout"),
+              count(lit(1)).as("n_buckets"),
+              round(avg(col("xspan")), 6).as("avg_xspan"),
+              round(avg(col("yspan")), 6).as("avg_yspan"))
+        layout(Seq(z, col("l_orderkey"), col("l_linenumber")), "zorder")
+          .unionByName(
+            layout(Seq(col("l_orderkey"), col("l_linenumber")), "natural"))
+          .orderBy("layout")
+      },
+      Some("""
+        WITH base AS (
+          SELECT l_orderkey, l_linenumber,
+                 l_partkey & 65535 AS x, l_suppkey & 65535 AS y
+          FROM lineitem),
+        s1 AS (SELECT *, (x | (x << 8)) & 16711935 AS xa,
+                         (y | (y << 8)) & 16711935 AS ya FROM base),
+        s2 AS (SELECT *, (xa | (xa << 4)) & 252645135 AS xb,
+                         (ya | (ya << 4)) & 252645135 AS yb FROM s1),
+        s3 AS (SELECT *, (xb | (xb << 2)) & 858993459 AS xc,
+                         (yb | (yb << 2)) & 858993459 AS yc FROM s2),
+        s4 AS (SELECT *, (xc | (xc << 1)) & 1431655765 AS xd,
+                         (yc | (yc << 1)) & 1431655765 AS yd FROM s3),
+        zz AS (SELECT l_orderkey, l_linenumber, x, y,
+                      (xd | (yd << 1)) AS z FROM s4),
+        zb AS (SELECT ntile(64) OVER (ORDER BY z, l_orderkey, l_linenumber)
+                        AS bucket, x, y FROM zz),
+        nb AS (SELECT ntile(64) OVER (ORDER BY l_orderkey, l_linenumber)
+                        AS bucket, x, y FROM zz),
+        za AS (SELECT bucket, max(x) - min(x) AS xspan,
+                      max(y) - min(y) AS yspan FROM zb GROUP BY 1),
+        na AS (SELECT bucket, max(x) - min(x) AS xspan,
+                      max(y) - min(y) AS yspan FROM nb GROUP BY 1)
+        SELECT 'natural' AS layout, count(*) AS n_buckets,
+               round(avg(xspan), 6) AS avg_xspan,
+               round(avg(yspan), 6) AS avg_yspan FROM na
+        UNION ALL
+        SELECT 'zorder', count(*), round(avg(xspan), 6), round(avg(yspan), 6)
+        FROM za
+        ORDER BY layout"""),
+      doc = "Z-order (Morton) layout assignment via magic-mask bit " +
+        "interleave, with per-bucket bounding boxes measured against the " +
+        "natural layout — the multi-dim min/max data-skipping primitive"))
 }
