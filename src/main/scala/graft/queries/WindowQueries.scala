@@ -215,5 +215,91 @@ object WindowQueries extends QueryBase {
           ON g.user_id = d.user_id AND g.day = d.day
         ORDER BY g.user_id, day"""),
       doc = "time-series densify + LOCF forward fill (per-user day grid " +
-        "from span explode, one window per user)"))
+        "from span explode, one window per user)"),
+
+    // Linear interpolation over the same per-user day grid — LOCF's
+    // sibling for metrics that trend between observations: each gap day
+    // gets prev + (next - prev) * elapsed/gap_len from the surrounding
+    // observed days (two windows over one per-user sort: last-non-null
+    // backward, first-non-null forward). Same densify plan as
+    // window_forward_fill; identical expression order on both engines
+    // keeps the double math bit-stable under round(6).
+    Q(
+      "window_interpolate",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .filter(col("user_id") < 20 && col("event_type") === "purchase")
+        val daily = e.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(round(max(col("value")), 6).as("v"))
+        val span = daily.groupBy("user_id")
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        val grid = span.select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+        val wB = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wF = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val j = grid.join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"), col("v"),
+            last(col("v"), ignoreNulls = true).over(wB).as("vp"),
+            last(when(col("v").isNotNull, col("day")), ignoreNulls = true)
+              .over(wB).as("dp"),
+            first(col("v"), ignoreNulls = true).over(wF).as("vn"),
+            first(when(col("v").isNotNull, col("day")), ignoreNulls = true)
+              .over(wF).as("dn"))
+        j.select(col("user_id"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            when(col("v").isNotNull, col("v"))
+              .when(col("vp").isNull, col("vn"))
+              .when(col("vn").isNull, col("vp"))
+              .otherwise(round(
+                col("vp") + (col("vn") - col("vp")) *
+                  (datediff(col("day"), col("dp")).cast("double") /
+                    datediff(col("dn"), col("dp")).cast("double")), 6))
+              .as("v_interp"),
+            col("v").isNull.as("was_gap"))
+          .orderBy("user_id", "day")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day, round(max(value), 6) AS v
+          FROM events WHERE user_id < 20 AND event_type = 'purchase'
+          GROUP BY 1, 2),
+        span AS (
+          SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+        grid AS (
+          SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                   CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+          FROM span),
+        j AS (
+          SELECT g.user_id, g.day, d.v,
+                 last_value(d.v IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.day
+                   ROWS UNBOUNDED PRECEDING) AS vp,
+                 last_value(CASE WHEN d.v IS NOT NULL THEN g.day END
+                     IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.day
+                   ROWS UNBOUNDED PRECEDING) AS dp,
+                 first_value(d.v IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn,
+                 first_value(CASE WHEN d.v IS NOT NULL THEN g.day END
+                     IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS dn
+          FROM grid g LEFT JOIN daily d
+            ON g.user_id = d.user_id AND g.day = d.day)
+        SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+               CASE WHEN v IS NOT NULL THEN v
+                    WHEN vp IS NULL THEN vn
+                    WHEN vn IS NULL THEN vp
+                    ELSE round(vp + (vn - vp) *
+                      (CAST(date_diff('day', dp, day) AS DOUBLE) /
+                       CAST(date_diff('day', dp, dn) AS DOUBLE)), 6)
+               END AS v_interp,
+               v IS NULL AS was_gap
+        FROM j ORDER BY user_id, day"""),
+      doc = "time-series linear interpolation over the densified day " +
+        "grid: backward/forward non-null windows bracket each gap, " +
+        "value = prev + slope * elapsed"))
 }

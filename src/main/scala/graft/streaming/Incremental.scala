@@ -56,6 +56,27 @@ object Incremental {
       .withWatermark(tsCol, late)
       .dropDuplicatesWithinWatermark(fingerprintCol)
 
+  /** Streaming heavy hitters — the continuous-ingest twin of the batch
+    * `agg_heavy_hitters` query: per watermarked tumbling window, a
+    * Misra–Gries summary ([[graft.functions.MisraGriesAgg]]) of the
+    * item stream. The state-store row per (window, group) is the O(k)
+    * serialized counter map — NOT the item set — so state stays
+    * fixed-size at any stream cardinality; window expiry via the
+    * watermark bounds the number of live rows. The MG merge is
+    * arbitrary-merge-tree-safe, which is exactly what micro-batch
+    * partial aggregation needs. */
+  def heavyHitters(items: DataFrame, window_ : String, late: String,
+      k: Int): DataFrame = {
+    items.sparkSession match { case s => graft.functions.GraftFunctions.register(s) }
+    items
+      .withWatermark("ts", late)
+      .groupBy(window(col("ts"), window_), col("grp"))
+      .agg(expr(s"misra_gries(w, $k)").as("sketch"),
+        count(lit(1)).as("n_items"))
+      .select(col("window.start").as("window_start"), col("grp"),
+        col("sketch"), col("n_items"))
+  }
+
   /** Streaming curation intake — the ingest-time quality gate + sequence
     * chunking of the LLM-pipeline family, running the SAME transform as
     * the batch `pipe_corpus_intake` query

@@ -149,4 +149,68 @@ class StreamingSpec extends SparkSpec {
     assert(out.schema.fieldNames.toSeq ===
       Seq("session_start", "user_id", "n_events"))
   }
+
+  test("streaming heavy hitters: exact parity above capacity, theorems below") {
+    val batchEvents = graft.core.Tables.events(spark, sfDir)
+    val tmp = Files.createTempDirectory("graft-stream-hh").toString
+    batchEvents
+      .select(col("ts"), (col("user_id") % 2).cast("string").as("grp"),
+        col("event_type").as("w"))
+      .write.mode("overwrite").parquet(s"$tmp/src")
+    val maxTs = spark.read.parquet(s"$tmp/src")
+      .agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    // exact per-(finalized day, grp, item) counts, batch side
+    val exact = spark.read.parquet(s"$tmp/src")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("grp"), col("w"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("day") + expr("INTERVAL 26 HOURS") <= lit(maxTs))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    assert(exact.nonEmpty)
+
+    def streamed(k: Int, tag: String): Map[(java.sql.Timestamp, String), Map[String, Long]] = {
+      val src = Incremental.readStream(spark, s"$tmp/src",
+        spark.read.parquet(s"$tmp/src").schema)
+      val q = Incremental.runAvailableNow(
+        Incremental.heavyHitters(src, "1 day", "2 hours", k),
+        s"$tmp/ckpt$tag", s"$tmp/out$tag")
+      q.awaitTermination()
+      spark.read.parquet(s"$tmp/out$tag")
+        .select(col("window_start"), col("grp"), explode(col("sketch")).as("it"))
+        .select(col("window_start"), col("grp"), col("it.item"), col("it.est"))
+        .collect()
+        .groupBy(r => (r.getTimestamp(0), r.getString(1)))
+        .map { case (key, rows) =>
+          key -> rows.map(r => r.getString(2) -> r.getLong(3)).toMap
+        }
+    }
+
+    // k=8 >= 5 distinct event types: the MG summary is EXACT, so every
+    // finalized window's sketch must equal the batch counts.
+    val exactSketches = streamed(8, "a")
+    exact.groupBy { case ((day, grp, _), _) => (day, grp) }.foreach {
+      case ((day, grp), items) =>
+        val sk = exactSketches.getOrElse((day, grp),
+          fail(s"missing finalized window ($day, $grp)"))
+        assert(sk == items.map { case ((_, _, w), n) => w -> n },
+          s"window ($day, $grp)")
+    }
+
+    // k=3 < 5 distinct: at most k counters per window and the MG
+    // underestimate theorem holds against exact counts.
+    val bounded = streamed(3, "b")
+    exact.groupBy { case ((day, grp, _), _) => (day, grp) }.foreach {
+      case ((day, grp), items) =>
+        val n = items.values.sum
+        bounded.get((day, grp)).foreach { sk =>
+          assert(sk.size <= 3)
+          sk.foreach { case (w, est) =>
+            val ex = items(((day, grp, w)))
+            assert(est <= ex && (ex - est) * 4 <= n,
+              s"window ($day, $grp) item $w: est=$est exact=$ex n=$n")
+          }
+        }
+    }
+  }
 }
