@@ -27,6 +27,8 @@ class OracleLintSpec extends AnyFunSuite {
     ("sum(occ) >= 2", "HAVING predicate, not in the compared projection"),
     // windowed session counter used as a GROUP BY key only (window_sessionize)
     ("sum(case when gap_sec", "grouping key, dropped before final projection"),
+    // windowed island counter used as a GROUP BY key only (dedup_substring_spans)
+    ("sum(brk) over", "grouping key, dropped before final projection"),
     // list_sum is DuckDB's array fold over DOUBLE vectors (cosine oracles)
     ("list_sum(", "array fold over DOUBLE embeddings"),
     // double-typed: DSIR importance weights are sums of ln() terms
