@@ -74,12 +74,16 @@ object Bench {
       case Some(f) => SparkEntry.queries.filter { case (n, _) => f(n) }
       case None => SparkEntry.queries
     }
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def timeOne(name: String,
         fn: (org.apache.spark.sql.SparkSession, String) =>
           org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}") }
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -101,7 +105,7 @@ object Bench {
       // Untimed row count (plan re-executes column-pruned; not part of
       // the reported seconds) — lets the artifact distinguish "plan got
       // slower" from "plan produced different work".
-      val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      val rows = try fn(spark, sfDir).count() catch { case _: Throwable => failed += name; -1L }
       System.err.println(
         f"[bench] $name%-28s cold $cold%8.2f s  warm $warm%8.2f s  rows=$rows")
       (name, cold, warm, runs, rows)
@@ -127,7 +131,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","cold_total":$coldTotal%.2f,"queries":$qs,"cold":$cs,"sf":"$sfDir"}""")
+    val errs = failed.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","cold_total":$coldTotal%.2f,"errors":$errs,"queries":$qs,"cold":$cs,"sf":"$sfDir"}""")
     spark.stop()
+    // A bench run with ANY erroring query must not look like a clean perf
+    // gate (r4: window_sessionize failed with rows=-1 yet rc=0, so the
+    // driver recorded a "passing" bench over a broken query).
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] exiting 1 — ${failed.size} failing queries: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -16,9 +16,34 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Parquet scan with column pruning / predicate pushdown left to Catalyst. */
+  /** Parquet scan with column pruning / predicate pushdown left to Catalyst.
+    * All timestamp columns are normalized via [[normalizeNtz]] so downstream
+    * operators see exactly one timestamp type regardless of how the fixture
+    * minting round encoded them. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    normalizeNtz(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Timestamp-encoding normalization, in ONE shared place (the load path).
+    *
+    * The driver's test-data mints have used three parquet encodings across
+    * rounds: TIMESTAMP(NANOS) (surfaced as LongType under
+    * `spark.sql.legacy.parquet.nanosAsLong`), TIMESTAMP_MICROS with
+    * `isAdjustedToUTC=0` (surfaced as TIMESTAMP_NTZ), and plain
+    * instant-adjusted TIMESTAMP. Downstream code — epoch casts
+    * (`cast("long")` is not valid from NTZ), `withWatermark` (refuses NTZ
+    * event time), typed Datasets with `java.sql.Timestamp` fields (NTZ
+    * decodes as `java.time.LocalDateTime`) — needs exactly one type, so
+    * every NTZ column is cast to TimestampType here. The session timezone
+    * is pinned UTC in every entrypoint, so the NTZ→TZ cast preserves the
+    * wall clock and epoch-based comparisons match what DuckDB's naive
+    * reads of the same files compute. */
+  def normalizeNtz(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val ntz = df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }
+    ntz.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
+  }
 
   /** Scan-parallelism guard for compute-heavy consumers (hashing,
     * tokenization, pairwise similarity): a parquet file is splittable only
@@ -37,11 +62,12 @@ object Tables {
     if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
   }
 
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS); Spark has no
-    * nanosecond timestamp type. If the scan surfaces it as LongType (via
-    * `spark.sql.legacy.parquet.nanosAsLong`), truncate to micros — the same
-    * thing DuckDB's `epoch_ms`/`date_trunc` comparisons see.
-    */
+  /** `events` load, total over every `ts` encoding the mints have produced:
+    * TIMESTAMP(NANOS) read as LongType (Spark has no nanosecond type —
+    * truncate to micros, the same thing DuckDB's `epoch_ms`/`date_trunc`
+    * comparisons see), and the NTZ/TZ micros encodings handled by
+    * [[normalizeNtz]] inside [[load]]. A re-mint that switches encoding
+    * again lands in one of these branches instead of breaking consumers. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // Runtime-settable session conf; without it the scan aborts with
     // PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS).

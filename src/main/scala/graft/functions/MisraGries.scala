@@ -41,7 +41,7 @@ case class MisraGriesAgg(
     k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[mutable.HashMap[String, Long]]
+    extends TypedImperativeAggregate[mutable.HashMap[UTF8String, Long]]
     with UnaryLike[Expression] {
 
   require(k >= 1, s"misra_gries needs k >= 1, got $k")
@@ -60,68 +60,79 @@ case class MisraGriesAgg(
   override def nullable: Boolean = false
   override def prettyName: String = "misra_gries"
 
-  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
-    mutable.HashMap.empty[String, Long]
+  override def createAggregationBuffer(): mutable.HashMap[UTF8String, Long] =
+    mutable.HashMap.empty[UTF8String, Long]
 
+  // Buffer keys are UTF8String (cloned on first insert — `child.eval` may
+  // reuse its backing bytes), not decoded java Strings: the update path
+  // runs once per input row, and a per-row String decode plus the
+  // decrement-step ArrayBuffer were measurable GC pressure at sf0.1
+  // (3x run-to-run bench variance). All trims are now in-place and
+  // allocation-free.
   override def update(
-      buf: mutable.HashMap[String, Long], input: InternalRow): mutable.HashMap[String, Long] = {
+      buf: mutable.HashMap[UTF8String, Long],
+      input: InternalRow): mutable.HashMap[UTF8String, Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val item = v.asInstanceOf[UTF8String].toString
+      val item = v.asInstanceOf[UTF8String]
       buf.get(item) match {
         case Some(c) => buf.update(item, c + 1)
-        case None if buf.size < k => buf.update(item, 1L)
+        case None if buf.size < k => buf.update(item.clone(), 1L)
         case None =>
           // decrement-all step; drop zeroed counters
-          val dead = mutable.ArrayBuffer.empty[String]
-          buf.foreach { case (it, c) =>
-            if (c == 1L) dead += it else buf.update(it, c - 1)
-          }
-          dead.foreach(buf.remove)
+          buf.mapValuesInPlace((_, c) => c - 1L)
+          buf.filterInPlace((_, c) => c > 0L)
       }
     }
     buf
   }
 
   override def merge(
-      buf: mutable.HashMap[String, Long],
-      other: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+      buf: mutable.HashMap[UTF8String, Long],
+      other: mutable.HashMap[UTF8String, Long]): mutable.HashMap[UTF8String, Long] = {
     other.foreach { case (it, c) => buf.update(it, buf.getOrElse(it, 0L) + c) }
     if (buf.size > k) {
       // subtract the (k+1)-th largest count from all, drop <= 0
       val m = buf.values.toArray.sortBy(-_).apply(k)
-      val dead = mutable.ArrayBuffer.empty[String]
-      buf.foreach { case (it, c) =>
-        if (c - m <= 0L) dead += it else buf.update(it, c - m)
-      }
-      dead.foreach(buf.remove)
+      buf.mapValuesInPlace((_, c) => c - m)
+      buf.filterInPlace((_, c) => c > 0L)
     }
     buf
   }
 
-  override def eval(buf: mutable.HashMap[String, Long]): Any = {
-    val rows = buf.toArray.sortBy { case (it, c) => (-c, it) }.map {
-      case (it, c) =>
-        InternalRow(UTF8String.fromString(it), c): Any
+  override def eval(buf: mutable.HashMap[UTF8String, Long]): Any = {
+    // Once per GROUP over at most k entries — the String decode for the
+    // deterministic (count desc, item asc) tie-break is fine here.
+    val rows = buf.toArray.sortBy { case (it, c) => (-c, it.toString) }.map {
+      case (it, c) => InternalRow(it, c): Any
     }
     new GenericArrayData(rows): ArrayData
   }
 
-  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+  override def serialize(buf: mutable.HashMap[UTF8String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (it, c) => out.writeUTF(it); out.writeLong(c) }
+    buf.foreach { case (it, c) =>
+      val b = it.getBytes
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[UTF8String, Long] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val buf = mutable.HashMap.empty[String, Long]
+    val buf = mutable.HashMap.empty[UTF8String, Long]
     var i = 0
-    while (i < n) { buf.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.update(UTF8String.fromBytes(b), in.readLong())
+      i += 1
+    }
     buf
   }
 

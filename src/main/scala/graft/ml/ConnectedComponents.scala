@@ -49,16 +49,21 @@ object ConnectedComponents {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("label").as("nbr_min"))
+      // The left join carries BOTH the previous label and the neighbor
+      // minimum, so the per-row "did this label shrink" flag is computed
+      // here — the convergence check is then a single count over the
+      // checkpointed rows instead of a second join+isEmpty job per round
+      // (halves the driver round-trips; the count scans cached partitions,
+      // no shuffle).
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_min"), col("label")))
-            .as("label"))
+            .as("label"),
+          (coalesce(col("nbr_min"), col("label")) < col("label"))
+            .cast("long").as("chg"))
         .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev"))
-        .isEmpty
-      labels = next
+      converged = next.agg(coalesce(sum("chg"), lit(0L))).first().getLong(0) == 0L
+      labels = next.drop("chg")
       i += 1
     }
     if (!converged) {

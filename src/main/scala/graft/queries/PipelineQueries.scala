@@ -141,19 +141,17 @@ object PipelineQueries extends QueryBase {
       doc = "O1 deterministic hash-mod sampling; reference database.py:279-288"),
 
     // N5 POS-pattern subsequence match: find ADJ-NOUN bigram positions in
-    // the tag sequence, emit the matched word pairs. POS tags synthesized
-    // deterministically (token length mod 4) since no tagger model ships
-    // in this container — the reference likewise precomputes tags (spaCy)
-    // upstream of the pattern matcher.
+    // the tag sequence, emit the matched word pairs. Tags come from the
+    // rule-based N4 tagger (graft.functions.PosTag — lexicon + German
+    // suffix cascade), so the pattern matcher runs end-to-end from raw
+    // text exactly as the reference runs spaCy upstream of it.
     // reference src/absa/post_opinion_patterns.py:401-421.
     Q(
       "pipe_pos_pattern",
       (s, dir) => {
         val d = th(s, dir, "documents")
         val tk = split(lower(col("text")), "\\s+")
-        val tags = transform(tk, w =>
-          when(length(w) % 4 === 0, "NOUN").when(length(w) % 4 === 1, "ADJ")
-            .when(length(w) % 4 === 2, "VERB").otherwise("ADV"))
+        val tags = transform(tk, w => graft.functions.PosTag.tag(w))
         val hits = filter(sequence(lit(1), size(col("tk")) - 1),
           i => element_at(col("tags"), i) === "ADJ" &&
             element_at(col("tags"), i + 1) === "NOUN")
@@ -167,14 +165,11 @@ object PipelineQueries extends QueryBase {
           .orderBy(col("n_occ").desc, col("phrase").asc)
           .limit(50)
       },
-      Some("""
+      Some(s"""
         WITH tagged AS (
           SELECT doc_id, tk,
-                 [CASE WHEN length(w) % 4 = 0 THEN 'NOUN'
-                       WHEN length(w) % 4 = 1 THEN 'ADJ'
-                       WHEN length(w) % 4 = 2 THEN 'VERB'
-                       ELSE 'ADV' END FOR w IN tk] AS tags
-          FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk
+                 [${graft.functions.PosTag.sqlCase("w")} FOR w IN tk] AS tags
+          FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk
                 FROM documents)),
         hits AS (
           SELECT doc_id,
@@ -191,8 +186,8 @@ object PipelineQueries extends QueryBase {
     //   posts (non-museum, text present)
     //   × opinion-pattern dim (J11 cross join — the 2-row
     //     opinion_patterns.jsonc config: adj_noun / noun_adj)
-    //   → POS-tag subsequence match (N5; deterministic fake tagger, the
-    //     spaCy boundary being out of engine per SURVEY §2.10)
+    //   → POS-tag subsequence match (N5; rule-based N4 tagger
+    //     graft.functions.PosTag, spaCy model out of engine per SURVEY §2.10)
     //   → aspect/sentiment phrase extraction per match
     //   → aspect-word embedding lookup (N6 md5-derived vectors)
     //   → bounded DBSCAN bins over DISTINCT aspect vectors (N7 —
@@ -213,9 +208,7 @@ object PipelineQueries extends QueryBase {
           ("adj_noun", "ADJ", "NOUN", 2), // {pos:ADJ,isSentiment},{pos:NOUN,isAspect}
           ("noun_adj", "NOUN", "ADJ", 1)) // {pos:NOUN,isAspect},{pos:ADJ,isSentiment}
           .toDF("pattern_name", "pos1", "pos2", "aspect_seg")
-        val tags = transform(col("tk"), w =>
-          when(length(w) % 4 === 0, "NOUN").when(length(w) % 4 === 1, "ADJ")
-            .when(length(w) % 4 === 2, "VERB").otherwise("ADV"))
+        val tags = transform(col("tk"), w => graft.functions.PosTag.tag(w))
         val hits = filter(sequence(lit(1), size(col("tk")) - 1), i =>
           element_at(col("tags"), i) === col("pos1") &&
             element_at(col("tags"), i + 1) === col("pos2"))
@@ -270,18 +263,15 @@ object PipelineQueries extends QueryBase {
             "n_noun_adj", "top_sentiments")
           .orderBy("rep_aspect")
       },
-      Some("""
+      Some(s"""
         WITH posts AS (
-          SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk
+          SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk
           FROM documents WHERE doc_id % 7 <> 0 AND text IS NOT NULL),
         pat(pattern_name, pos1, pos2, aspect_seg) AS (SELECT * FROM (VALUES
           ('adj_noun', 'ADJ', 'NOUN', 2), ('noun_adj', 'NOUN', 'ADJ', 1))),
         tagged AS (
           SELECT doc_id, tk,
-                 [CASE WHEN length(w) % 4 = 0 THEN 'NOUN'
-                       WHEN length(w) % 4 = 1 THEN 'ADJ'
-                       WHEN length(w) % 4 = 2 THEN 'VERB'
-                       ELSE 'ADV' END FOR w IN tk] AS tags
+                 [${graft.functions.PosTag.sqlCase("w")} FOR w IN tk] AS tags
           FROM posts),
         phrases AS (
           SELECT doc_id, pattern_name,

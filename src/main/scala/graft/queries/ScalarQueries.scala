@@ -72,11 +72,10 @@ object ScalarQueries extends QueryBase {
             german.as("german_dt"),
             date_format(to_timestamp(german, "dd.MM.yyyy HH:mm"), "yyyy-MM-dd HH:mm:ss")
               .as("parsed_back"),
-            // P8: duration in whole minutes from year start. o_orderdate is
-            // parquet TIMESTAMP_NTZ — route through TIMESTAMP for the
-            // epoch-seconds cast (NTZ→long is not a valid cast).
-            floor((col("o_orderdate").cast("timestamp").cast("long") -
-              date_trunc("year", col("o_orderdate")).cast("timestamp").cast("long")) / 60L)
+            // P8: duration in whole minutes from year start (epoch-seconds
+            // casts are safe — Tables.load normalizes timestamp encodings).
+            floor((col("o_orderdate").cast("long") -
+              date_trunc("year", col("o_orderdate")).cast("long")) / 60L)
               .as("minutes_into_year"))
           .orderBy("o_orderkey")
       },

@@ -551,6 +551,56 @@ object SourceQueries extends QueryBase {
         ORDER BY quota_id, "date", "time""""),
       doc = "S5 capacity scrape: Berlin-epoch basic cells + popover " +
         "hovercard overrides over the 7x96 zero grid; reference " +
-        "capacities.py:88-206")
+        "capacities.py:88-206"),
+
+    // K4: CSV sink with CR normalization, proven by round-trip — plant
+    // \r\n and lone \r in a payload column, write through
+    // Sources.writeCsvNormalized (reference data_preparation.py:56-74
+    // rewrites \r\n|\r → \n in every string column before its CSV IR),
+    // read the emitted files back, and emit per-row CR/LF accounting.
+    // The oracle replays the normalization in pure SQL with no file IO;
+    // value equality proves the sink+scan round-trip is lossless AND
+    // CR-free.
+    Q(
+      "src_csv_sink_crlf",
+      (s, dir) => {
+        val out = Sources.scratchDir(dir, "csv_sink_crlf")
+        val planted = t(s, dir, "nation").select(
+          col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"),
+          concat(col("n_name"), lit("\r\n"), lit("comment for "),
+            col("n_name"), lit("\r"), lit("end")).as("payload"))
+        Sources.writeCsvNormalized(planted, out)
+        val schema = StructType(Seq(
+          StructField("n_nationkey", LongType),
+          StructField("n_name", StringType),
+          StructField("payload", StringType)))
+        s.read.schema(schema)
+          .option("header", "true").option("multiLine", "true")
+          .csv(out)
+          .select(col("n_nationkey"), col("n_name"), col("payload"),
+            length(col("payload")).as("payload_len"),
+            (length(col("payload")) - length(translate(col("payload"), "\n", "")))
+              .as("n_lf"),
+            (length(col("payload")) - length(translate(col("payload"), "\r", "")))
+              .as("n_cr"))
+          .orderBy("n_nationkey")
+      },
+      Some("""
+        SELECT n_nationkey, n_name, payload,
+               CAST(length(payload) AS INT) AS payload_len,
+               CAST(length(payload) - length(replace(payload, chr(10), '')) AS INT)
+                 AS n_lf,
+               CAST(length(payload) - length(replace(payload, chr(13), '')) AS INT)
+                 AS n_cr
+        FROM (
+          SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                 regexp_replace(n_name || chr(13) || chr(10) || 'comment for ' ||
+                   n_name || chr(13) || 'end', '\r\n|\r', chr(10), 'g')
+                   AS payload
+          FROM nation)
+        ORDER BY n_nationkey"""),
+      doc = "K4 CSV sink with CR->LF normalization, round-trip proven; " +
+        "reference data_preparation.py:56-74")
   )
 }

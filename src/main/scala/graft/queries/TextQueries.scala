@@ -641,5 +641,36 @@ object TextQueries extends QueryBase {
                min(canon) AS first_canon
         FROM c GROUP BY host ORDER BY host"""),
       doc = "URL canonicalization (host/port/www/tracking-param/fragment " +
-        "normalization) + per-host crawl-dedup rollup, expression-only"))
+        "normalization) + per-host crawl-dedup rollup, expression-only"),
+
+    // N4: deterministic rule-based POS tagging from raw text — the
+    // lexicon+suffix cascade in graft.functions.PosTag replaces the
+    // fixture-carried-tag stance; both the Catalyst when-chain and this
+    // oracle's CASE are generated from ONE rule table so they cannot
+    // drift. reference src/absa/post_opinion_patterns.py:346-363 (spaCy
+    // tagging boundary).
+    Q(
+      "text_pos_tag",
+      (s, dir) => {
+        val d = th(s, dir, "documents")
+        d.select(col("lang"), explode(toks).as("w"))
+          .select(col("lang"), col("w"),
+            graft.functions.PosTag.tag(col("w")).as("tag"))
+          .groupBy("lang", "tag")
+          .agg(count(lit(1)).as("n_tokens"),
+            countDistinct(col("w")).as("n_words"),
+            min(col("w")).as("first_word"))
+          .orderBy("lang", "tag")
+      },
+      Some(s"""
+        SELECT lang, tag, count(*) AS n_tokens,
+               CAST(count(DISTINCT w) AS BIGINT) AS n_words,
+               min(w) AS first_word
+        FROM (SELECT lang, ${graft.functions.PosTag.sqlCase("w")} AS tag, w
+              FROM (SELECT lang,
+                           unnest(string_split_regex(lower(text), '\\s+')) AS w
+                    FROM documents))
+        GROUP BY lang, tag ORDER BY lang, tag"""),
+      doc = "N4 rule-based POS tagger (lexicon + German suffix cascade); " +
+        "reference post_opinion_patterns.py:346-363"))
 }

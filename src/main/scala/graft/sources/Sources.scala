@@ -58,4 +58,23 @@ object Sources {
     val sf = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     s"${sys.props("java.io.tmpdir")}/graft_src_${sf}_$name"
   }
+
+  /** K4: CSV sink with carriage-return normalization. The reference
+    * rewrites `\r\n|\r` → `\n` in every string column before its CSV IR
+    * (reference src/_utils/data_preparation.py:56-74 — stray CRs became
+    * illegal mid-record line breaks in the file intermediate). Same
+    * transform here, as a codegen `regexp_replace` over the string
+    * columns, then a plain parallel CSV write (embedded LFs are quoted
+    * by the writer; CRs are gone, which is what keeps downstream
+    * line-oriented consumers of the emitted files honest). */
+  def writeCsvNormalized(df: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    import org.apache.spark.sql.types.StringType
+    val fixed = df.schema.fields.foldLeft(df) {
+      case (d, f) if f.dataType == StringType =>
+        d.withColumn(f.name, regexp_replace(col(f.name), "\r\n|\r", "\n"))
+      case (d, _) => d
+    }
+    fixed.write.mode("overwrite").option("header", "true").csv(path)
+  }
 }

@@ -66,19 +66,21 @@ class MisraGriesSpec extends SparkSpec {
     }
   }
 
+  private def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+
   test("aggregate state round-trips through serialize/deserialize") {
     val agg = MisraGriesAgg(org.apache.spark.sql.catalyst.expressions.Literal("x"), 4)
-    val buf = mutable.HashMap("a" -> 5L, "b" -> 2L, "weird é中" -> 9L)
+    val buf = mutable.HashMap(u("a") -> 5L, u("b") -> 2L, u("weird é中") -> 9L)
     val back = agg.deserialize(agg.serialize(buf))
     assert(back == buf)
   }
 
   test("merge trims to the (k+1)-th largest and drops non-positives") {
     val agg = MisraGriesAgg(org.apache.spark.sql.catalyst.expressions.Literal("x"), 2)
-    val a = mutable.HashMap("a" -> 10L, "b" -> 4L)
-    val b = mutable.HashMap("c" -> 3L, "b" -> 1L)
+    val a = mutable.HashMap(u("a") -> 10L, u("b") -> 4L)
+    val b = mutable.HashMap(u("c") -> 3L, u("b") -> 1L)
     val merged = agg.merge(a, b)
     // combined: a=10 b=5 c=3; third largest = 3; after subtract: a=7 b=2
-    assert(merged == mutable.HashMap("a" -> 7L, "b" -> 2L))
+    assert(merged == mutable.HashMap(u("a") -> 7L, u("b") -> 2L))
   }
 }
