@@ -627,6 +627,11 @@ object PipelineQueries extends QueryBase {
         val p = new org.apache.hadoop.fs.Path(tbl)
         val hfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (hfs.exists(p)) hfs.delete(p, true) // fresh fixture per run
+        // NOT th: measured both ways at sf0.1 (r5) — an explicit
+        // repartition costs more than the serial scan saves here, because
+        // the upsert merge reshuffles on the PK anyway and the dominant
+        // cost is the two staged table swaps (write+rename+read), not the
+        // map work.
         val o = t(s, dir, "orders")
         val c = t(s, dir, "customer")
         val key = col("o_orderkey")
