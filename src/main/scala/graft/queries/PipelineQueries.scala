@@ -864,5 +864,62 @@ object PipelineQueries extends QueryBase {
         ORDER BY layout"""),
       doc = "Z-order (Morton) layout assignment via magic-mask bit " +
         "interleave, with per-bucket bounding boxes measured against the " +
-        "natural layout — the multi-dim min/max data-skipping primitive"))
+        "natural layout — the multi-dim min/max data-skipping primitive"),
+
+    // Slowly-changing-dimension type-2 build: collapse each customer's
+    // order-status history into [valid_from, valid_to] effective ranges
+    // with an is_current flag — the warehouse dimension-versioning
+    // pattern (the reference's gomus customer re-imports overwrite in
+    // place; SCD2 is what the same feed needs once history must be
+    // queryable). Plan shape: one (key, day) aggregate picks the
+    // deterministic last status per day (max_by on the unique order id),
+    // then change-detection lag and range-closing lead run as two window
+    // functions over ONE o_custkey sort; per-key window state is a
+    // single row, so the build is two keyed shuffles at any history
+    // length.
+    Q(
+      "pipe_scd2_dimension",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val snap = o.groupBy(col("o_custkey"),
+            to_date(col("o_orderdate")).as("day"))
+          .agg(max_by(col("o_orderstatus"), col("o_orderkey")).as("status"))
+        val w = Window.partitionBy("o_custkey").orderBy("day")
+        val chg = snap
+          .withColumn("prev", lag(col("status"), 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("status"))
+        chg
+          .withColumn("next_day", lead(col("day"), 1).over(w))
+          .select(col("o_custkey"), col("status"),
+            date_format(col("day"), "yyyy-MM-dd").as("valid_from"),
+            date_format(date_sub(col("next_day"), 1), "yyyy-MM-dd")
+              .as("valid_to"),
+            col("next_day").isNull.as("is_current"))
+          .orderBy("o_custkey", "valid_from")
+      },
+      Some("""
+        WITH snap AS (
+          SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+                 max_by(o_orderstatus, o_orderkey) AS status
+          FROM orders GROUP BY 1, 2),
+        chg AS (
+          SELECT o_custkey, day, status FROM (
+            SELECT o_custkey, day, status,
+                   lag(status) OVER (PARTITION BY o_custkey ORDER BY day)
+                     AS prev
+            FROM snap)
+          WHERE prev IS NULL OR prev <> status),
+        ranged AS (
+          SELECT o_custkey, day, status,
+                 lead(day) OVER (PARTITION BY o_custkey ORDER BY day)
+                   AS next_day
+          FROM chg)
+        SELECT o_custkey, status,
+               strftime(day, '%Y-%m-%d') AS valid_from,
+               strftime(next_day - INTERVAL 1 DAY, '%Y-%m-%d') AS valid_to,
+               next_day IS NULL AS is_current
+        FROM ranged ORDER BY o_custkey, valid_from"""),
+      doc = "SCD2 dimension versioning: per-day deterministic snapshot " +
+        "(max_by), lag change-detection, lead range-close, is_current " +
+        "flag — two keyed shuffles, O(1) window state per key"))
 }

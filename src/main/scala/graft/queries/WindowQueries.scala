@@ -301,5 +301,109 @@ object WindowQueries extends QueryBase {
         FROM j ORDER BY user_id, day"""),
       doc = "time-series linear interpolation over the densified day " +
         "grid: backward/forward non-null windows bracket each gap, " +
-        "value = prev + slope * elapsed"))
+        "value = prev + slope * elapsed"),
+
+    // Ordered conversion funnel view -> click -> purchase: a user counts
+    // for stage N only with an event STRICTLY after their stage-(N-1)
+    // time (the product-analytics "windowFunnel" semantics). Plan shape:
+    // three chained unordered windows over the SAME user_id partitioning
+    // (one exchange, no sort — conditional min needs no order), then the
+    // per-user collapse reuses that partitioning, then a 1-row global
+    // aggregate; per-user state is three timestamps, so the operator is
+    // one shuffle at any event count.
+    Q(
+      "window_funnel",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val w = Window.partitionBy("user_id")
+        val perRow = ev
+          .withColumn("t1",
+            min(when(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn("t2",
+            min(when(col("event_type") === "click" && col("ts") > col("t1"),
+              col("ts"))).over(w))
+          .withColumn("t3",
+            min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+              col("ts"))).over(w))
+        val perUser = perRow.groupBy("user_id")
+          .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+            max(col("t3")).as("t3"))
+        val c = perUser.agg(
+          count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+          count(col("t3")).as("n3"))
+        c.select(
+            expr("stack(3, 1, 'view', n1, CAST(NULL AS BIGINT)," +
+              " 2, 'click', n2, n1, 3, 'purchase', n3, n2)")
+              .as(Seq("stage_ord", "stage", "n_users", "n_prev")))
+          .select(col("stage_ord"), col("stage"), col("n_users"),
+            when(col("n_prev").isNull, lit(1.0))
+              .otherwise(round(col("n_users").cast("double") / col("n_prev"), 6))
+              .as("conv"))
+          .orderBy("stage_ord")
+      },
+      Some("""
+        WITH t1 AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY 1),
+        t2 AS (
+          SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1
+          WHERE e.event_type = 'click' GROUP BY 1),
+        t3 AS (
+          SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t2
+          WHERE e.event_type = 'purchase' GROUP BY 1),
+        c AS (SELECT (SELECT count(*) FROM t1) AS n1,
+                     (SELECT count(*) FROM t2) AS n2,
+                     (SELECT count(*) FROM t3) AS n3)
+        SELECT stage_ord, stage, n_users, conv FROM (
+          SELECT 1 AS stage_ord, 'view' AS stage, n1 AS n_users, 1.0 AS conv
+          FROM c
+          UNION ALL
+          SELECT 2, 'click', n2, round(n2 * 1.0 / n1, 6) FROM c
+          UNION ALL
+          SELECT 3, 'purchase', n3, round(n3 * 1.0 / n2, 6) FROM c)
+        ORDER BY stage_ord"""),
+      doc = "ordered event funnel (strictly-after stage gating): three " +
+        "chained conditional-min windows over one user_id exchange; " +
+        "per-user state is 3 timestamps regardless of event volume"),
+
+    // First-order Markov transition matrix over each user's event
+    // sequence: count consecutive (from, to) event-type pairs and the
+    // per-from transition probability. One shuffle on user_id (the lag
+    // window), then a 25-row aggregate; row-probability normalization
+    // happens on the tiny aggregated frame, not the event stream.
+    Q(
+      "window_markov_transitions",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val pairs = ev
+          .withColumn("from_type", lag(col("event_type"), 1).over(w))
+          .filter(col("from_type").isNotNull)
+        val counts = pairs.groupBy(col("from_type"),
+            col("event_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val wf = Window.partitionBy("from_type")
+        counts
+          .withColumn("p",
+            round(col("n").cast("double") / sum(col("n")).over(wf), 6))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""
+        SELECT from_type, to_type, n,
+               round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        FROM (
+          SELECT from_type, event_type AS to_type, count(*) AS n
+          FROM (
+            SELECT user_id, event_type,
+                   lag(event_type, 1) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS from_type
+            FROM events)
+          WHERE from_type IS NOT NULL
+          GROUP BY 1, 2)
+        ORDER BY from_type, to_type"""),
+      doc = "first-order Markov transition counts + row-normalized " +
+        "probabilities over per-user event sequences; one user_id " +
+        "shuffle, normalization on the O(types^2) aggregate"))
 }
