@@ -457,5 +457,136 @@ object MlQueries extends QueryBase {
       },
       doc = "integer-exact PageRank (8 unrolled iterations, micro-unit " +
         "ranks, floor-division damping) over the user->entity event " +
-        "graph; one shuffle per iteration, localCheckpointed lineage"))
+        "graph; one shuffle per iteration, localCheckpointed lineage"),
+
+    // Triangle counting over the user co-interaction graph (users sharing
+    // an event entity). Scale posture: pair generation is BLOCKED — only
+    // the top-8 users per entity (by interaction count, deterministic
+    // tiebreak) form pairs, so edges grow linearly in entities, never
+    // quadratically in users per entity; the triangle enumeration is two
+    // hash joins over oriented edges (a<b<c lists each triangle once).
+    // At web scale the same plan orients edges by degree instead of id,
+    // which bounds every node's join fan-out by sqrt(|E|).
+    Q(
+      "ml_triangle_count",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val uk = ev.select(col("user_id").as("u"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .filter(col("k").isNotNull)
+          .groupBy("k", "u").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("k").orderBy(col("n").desc, col("u").asc)
+        val top = uk.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 8).select("k", "u")
+        val e = top.as("x").join(top.as("y"),
+            col("x.k") === col("y.k") && col("x.u") < col("y.u"))
+          .select(col("x.u").as("a"), col("y.u").as("b")).distinct()
+        val tri = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+          .join(e.as("e3"),
+            col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+          .select(col("e1.a").as("v1"), col("e1.b").as("v2"),
+            col("e2.b").as("v3"))
+        tri.select(explode(array(col("v1"), col("v2"), col("v3"))).as("node"))
+          .groupBy("node").agg(count(lit(1)).as("n_tri"))
+          .orderBy(col("n_tri").desc, col("node").asc).limit(25)
+      },
+      Some("""
+        WITH uk AS (
+          SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                 user_id AS u, count(*) AS n
+          FROM events
+          WHERE json_extract_string(props, '$.k') IS NOT NULL
+          GROUP BY 1, 2),
+        top AS (
+          SELECT k, u FROM (
+            SELECT k, u, row_number() OVER (PARTITION BY k
+                           ORDER BY n DESC, u ASC) AS rk
+            FROM uk)
+          WHERE rk <= 8),
+        e AS (
+          SELECT DISTINCT x.u AS a, y.u AS b
+          FROM top x JOIN top y ON x.k = y.k AND x.u < y.u),
+        tri AS (
+          SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+          FROM e e1 JOIN e e2 ON e1.b = e2.a
+                    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        SELECT node, count(*) AS n_tri FROM (
+          SELECT unnest([v1, v2, v3]) AS node FROM tri)
+        GROUP BY node ORDER BY n_tri DESC, node LIMIT 25"""),
+      doc = "triangle counting over the blocked user co-interaction " +
+        "graph: top-8-per-entity pair generation (linear in entities), " +
+        "oriented a<b<c edge joins list each triangle once"),
+
+    // Lloyd k-means (k=8, 3 iterations) over the embedding corpus, made
+    // INTEGER-EXACT so any engine reproduces assignments bit-for-bit:
+    // vectors quantized to micro-units (round(x*1e6) as long), distances
+    // are integer squared-L2 (exact, order-free), centroid updates use
+    // truncating integer division (Spark `div` == DuckDB `//`), argmin
+    // ties break to the lowest centroid id via struct-min. Plan shape
+    // per iteration: one broadcast of the k-row centroid frame, a
+    // map-side partial-aggregable argmin groupBy(vec_id), and a
+    // (k x dims)-sized centroid aggregate — no driver-side state, the
+    // same loop at 100 TB just broadcasts k rows per round.
+    Q(
+      "ml_kmeans_lloyd",
+      (s, dir) => {
+        val v = graft.ml.KMeans.quantize(th(s, dir, "embeddings"))
+          .localCheckpoint()
+        val cent = graft.ml.KMeans.fit(v, 8, 3)
+        graft.ml.KMeans.assign(v, cent)
+          .groupBy("cid")
+          .agg(count(lit(1)).as("n"),
+            round(wsum(col("dist")).cast("double") / lit(1e12), 6)
+              .as("inertia"))
+          .join(cent.select(col("cid"),
+            element_at(col("cv"), 1).as("c0")), "cid")
+          .select(col("cid"), col("n"), col("inertia"), col("c0"))
+          .orderBy("cid")
+      },
+      Some {
+        val dims = 64
+        def assignCte(a: String, c: String) =
+          s"""$a AS (
+             |  SELECT vec_id, cid, dist FROM (
+             |    SELECT v.vec_id, c.cid,
+             |           CAST(list_sum([(xq[i+1]-cv[i+1])*(xq[i+1]-cv[i+1])
+             |                 FOR i IN range(0, $dims)]) AS BIGINT) AS dist,
+             |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             |             list_sum([(xq[i+1]-cv[i+1])*(xq[i+1]-cv[i+1])
+             |               FOR i IN range(0, $dims)]), c.cid) AS rk
+             |    FROM v CROSS JOIN $c c)
+             |  WHERE rk = 1)""".stripMargin
+        def centCte(c: String, a: String) =
+          s"""$c AS (
+             |  SELECT cid, list(cx ORDER BY d) AS cv FROM (
+             |    SELECT cid, d, CAST(sum(ux) AS BIGINT) // count(*) AS cx
+             |    FROM (SELECT cid, unnest(xq) AS ux,
+             |                 generate_subscripts(xq, 1) AS d
+             |          FROM $a JOIN v USING (vec_id))
+             |    GROUP BY cid, d
+             |  ) GROUP BY cid)""".stripMargin
+        s"""
+        WITH v AS (
+          SELECT vec_id,
+                 [CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)
+                  FOR x IN embedding] AS xq
+          FROM embeddings),
+        c0 AS (SELECT vec_id AS cid, xq AS cv FROM v WHERE vec_id < 8),
+        ${assignCte("a1", "c0")},
+        ${centCte("c1", "a1")},
+        ${assignCte("a2", "c1")},
+        ${centCte("c2", "a2")},
+        ${assignCte("a3", "c2")},
+        ${centCte("c3", "a3")},
+        ${assignCte("a4", "c3")}
+        SELECT a4.cid, count(*) AS n,
+               round(CAST(sum(dist) AS DOUBLE) / 1e12, 6) AS inertia,
+               max(c3.cv[1]) AS c0
+        FROM a4 JOIN c3 ON a4.cid = c3.cid
+        GROUP BY a4.cid ORDER BY a4.cid"""
+      },
+      doc = "integer-exact Lloyd k-means (micro-unit squared-L2, " +
+        "truncating-division centroids, struct-min argmin ties): " +
+        "k-row broadcast per round, partial-aggregable argmin, no " +
+        "driver state"))
 }

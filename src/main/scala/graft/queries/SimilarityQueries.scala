@@ -291,5 +291,118 @@ object SimilarityQueries extends QueryBase {
         WHERE rank <= 5 ORDER BY qid, rank"""),
       doc = "int8 scalar-quantized ANN (FAISS SQ8-style): one-pass per-dim " +
         "ranges, 4x-compressed codes, full quantize->dequantize->score " +
-        "replayed by the oracle"))
+        "replayed by the oracle"),
+
+    // IVF over SQ8 codes — the composed production layout (FAISS
+    // IVF+SQ): the coarse quantizer (exact scaled-long cell centroids)
+    // cuts the scanned fraction to nprobe/ncells, and the scanned
+    // vectors are the 4x-compressed int8 codes, not the raw floats — so
+    // at 100 TB the index reads nprobe/ncells of a corpus that is
+    // ALREADY 4x smaller than float32. Queries stay full-precision
+    // (asymmetric distance); everything is exact-rounded IEEE arithmetic
+    // so the oracle replays cell-probe + dequantize + score end-to-end.
+    Q(
+      "sim_ann_ivf_sq8",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val v = vv(th(s, dir, "embeddings"))
+        val cent = v.select(col("label"), posexplode(col("vv")).as(Seq("d", "x")))
+          .groupBy("label", "d")
+          .agg((wsum(round(col("x").cast("double") * 1e6).cast("long"))
+            .cast("double") / (count(lit(1)) * lit(1e6))).as("cx"))
+          .groupBy("label")
+          .agg(transform(array_sort(collect_list(struct(col("d"), col("cx")))),
+            t => t.getField("cx")).as("cv"))
+        val rng = v.select(posexplode(col("vv")).as(Seq("d0", "x")))
+          .groupBy("d0")
+          .agg(min(col("x").cast("double")).as("mn"),
+            max(col("x").cast("double")).as("mx"))
+        val rngArr = rng.agg(
+          transform(array_sort(collect_list(struct(col("d0"), col("mn")))),
+            t => t.getField("mn")).as("mns"),
+          transform(array_sort(collect_list(struct(col("d0"), col("mx")))),
+            t => t.getField("mx")).as("mxs"))
+        val deq = transform(sequence(lit(0), lit(dims - 1)), i => {
+          val x = element_at(col("vv"), i + 1).cast("double")
+          val mn = element_at(col("mns"), i + 1)
+          val span = element_at(col("mxs"), i + 1) - mn
+          val code = when(span > 0,
+            round(lit(255.0) * (x - mn) / span)).otherwise(lit(0.0))
+          mn + code * span / lit(255.0)
+        })
+        val corpus = v.crossJoin(broadcast(rngArr)).withColumn("dv", deq)
+        val q = v.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("vv").as("qv"))
+        val wc = Window.partitionBy("qid").orderBy(col("ccos").desc, col("label").asc)
+        val cells = q.crossJoin(broadcast(cent))
+          .withColumn("ccos", expr("cosine_fd(qv, cv)"))
+          .withColumn("crank", row_number().over(wc))
+          .filter(col("crank") <= 2)
+          .select(col("qid"), col("qv"), col("label").as("probe_label"))
+        val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id").asc)
+        corpus.join(broadcast(cells), corpus("label") === cells("probe_label"))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("cosine", expr("cosine_fd(qv, dv)"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("rank"), col("vec_id"), col("label"),
+            round(col("cosine"), 6).as("cosine_ivf_sq8"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS vv
+          FROM embeddings),
+        cent AS (
+          SELECT label, list(cx ORDER BY d) AS cv FROM (
+            SELECT label, d,
+                   CAST(sum(CAST(round(vv[d+1] * 1e6) AS BIGINT)) AS DOUBLE)
+                     / (count(*) * 1e6) AS cx
+            FROM v CROSS JOIN (SELECT unnest(range(0, $dims)) AS d) t
+            GROUP BY label, d)
+          GROUP BY label),
+        rng AS (
+          SELECT d, min(x) AS mn, max(x) AS mx
+          FROM (SELECT unnest(vv) AS x, generate_subscripts(vv, 1) AS d FROM v)
+          GROUP BY d),
+        r1 AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
+               FROM rng),
+        corpus AS (
+          SELECT vec_id, label,
+                 [CASE WHEN mxs[i+1] - mns[i+1] > 0
+                       THEN mns[i+1] + round(255.0 * (vv[i+1] - mns[i+1])
+                              / (mxs[i+1] - mns[i+1]))
+                            * (mxs[i+1] - mns[i+1]) / 255.0
+                       ELSE mns[i+1] END
+                  FOR i IN range(0, $dims)] AS dv
+          FROM v CROSS JOIN r1),
+        q AS (SELECT vec_id AS qid, vv AS qv FROM v WHERE vec_id < 5),
+        cells AS (
+          SELECT qid, qv, label AS probe_label FROM (
+            SELECT qid, qv, label,
+                   row_number() OVER (PARTITION BY qid ORDER BY
+                     list_sum([qv[i+1] * cv[i+1] FOR i IN range(0, $dims)]) /
+                     (sqrt(list_sum([qv[i+1] * qv[i+1] FOR i IN range(0, $dims)])) *
+                      sqrt(list_sum([cv[i+1] * cv[i+1] FOR i IN range(0, $dims)]))) DESC,
+                     label ASC) AS crank
+            FROM q CROSS JOIN cent)
+          WHERE crank <= 2),
+        scored AS (
+          SELECT qid, c.vec_id AS vec_id, c.label AS label,
+                 list_sum([qv[i+1] * dv[i+1] FOR i IN range(0, $dims)]) /
+                 (sqrt(list_sum([qv[i+1] * qv[i+1] FOR i IN range(0, $dims)])) *
+                  sqrt(list_sum([dv[i+1] * dv[i+1] FOR i IN range(0, $dims)]))) AS cosine
+          FROM corpus c JOIN cells ON c.label = cells.probe_label
+          WHERE c.vec_id <> cells.qid)
+        SELECT qid, rank, vec_id, label, round(cosine, 6) AS cosine_ivf_sq8
+        FROM (
+          SELECT qid, vec_id, label, cosine,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cosine DESC, vec_id ASC) AS rank
+          FROM scored)
+        WHERE rank <= 5 ORDER BY qid, rank"""),
+      doc = "IVF over SQ8 codes (FAISS IVF+SQ layout): nprobe=2 coarse " +
+        "cells scanned as 4x-compressed dequantized codes, asymmetric " +
+        "full-precision queries; oracle replays probe + dequantize + " +
+        "score end-to-end"))
 }
