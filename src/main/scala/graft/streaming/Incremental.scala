@@ -88,6 +88,23 @@ object Incremental {
   def curationIntake(docs: DataFrame): DataFrame =
     graft.queries.CurationQueries.curateChunks(docs)
 
+  /** Stream-stream interval join — attribution: each purchase joins the
+    * same user's clicks from the preceding hour (`c_ts ∈ [p_ts - 1h,
+    * p_ts)`). Both sides are watermarked and the join condition carries
+    * an explicit event-time range, so Spark derives state-expiry bounds
+    * for BOTH join buffers: a click older than `p_ts_max - 1h - late` or
+    * a purchase older than the click watermark can never match again and
+    * is evicted. Without the time bound the buffers grow with the full
+    * history — the classic unbounded-state trap; with it, state is
+    * O(rate × (horizon + lateness)) at any stream length. Inner join ⇒
+    * append-mode rows emit as soon as both sides arrive. */
+  def attributionJoin(purchases: DataFrame, clicks: DataFrame,
+      late: String): DataFrame =
+    purchases.withWatermark("p_ts", late)
+      .join(clicks.withWatermark("c_ts", late),
+        expr("p_user = c_user AND " +
+          "c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts < p_ts"))
+
   /** Run a streaming transform over everything currently unprocessed, then
     * stop (the FillDbHourly cadence). Restart with the same checkpoint to
     * pick up only new files. */
