@@ -369,5 +369,53 @@ object CoreQueries extends QueryBase {
         WHERE rk <= 5 ORDER BY lang, rk"""),
       doc = "Misra-Gries heavy-hitters summary (custom mergeable Catalyst " +
         "aggregate, O(k) state per group) with its theorem bounds " +
-        "value-gated by the oracle next to the exact top-5"))
+        "value-gated by the oracle next to the exact top-5"),
+
+    // Cohort retention matrix: users grouped by first-active week, then
+    // per (cohort, week-offset) the share still active — the
+    // visitor-retention report the reference's museum analytics runs on
+    // bookings (gomus customer history). Plan shape: ONE distinct over
+    // (user, week) — both later groupings aggregate that already-small
+    // frame — the cohort-size frame is broadcast back, and offsets are
+    // exact integer week arithmetic (both engines truncate the same
+    // multiples of 7). At scale the only corpus-sized pass is the
+    // distinct; everything after is O(users).
+    Q(
+      "agg_retention_cohorts",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val uw = ev.select(col("user_id"),
+          date_trunc("week", col("ts")).as("wk")).distinct()
+        val cohort = uw.groupBy("user_id").agg(min(col("wk")).as("cw"))
+        val sizes = cohort.groupBy("cw")
+          .agg(count(lit(1)).as("cohort_n"))
+        uw.join(cohort, "user_id")
+          .withColumn("week_offset",
+            (datediff(col("wk"), col("cw")) / 7).cast("int"))
+          .groupBy("cw", "week_offset")
+          .agg(count(lit(1)).as("n_active"))
+          .join(broadcast(sizes), "cw")
+          .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+            col("week_offset"), col("n_active"),
+            round(col("n_active").cast("double") / col("cohort_n"), 6)
+              .as("retention"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""
+        WITH uw AS (
+          SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+        cohort AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY 1),
+        sizes AS (SELECT cw, count(*) AS cohort_n FROM cohort GROUP BY 1),
+        act AS (
+          SELECT cw, CAST(date_diff('day', cw, wk) / 7 AS INT) AS week_offset,
+                 count(*) AS n_active
+          FROM uw JOIN cohort USING (user_id)
+          GROUP BY 1, 2)
+        SELECT strftime(act.cw, '%Y-%m-%d') AS cohort_week, week_offset,
+               n_active, round(n_active * 1.0 / cohort_n, 6) AS retention
+        FROM act JOIN sizes ON act.cw = sizes.cw
+        ORDER BY cohort_week, week_offset"""),
+      doc = "weekly cohort retention matrix (first-active week x offset, " +
+        "share of cohort active): one corpus-sized distinct, then " +
+        "O(users) aggregates with the cohort sizes broadcast back"))
 }

@@ -99,7 +99,7 @@ object DedupQueries extends QueryBase {
         .otherwise(array().cast("array<string>")))
   }
 
-  val all: Seq[Q] = Seq(
+  val all: Seq[Q] = Seq(incrementalBloomQ) ++ Seq(
     // Exact dedup: canonical-form fingerprint → hash-groupBy, keep the
     // minimum id (deterministic keeper). Input is documents ∪ a re-keyed
     // copy of every 10th doc, so the dup groups are non-trivial.
@@ -624,4 +624,62 @@ object DedupQueries extends QueryBase {
       .withColumn("dup_frac",
         round(col("dup_tokens").cast("double") / col("n_tokens"), 6))
   }
+
+  /** Incremental (cross-batch) exact dedup — the CONTINUOUS-ingest shape
+    * of `dedup_exact`: an arriving batch must drop documents already in
+    * the historical corpus WITHOUT reshuffling the history. The history
+    * contributes only a fixed-size Bloom filter over its fingerprints
+    * (built distributively, ~KB to the driver, shipped with the plan);
+    * the batch probes it map-side, definite-new rows pass through with
+    * ZERO join, and only the bloom-positive sliver joins history for
+    * exact false-positive repair. At 100 TB of history the per-batch
+    * cost is O(batch) + O(batch × fpp) join input — the history is
+    * never rescanned beyond its (cacheable) fingerprint column.
+    */
+  private[queries] lazy val incrementalBloomQ = Q(
+    "dedup_incremental_bloom",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val d = th(s, dir, "documents")
+      // 60-bit fingerprint of the normalized text (md5-prefix — the
+      // engine/oracle-portable hash, same trick as the LSH band keys).
+      val fp = expr("CAST(conv(substring(md5(trim(regexp_replace(" +
+        "regexp_replace(lower(text), '[^a-z0-9\\\\s]', ''), " +
+        "'\\\\s+', ' '))), 1, 15), 16, 10) AS BIGINT)")
+      val hist = d.filter(col("doc_id") % 5 =!= 0).withColumn("fp", fp)
+      // Arriving batch: the held-out docs plus re-sent history docs under
+      // new ids — planted cross-batch duplicates.
+      val batch = d.filter(col("doc_id") % 5 === 0).withColumn("fp", fp)
+        .unionByName(d.filter(col("doc_id") % 10 === 3)
+          .withColumn("doc_id", col("doc_id") + 100000)
+          .withColumn("fp", fp))
+      val bloom = hist.stat.bloomFilter("fp", 100000, 0.01)
+      val bits = graft.functions.BloomOps.toBytes(bloom)
+      val probe = call_function("bloom_contains", col("fp"), lit(bits))
+      val definiteNew = batch.filter(!probe)
+      val candidates = batch.filter(probe)
+        .join(hist.select("fp").distinct(), Seq("fp"), "left_anti")
+      definiteNew.select("doc_id", "fp")
+        .unionByName(candidates.select("doc_id", "fp"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH fps AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(trim(regexp_replace(
+                 regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                 '\s+', ' ', 'g'))), 1, 15)) AS BIGINT) AS fp
+        FROM documents),
+      hist AS (SELECT fp FROM fps WHERE doc_id % 5 <> 0),
+      batch AS (
+        SELECT doc_id, fp FROM fps WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 100000, fp FROM fps WHERE doc_id % 10 = 3)
+      SELECT doc_id, fp FROM batch
+      WHERE fp NOT IN (SELECT fp FROM hist)
+      ORDER BY doc_id"""),
+    doc = "incremental cross-batch dedup: history contributes only a " +
+      "broadcast Bloom filter; definite-new batch rows never join, the " +
+      "bloom-positive sliver gets exact anti-join repair — O(batch) " +
+      "per ingest at any history size")
 }

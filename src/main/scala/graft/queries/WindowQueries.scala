@@ -405,5 +405,61 @@ object WindowQueries extends QueryBase {
         ORDER BY from_type, to_type"""),
       doc = "first-order Markov transition counts + row-normalized " +
         "probabilities over per-user event sequences; one user_id " +
-        "shuffle, normalization on the O(types^2) aggregate"))
+        "shuffle, normalization on the O(types^2) aggregate"),
+
+    // RFM customer segmentation: recency / frequency / monetary
+    // quintiles over the per-customer order rollup. Plan shape: the
+    // corpus-sized work is ONE groupBy(custkey) with exact decimal
+    // money sums; the three ntile windows then sort the aggregated
+    // frame (rows = customers). At 100 TB-of-orders that frame is still
+    // only customer-cardinality; if even that outgrows a sort, the
+    // ntile edges come from the GK sketch (agg_sketch_contract pattern)
+    // broadcast back as bucket bounds instead.
+    Q(
+      "window_rfm_scores",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val maxDay = o.agg(max(to_date(col("o_orderdate"))).as("max_d"))
+        val cust = o.groupBy("o_custkey")
+          .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+            count(lit(1)).as("f"),
+            dsum(col("o_totalprice"), 10000L).as("m"))
+          .crossJoin(broadcast(maxDay))
+          .withColumn("r_days", datediff(col("max_d"), col("last_d")))
+        val wr = Window.orderBy(col("r_days").desc, col("o_custkey").asc)
+        val wf = Window.orderBy(col("f").asc, col("o_custkey").asc)
+        val wm = Window.orderBy(col("m").asc, col("o_custkey").asc)
+        cust
+          .withColumn("r_score", ntile(5).over(wr))
+          .withColumn("f_score", ntile(5).over(wf))
+          .withColumn("m_score", ntile(5).over(wm))
+          .select(col("o_custkey"), col("r_days"), col("f"), col("m"),
+            col("r_score"), col("f_score"), col("m_score"),
+            concat(col("r_score"), col("f_score"), col("m_score"))
+              .as("segment"))
+          .orderBy("o_custkey")
+      },
+      Some("""
+        WITH cust AS (
+          SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d,
+                 count(*) AS f,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS m
+          FROM orders GROUP BY 1),
+        mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS max_d FROM orders),
+        base AS (
+          SELECT o_custkey, date_diff('day', last_d, max_d) AS r_days, f, m
+          FROM cust CROSS JOIN mx),
+        scored AS (
+          SELECT o_custkey, r_days, f, m,
+                 ntile(5) OVER (ORDER BY r_days DESC, o_custkey ASC) AS r_score,
+                 ntile(5) OVER (ORDER BY f ASC, o_custkey ASC) AS f_score,
+                 ntile(5) OVER (ORDER BY m ASC, o_custkey ASC) AS m_score
+          FROM base)
+        SELECT o_custkey, r_days, f, m, r_score, f_score, m_score,
+               CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+                 CAST(m_score AS VARCHAR) AS segment
+        FROM scored ORDER BY o_custkey"""),
+      doc = "RFM quintile segmentation over the per-customer order " +
+        "rollup: corpus-sized work is one custkey aggregate with exact " +
+        "decimal sums; scoring sorts only the customer-cardinality frame"))
 }

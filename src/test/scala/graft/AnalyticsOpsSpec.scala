@@ -137,6 +137,52 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(sizes.sum == v.count())
   }
 
+  test("agg_retention_cohorts: offset 0 is always 1.0 and activity never exceeds cohort") {
+    val rows = q("agg_retention_cohorts").collect()
+    val byCohort = rows.groupBy(_.getString(0))
+    byCohort.foreach { case (cw, rs) =>
+      val zero = rs.find(_.getInt(1) == 0)
+        .getOrElse(fail(s"cohort $cw missing offset 0"))
+      assert(zero.getDouble(3) == 1.0, s"cohort $cw offset-0 retention != 1")
+      val size = zero.getLong(2)
+      rs.foreach(r => assert(r.getLong(2) <= size,
+        s"cohort $cw offset ${r.getInt(1)} active > cohort size"))
+    }
+  }
+
+  test("window_rfm_scores: quintiles are balanced and every customer is scored") {
+    val rows = q("window_rfm_scores").collect()
+    val n = rows.length
+    Seq(4, 5, 6).foreach { ci =>
+      val sizes = rows.groupBy(_.getInt(ci)).view.mapValues(_.size)
+      assert(sizes.keySet == Set(1, 2, 3, 4, 5), s"col $ci missing a quintile")
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"col $ci ntile buckets unbalanced: $sizes")
+    }
+    assert(rows.map(_.getLong(0)).distinct.length == n, "duplicate customers")
+  }
+
+  test("dedup_incremental_bloom equals the exact anti-join (bloom repairs FPs)") {
+    // Independent recomputation WITHOUT the bloom fast-path: plain
+    // fingerprint anti-join of batch vs history.
+    val d = graft.core.Tables.load(spark, dir, "documents")
+    val fp = expr("CAST(conv(substring(md5(trim(regexp_replace(" +
+      "regexp_replace(lower(text), '[^a-z0-9\\\\s]', ''), " +
+      "'\\\\s+', ' '))), 1, 15), 16, 10) AS BIGINT)")
+    val hist = d.filter(col("doc_id") % 5 =!= 0).withColumn("fp", fp)
+    val batch = d.filter(col("doc_id") % 5 === 0).withColumn("fp", fp)
+      .unionByName(d.filter(col("doc_id") % 10 === 3)
+        .withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("fp", fp))
+    val expected = batch.join(hist.select("fp").distinct(), Seq("fp"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val got = q("dedup_incremental_bloom")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(expected))
+    // Every planted re-send (id >= 100000) must be dropped.
+    assert(!got.exists(_ >= 100000), "a cross-batch duplicate survived")
+  }
+
   test("sim_ann_ivf_sq8 agrees with uncompressed IVF (quantization noise only)") {
     def topk(name: String): Map[Long, Set[Long]] =
       Catalog.byName(name).spark(spark, dir)
