@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -672,5 +673,114 @@ object TextQueries extends QueryBase {
                     FROM documents))
         GROUP BY lang, tag ORDER BY lang, tag"""),
       doc = "N4 rule-based POS tagger (lexicon + German suffix cascade); " +
-        "reference post_opinion_patterns.py:346-363"))
+        "reference post_opinion_patterns.py:346-363"),
+
+    // BPE merge training (Sennrich et al. 2016) over the corpus word
+    // table, 6 unrolled merge rounds. Determinism contract: words are
+    // delimiter-framed symbol strings ("·h·e·l·l·o·"); a merge applies
+    // the LITERAL replace "·a·b·" -> "·ab·", which is left-to-right and
+    // non-overlapping with the shared delimiter consumed (so "abab"
+    // merges its first pair per pass, not both — documented engine
+    // policy; Spark's replace() and DuckDB's replace() agree exactly).
+    // The top pair breaks count ties by (a, b) ascending. Scale posture:
+    // the corpus is scanned ONCE (word extraction); every merge round
+    // then works on the VOCAB-sized (word, freq) frame — pair counting
+    // is a vocab-sized shuffle and the winning pair is a 1-row
+    // broadcast, so 6 rounds cost 6 vocab passes regardless of corpus
+    // size. Output: the learned merge table + the top-20 subword
+    // vocabulary it induces.
+    Q(
+      "text_bpe_train",
+      (s, dir) => {
+        val d = th(s, dir, "documents")
+        val base = d.select(explode(
+            expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+          .withColumn("sym",
+            concat(lit("·"), expr("regexp_replace(word, '(.)', '$1·')")))
+          .localCheckpoint()
+        val toksE = "filter(split(sym, '·'), x -> x <> '')"
+        def topPair(cur: DataFrame): DataFrame =
+          cur.withColumn("toks", expr(toksE))
+            .filter(size(col("toks")) >= 2)
+            .select(col("freq"), explode(expr(
+              "transform(sequence(0, size(toks)-2), " +
+                "i -> struct(toks[i] AS a, toks[i+1] AS b))")).as("p"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum("freq").as("n"))
+            .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+        var cur = base
+        var merges = Seq.empty[DataFrame]
+        var r = 1
+        while (r <= 6) {
+          val m = topPair(cur).localCheckpoint()
+          merges = merges :+ m.select(lit("merge").as("kind"), lit(r).as("rk"),
+            concat(col("a"), lit("+"), col("b")).as("item"), col("n"))
+          cur = cur.crossJoin(broadcast(m))
+            .withColumn("sym", expr(
+              "replace(sym, concat('·', a, '·', b, '·'), concat('·', a, b, '·'))"))
+            .drop("a", "b", "n")
+          r += 1
+        }
+        val tokens = cur
+          .select(col("freq"), explode(expr(toksE)).as("token"))
+          .groupBy("token").agg(sum("freq").as("n"))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("n").desc, col("token"))))
+          .filter(col("rk") <= 20)
+          .select(lit("token").as("kind"), col("rk"), col("token").as("item"),
+            col("n"))
+        merges.reduce(_ unionByName _).unionByName(tokens)
+          .orderBy("kind", "rk")
+      },
+      Some {
+        def pairCte(p: String, rPrev: String) =
+          s"""$p AS (
+             |  SELECT a, b, sum(freq) AS n FROM (
+             |    SELECT freq, toks[i] AS a, toks[i+1] AS b FROM (
+             |      SELECT freq, unnest(range(1, len(toks))) AS i, toks
+             |      FROM (SELECT freq,
+             |                   list_filter(string_split(sym, '·'),
+             |                               x -> x <> '') AS toks
+             |            FROM $rPrev)
+             |      WHERE len(toks) >= 2))
+             |  GROUP BY a, b)""".stripMargin
+        def mergeCtes(i: Int) =
+          s"""${pairCte(s"p$i", s"r${i - 1}")},
+             |m$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
+             |r$i AS (SELECT word, freq,
+             |               replace(sym, '·' || a || '·' || b || '·',
+             |                       '·' || a || b || '·') AS sym
+             |        FROM r${i - 1} CROSS JOIN m$i)""".stripMargin
+        s"""
+        WITH words AS (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+          FROM documents),
+        r0 AS (
+          SELECT word, count(*) AS freq,
+                 '·' || regexp_replace(word, '(.)', '\\1·', 'g') AS sym
+          FROM words GROUP BY word),
+        ${(1 to 6).map(mergeCtes).mkString(",\n")},
+        tok AS (
+          SELECT token, sum(freq) AS n FROM (
+            SELECT freq, unnest(list_filter(string_split(sym, '·'),
+                                x -> x <> '')) AS token
+            FROM r6)
+          GROUP BY token)
+        SELECT kind, rk, item, n FROM (
+          ${(1 to 6).map(i =>
+            s"SELECT 'merge' AS kind, $i AS rk, a || '+' || b AS item, n FROM m$i")
+            .mkString("\n          UNION ALL ")}
+          UNION ALL
+          SELECT 'token', CAST(rk AS INT), token, n FROM (
+            SELECT token, n,
+                   row_number() OVER (ORDER BY n DESC, token) AS rk
+            FROM tok)
+          WHERE rk <= 20)
+        ORDER BY kind, rk"""
+      },
+      doc = "BPE merge training (6 unrolled rounds) on the vocab-sized " +
+        "word table: one corpus scan, per-round vocab-sized pair count " +
+        "+ 1-row broadcast merge via literal delimiter-framed replace; " +
+        "emits the merge table and induced top-20 subword vocabulary"))
 }

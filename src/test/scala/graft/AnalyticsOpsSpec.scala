@@ -183,6 +183,52 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(!got.exists(_ >= 100000), "a cross-batch duplicate survived")
   }
 
+  test("text_bpe_train matches a plain-Scala BPE trainer") {
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .select("text").collect().map(_.getString(0))
+    val words = docs.flatMap(t => "[a-z]+".r.findAllIn(t.toLowerCase))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var syms: Map[String, (Long, String)] = words.map { case (w, f) =>
+      (w, (f, "·" + w.map(c => s"${c}·").mkString))
+    }
+    def pairCounts: Map[(String, String), Long] = {
+      val m = scala.collection.mutable.Map.empty[(String, String), Long]
+      syms.values.foreach { case (f, sym) =>
+        val toks = sym.split("·").filter(_.nonEmpty)
+        toks.sliding(2).foreach {
+          case Array(a, b) => m((a, b)) = m.getOrElse((a, b), 0L) + f
+          case _ => ()
+        }
+      }
+      m.toMap
+    }
+    val merges = scala.collection.mutable.Buffer.empty[(String, Long)]
+    for (_ <- 1 to 6) {
+      val ((a, b), n) = pairCounts.toSeq
+        .sortBy { case ((x, y), c) => (-c, x, y) }.head
+      merges += (s"$a+$b" -> n)
+      // Same literal-replace primitive as both engines (left-to-right,
+      // non-overlapping, shared delimiter consumed).
+      syms = syms.map { case (w, (f, sym)) =>
+        (w, (f, sym.replace(s"·${a}·${b}·", s"·${a}${b}·")))
+      }
+    }
+    val tokCounts = scala.collection.mutable.Map.empty[String, Long]
+    syms.values.foreach { case (f, sym) =>
+      sym.split("·").filter(_.nonEmpty).foreach(t =>
+        tokCounts(t) = tokCounts.getOrElse(t, 0L) + f)
+    }
+    val topTokens = tokCounts.toSeq.sortBy { case (t, n) => (-n, t) }.take(20)
+    val got = q("text_bpe_train").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    val gotMerges = got.filter(_._1 == "merge").sortBy(_._2).map(r => (r._3, r._4))
+    val gotTokens = got.filter(_._1 == "token").sortBy(_._2).map(r => (r._3, r._4))
+    assert(gotMerges.toSeq == merges.toSeq,
+      s"merge table mismatch:\n${gotMerges.toSeq}\n${merges.toSeq}")
+    assert(gotTokens.toSeq == topTokens,
+      s"vocab mismatch:\n${gotTokens.toSeq}\n$topTokens")
+  }
+
   test("sim_ann_ivf_sq8 agrees with uncompressed IVF (quantization noise only)") {
     def topk(name: String): Map[Long, Set[Long]] =
       Catalog.byName(name).spark(spark, dir)
