@@ -736,7 +736,7 @@ object TextQueries extends QueryBase {
       Some {
         def pairCte(p: String, rPrev: String) =
           s"""$p AS (
-             |  SELECT a, b, sum(freq) AS n FROM (
+             |  SELECT a, b, CAST(sum(freq) AS BIGINT) AS n FROM (
              |    SELECT freq, toks[i] AS a, toks[i+1] AS b FROM (
              |      SELECT freq, unnest(range(1, len(toks))) AS i, toks
              |      FROM (SELECT freq,
@@ -762,7 +762,7 @@ object TextQueries extends QueryBase {
           FROM words GROUP BY word),
         ${(1 to 6).map(mergeCtes).mkString(",\n")},
         tok AS (
-          SELECT token, sum(freq) AS n FROM (
+          SELECT token, CAST(sum(freq) AS BIGINT) AS n FROM (
             SELECT freq, unnest(list_filter(string_split(sym, '·'),
                                 x -> x <> '')) AS token
             FROM r6)

@@ -32,7 +32,11 @@ class OracleLintSpec extends AnyFunSuite {
     // list_sum is DuckDB's array fold over DOUBLE vectors (cosine oracles)
     ("list_sum(", "array fold over DOUBLE embeddings"),
     // double-typed: DSIR importance weights are sums of ln() terms
-    ("sum(ln(", "sum over DOUBLE log-ratio terms")
+    ("sum(ln(", "sum over DOUBLE log-ratio terms"),
+    // divisor inside `n * 1.0 / sum(n) OVER ...` — the projected value is
+    // the DOUBLE ratio, the raw HUGEINT sum never reaches the projection
+    // (window_markov_transitions)
+    ("/ sum(n) over", "divisor in a DOUBLE ratio, raw sum not projected")
   )
 
   test("every projected integer sum in oracle SQL is CAST to BIGINT") {
