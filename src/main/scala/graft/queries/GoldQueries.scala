@@ -471,6 +471,52 @@ object GoldQueries extends QueryBase {
         GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
       doc = "skew mitigation: deterministic 8-way salt on a hot-key shuffle join, unsalted oracle"),
 
+    // Bucketed co-located join — the shuffle-ELIMINATION half of the
+    // 100-TB join story (salting above tames skew; bucketing removes the
+    // exchange entirely). Both sides are written as 8-bucket parquet
+    // tables hash-clustered on the join key, so the sort-merge join's
+    // distribution requirement is satisfied straight off the scan: the
+    // physical plan under the join has NO ShuffleExchange on either side
+    // (BucketedJoinSpec asserts this and that the unbucketed twin DOES
+    // exchange). At 100 TB this is the difference between re-shuffling
+    // the fact table on every join and paying the clustering once at
+    // write time. The merge hint disables broadcast so the bucket path
+    // is actually exercised; the oracle is the plain unbucketed join.
+    // (sortBy additionally enables sort-free merge when a bucket is one
+    // file; multi-file buckets re-sort locally but still never shuffle.)
+    Q(
+      "join_bucketed_colocate",
+      (s, dir) => {
+        val wh = new java.io.File(
+          System.getProperty("java.io.tmpdir"), "graft_bucketed").getAbsolutePath
+        def mk(name: String, df: org.apache.spark.sql.DataFrame,
+            key: String): Unit = {
+          s.sql(s"DROP TABLE IF EXISTS $name")
+          df.write.mode("overwrite").format("parquet")
+            .bucketBy(8, key).sortBy(key)
+            .option("path", s"$wh/$name").saveAsTable(name)
+        }
+        mk("g_bkt_orders",
+          t(s, dir, "orders").select("o_custkey", "o_totalprice"), "o_custkey")
+        mk("g_bkt_customer",
+          t(s, dir, "customer").select("c_custkey", "c_mktsegment"), "c_custkey")
+        s.table("g_bkt_orders").hint("merge")
+          .join(s.table("g_bkt_customer"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("revenue"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        SELECT c_mktsegment, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      doc = "bucketed co-located sort-merge join: 8-bucket parquet tables " +
+        "clustered on the join key, zero exchange under the join " +
+        "(BucketedJoinSpec), unbucketed oracle"),
+
     // Multimodal frame sampling: payloads split into 256-byte frames,
     // every 4th kept (video keyframe-sampling plumbing, expression-only —
     // see Multimodal.frameSample). The oracle recomputes the sampled

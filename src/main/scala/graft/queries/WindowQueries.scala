@@ -461,5 +461,61 @@ object WindowQueries extends QueryBase {
         FROM scored ORDER BY o_custkey"""),
       doc = "RFM quintile segmentation over the per-customer order " +
         "rollup: corpus-sized work is one custkey aggregate with exact " +
-        "decimal sums; scoring sorts only the customer-cardinality frame"))
+        "decimal sums; scoring sorts only the customer-cardinality frame"),
+
+    // EWMA smoothing of per-user daily value series (time-series
+    // denoising / trend features). alpha is fixed at 0.5 so every
+    // recurrence step is `0.5*acc + 0.5*x` — multiplication by a power
+    // of two, EXACT in IEEE binary FP, and applied in the same order by
+    // both engines, so the result is bit-identical with no pow/ulp
+    // hazard — emitted UNROUNDED (a decimal round would reintroduce the
+    // tie-break divergence the power-of-two alpha avoids: EWMA values
+    // are binary fractions that can land exactly on .xxxxxx5).
+    // Determinism contract: s_1 = x_1 (first observation seeds the
+    // filter), fold order is day-ascending.
+    //
+    // Scale posture: ONE user_id shuffle builds per-user day-sorted
+    // arrays (per-key state = series length, calendar-bounded — a year
+    // of daily points is 365 entries regardless of event volume); the
+    // running EWMA at every position is then computed map-side by
+    // prefix folds (O(series²) per key with series ≤ calendar days — a
+    // constant, not a data-scale term). Daily totals use the exact
+    // scaled-long sum so the fold inputs are already bit-stable.
+    Q(
+      "window_ewma_smooth",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val daily = ev.groupBy(col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(dsum(col("value")).as("x"))
+        daily.groupBy("user_id")
+          .agg(array_sort(collect_list(struct(col("day"), col("x"))))
+            .as("xs"))
+          .select(col("user_id"), explode(expr(
+            "transform(xs, (e, j) -> struct(e.day AS day, e.x AS x, " +
+              "aggregate(slice(xs, 2, j), xs[0].x, " +
+              "(acc, e2) -> 0.5D * acc + 0.5D * e2.x) AS ewma))"))
+            .as("r"))
+          .select(col("user_id"), col("r.day").as("day"),
+            col("r.x").as("x"), col("r.ewma").as("ewma"))
+          .orderBy("user_id", "day")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+                 CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS x
+          FROM events GROUP BY user_id, day),
+        series AS (
+          SELECT user_id,
+                 list(struct_pack(day := day, x := x) ORDER BY day) AS xs
+          FROM daily GROUP BY user_id)
+        SELECT user_id, xs[j].day AS day, xs[j].x AS x,
+               list_reduce(list_transform(xs[1:j], e -> e.x),
+                     (a, b) -> 0.5 * a + 0.5 * b) AS ewma
+        FROM (SELECT user_id, xs, unnest(range(1, len(xs) + 1)) AS j
+              FROM series)
+        ORDER BY user_id, day"""),
+      doc = "EWMA (alpha=0.5) smoothing of per-user daily series: one " +
+        "keyed shuffle + calendar-bounded per-key arrays; power-of-two " +
+        "alpha makes the recurrence bit-exact in both engines"))
 }
