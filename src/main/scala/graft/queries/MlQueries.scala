@@ -470,17 +470,7 @@ object MlQueries extends QueryBase {
     Q(
       "ml_triangle_count",
       (s, dir) => {
-        val ev = t(s, dir, "events")
-        val uk = ev.select(col("user_id").as("u"),
-            get_json_object(col("props"), "$.k").cast("long").as("k"))
-          .filter(col("k").isNotNull)
-          .groupBy("k", "u").agg(count(lit(1)).as("n"))
-        val w = Window.partitionBy("k").orderBy(col("n").desc, col("u").asc)
-        val top = uk.withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 8).select("k", "u")
-        val e = top.as("x").join(top.as("y"),
-            col("x.k") === col("y.k") && col("x.u") < col("y.u"))
-          .select(col("x.u").as("a"), col("y.u").as("b")).distinct()
+        val e = coEdges(t(s, dir, "events"), entityKey)
         val tri = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
           .join(e.as("e3"),
             col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
@@ -490,22 +480,8 @@ object MlQueries extends QueryBase {
           .groupBy("node").agg(count(lit(1)).as("n_tri"))
           .orderBy(col("n_tri").desc, col("node").asc).limit(25)
       },
-      Some("""
-        WITH uk AS (
-          SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-                 user_id AS u, count(*) AS n
-          FROM events
-          WHERE json_extract_string(props, '$.k') IS NOT NULL
-          GROUP BY 1, 2),
-        top AS (
-          SELECT k, u FROM (
-            SELECT k, u, row_number() OVER (PARTITION BY k
-                           ORDER BY n DESC, u ASC) AS rk
-            FROM uk)
-          WHERE rk <= 8),
-        e AS (
-          SELECT DISTINCT x.u AS a, y.u AS b
-          FROM top x JOIN top y ON x.k = y.k AND x.u < y.u),
+      Some(s"""
+        WITH ${coEdgeCtes()},
         tri AS (
           SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
           FROM e e1 JOIN e e2 ON e1.b = e2.a
@@ -516,6 +492,73 @@ object MlQueries extends QueryBase {
       doc = "triangle counting over the blocked user co-interaction " +
         "graph: top-8-per-entity pair generation (linear in entities), " +
         "oriented a<b<c edge joins list each triangle once"),
+
+    // Synchronous label-propagation community detection (Raghavan et al.
+    // 2007), 3 unrolled rounds, fully deterministic: every node starts
+    // labeled with its own id; each round it adopts the MODE of its
+    // neighbors' labels with ties broken to the smallest label
+    // (row_number over count desc, label asc — total order, no RNG).
+    // Differs from connected components (min-label floods the whole
+    // component) — LPA converges to locally dense groups.
+    //
+    // Graph: co-interaction blocked by (entity, user_id % 7) — the mod-7
+    // term plants 7 behavioral cohorts that never cross-link, giving the
+    // detector real modular structure to find (the plain entity graph at
+    // this sf is a 150-node near-clique where EVERY community method
+    // degenerates to one cluster; a planted partition is the standard
+    // way to make the fixture discriminating).
+    //
+    // Scale posture: per round ONE edge-sized shuffle (neighbor-label
+    // join) + one (node,label) aggregate; degree is bounded by the
+    // top-8-per-entity blocking, label state is O(nodes). The same three
+    // rounds at 100 TB are three joins — no driver state, no iteration
+    // over collect()ed data.
+    Q(
+      "ml_label_prop",
+      (s, dir) => {
+        val e = coEdges(t(s, dir, "events"),
+          entityKey * 10 + col("user_id") % 7).localCheckpoint()
+        val und = e.select(col("a").as("src"), col("b").as("dst"))
+          .union(e.select(col("b").as("src"), col("a").as("dst")))
+        var lab = und.select(col("src").as("node")).distinct()
+          .withColumn("label", col("node"))
+        val w = Window.partitionBy("src")
+          .orderBy(col("c").desc, col("label").asc)
+        for (_ <- 1 to 3) {
+          lab = und.join(lab, und("dst") === lab("node"))
+            .groupBy("src", "label").agg(count(lit(1)).as("c"))
+            .withColumn("rk", row_number().over(w))
+            .filter(col("rk") === 1)
+            .select(col("src").as("node"), col("label"))
+        }
+        lab.groupBy("label")
+          .agg(count(lit(1)).as("sz"), min(col("node")).as("first_node"),
+            max(col("node")).as("last_node"))
+          .orderBy(col("sz").desc, col("label").asc)
+      },
+      Some(s"""
+        WITH ${coEdgeCtes("CAST(json_extract_string(props, '$.k') AS BIGINT)" +
+          " * 10 + user_id % 7")},
+        und AS (SELECT a AS src, b AS dst FROM e
+                UNION ALL SELECT b, a FROM e),
+        l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+        ${(1 to 3).map(i =>
+          s"""n$i AS (
+             SELECT u.src, l.label, count(*) AS c
+             FROM und u JOIN l${i - 1} l ON u.dst = l.node
+             GROUP BY 1, 2),
+        l$i AS (
+          SELECT src AS node, label FROM (
+            SELECT src, label, row_number() OVER (PARTITION BY src
+                     ORDER BY c DESC, label ASC) AS rk
+            FROM n$i)
+          WHERE rk = 1)""").mkString(",\n        ")}
+        SELECT label, count(*) AS sz, min(node) AS first_node,
+               max(node) AS last_node
+        FROM l3 GROUP BY label ORDER BY sz DESC, label ASC"""),
+      doc = "deterministic synchronous label-propagation communities " +
+        "(3 unrolled rounds, mode-of-neighbors with total tiebreak) — " +
+        "one edge-sized shuffle per round, state O(nodes)"),
 
     // Lloyd k-means (k=8, 3 iterations) over the embedding corpus, made
     // INTEGER-EXACT so any engine reproduces assignments bit-for-bit:
@@ -589,4 +632,45 @@ object MlQueries extends QueryBase {
         "truncating-division centroids, struct-min argmin ties): " +
         "k-row broadcast per round, partial-aggregable argmin, no " +
         "driver state"))
+
+  /** Blocked user co-interaction graph shared by `ml_triangle_count` and
+    * `ml_label_prop`: users co-occurring on an event entity are linked,
+    * but only the top-8 users per entity (by interaction count,
+    * deterministic tiebreak) form pairs — edge count grows linearly in
+    * entities, never quadratically in users-per-entity. */
+  private def coEdges(ev: org.apache.spark.sql.DataFrame,
+      blockKey: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val uk = ev.select(col("user_id").as("u"), blockKey.as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy("k", "u").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("k").orderBy(col("n").desc, col("u").asc)
+    val top = uk.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 8).select("k", "u")
+    top.as("x").join(top.as("y"),
+        col("x.k") === col("y.k") && col("x.u") < col("y.u"))
+      .select(col("x.u").as("a"), col("y.u").as("b")).distinct()
+  }
+
+  /** The entity id parsed from the event props payload. */
+  private def entityKey: org.apache.spark.sql.Column =
+    get_json_object(col("props"), "$.k").cast("long")
+
+  /** DuckDB face of [[coEdges]] — CTE chain `uk, top, e`. */
+  private def coEdgeCtes(keyExpr: String =
+      "CAST(json_extract_string(props, '$.k') AS BIGINT)"): String =
+    s"""uk AS (
+          SELECT $keyExpr AS k,
+                 user_id AS u, count(*) AS n
+          FROM events
+          WHERE json_extract_string(props, '$$.k') IS NOT NULL
+          GROUP BY 1, 2),
+        top AS (
+          SELECT k, u FROM (
+            SELECT k, u, row_number() OVER (PARTITION BY k
+                           ORDER BY n DESC, u ASC) AS rk
+            FROM uk)
+          WHERE rk <= 8),
+        e AS (
+          SELECT DISTINCT x.u AS a, y.u AS b
+          FROM top x JOIN top y ON x.k = y.k AND x.u < y.u)"""
 }

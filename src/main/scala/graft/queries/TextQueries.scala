@@ -693,37 +693,15 @@ object TextQueries extends QueryBase {
       "text_bpe_train",
       (s, dir) => {
         val d = th(s, dir, "documents")
-        val base = d.select(explode(
-            expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
-          .groupBy("word").agg(count(lit(1)).as("freq"))
-          .withColumn("sym",
-            concat(lit("·"), expr("regexp_replace(word, '(.)', '$1·')")))
-          .localCheckpoint()
-        val toksE = "filter(split(sym, '·'), x -> x <> '')"
-        def topPair(cur: DataFrame): DataFrame =
-          cur.withColumn("toks", expr(toksE))
-            .filter(size(col("toks")) >= 2)
-            .select(col("freq"), explode(expr(
-              "transform(sequence(0, size(toks)-2), " +
-                "i -> struct(toks[i] AS a, toks[i+1] AS b))")).as("p"))
-            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-            .agg(sum("freq").as("n"))
-            .orderBy(col("n").desc, col("a"), col("b")).limit(1)
-        var cur = base
-        var merges = Seq.empty[DataFrame]
-        var r = 1
-        while (r <= 6) {
-          val m = topPair(cur).localCheckpoint()
-          merges = merges :+ m.select(lit("merge").as("kind"), lit(r).as("rk"),
+        val base = Bpe.vocab(d.select(explode(
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word")))
+        val (cur, rawMerges) = Bpe.learn(base)
+        val merges = rawMerges.zipWithIndex.map { case (m, i) =>
+          m.select(lit("merge").as("kind"), lit(i + 1).as("rk"),
             concat(col("a"), lit("+"), col("b")).as("item"), col("n"))
-          cur = cur.crossJoin(broadcast(m))
-            .withColumn("sym", expr(
-              "replace(sym, concat('·', a, '·', b, '·'), concat('·', a, b, '·'))"))
-            .drop("a", "b", "n")
-          r += 1
         }
         val tokens = cur
-          .select(col("freq"), explode(expr(toksE)).as("token"))
+          .select(col("freq"), explode(expr(Bpe.toksE)).as("token"))
           .groupBy("token").agg(sum("freq").as("n"))
           .withColumn("rk", row_number().over(
             Window.orderBy(col("n").desc, col("token"))))
@@ -734,33 +712,8 @@ object TextQueries extends QueryBase {
           .orderBy("kind", "rk")
       },
       Some {
-        def pairCte(p: String, rPrev: String) =
-          s"""$p AS (
-             |  SELECT a, b, CAST(sum(freq) AS BIGINT) AS n FROM (
-             |    SELECT freq, toks[i] AS a, toks[i+1] AS b FROM (
-             |      SELECT freq, unnest(range(1, len(toks))) AS i, toks
-             |      FROM (SELECT freq,
-             |                   list_filter(string_split(sym, '·'),
-             |                               x -> x <> '') AS toks
-             |            FROM $rPrev)
-             |      WHERE len(toks) >= 2))
-             |  GROUP BY a, b)""".stripMargin
-        def mergeCtes(i: Int) =
-          s"""${pairCte(s"p$i", s"r${i - 1}")},
-             |m$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
-             |r$i AS (SELECT word, freq,
-             |               replace(sym, '·' || a || '·' || b || '·',
-             |                       '·' || a || b || '·') AS sym
-             |        FROM r${i - 1} CROSS JOIN m$i)""".stripMargin
         s"""
-        WITH words AS (
-          SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
-          FROM documents),
-        r0 AS (
-          SELECT word, count(*) AS freq,
-                 '·' || regexp_replace(word, '(.)', '\\1·', 'g') AS sym
-          FROM words GROUP BY word),
-        ${(1 to 6).map(mergeCtes).mkString(",\n")},
+        WITH ${Bpe.sqlCtes},
         tok AS (
           SELECT token, CAST(sum(freq) AS BIGINT) AS n FROM (
             SELECT freq, unnest(list_filter(string_split(sym, '·'),
@@ -782,5 +735,134 @@ object TextQueries extends QueryBase {
       doc = "BPE merge training (6 unrolled rounds) on the vocab-sized " +
         "word table: one corpus scan, per-round vocab-sized pair count " +
         "+ 1-row broadcast merge via literal delimiter-framed replace; " +
-        "emits the merge table and induced top-20 subword vocabulary"))
+        "emits the merge table and induced top-20 subword vocabulary"),
+
+    // BPE ENCODING with the learned merges — the tokenizer-application
+    // half (what a training-data pipeline runs over every document once
+    // the merge table exists). The key scale property: encoding is done
+    // ONCE PER DISTINCT WORD (the vocab frame carries the merged symbol
+    // string), and per-document token counts come from a keyed join of
+    // the corpus word stream against that vocab-sized (word → n_tok)
+    // frame — the corpus is never re-processed through the merge loop.
+    // Output: per-language corpus tokenization stats + the exact
+    // chars-per-token compression ratio (single IEEE division over
+    // identical BIGINTs on both sides — bit-stable, emitted unrounded).
+    Q(
+      "text_bpe_encode",
+      (s, dir) => {
+        val d = th(s, dir, "documents")
+        val words = d.select(col("lang"), explode(
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+        val (cur, _) = Bpe.learn(Bpe.vocab(words.select("word")))
+        val enc = cur.select(col("word"),
+          size(expr(Bpe.toksE)).as("n_tok"))
+        words.join(enc, "word")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("n_tok").cast("long")).as("n_tokens"),
+            sum(length(col("word")).cast("long")).as("n_chars"))
+          .withColumn("chars_per_token",
+            col("n_chars").cast("double") / col("n_tokens").cast("double"))
+          .orderBy("lang")
+      },
+      Some {
+        s"""
+        WITH ${Bpe.sqlCtes},
+        wl AS (
+          SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+          FROM documents),
+        enc AS (
+          SELECT word, len(list_filter(string_split(sym, '·'),
+                           x -> x <> '')) AS n_tok
+          FROM r6)
+        SELECT lang, count(*) AS n_words,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               CAST(sum(length(word)) AS BIGINT) AS n_chars,
+               CAST(CAST(sum(length(word)) AS BIGINT) AS DOUBLE) /
+                 CAST(CAST(sum(n_tok) AS BIGINT) AS DOUBLE) AS chars_per_token
+        FROM wl JOIN enc USING (word)
+        GROUP BY lang ORDER BY lang"""
+      },
+      doc = "BPE encoding via the learned merge table: per-distinct-word " +
+        "merge application on the vocab frame, corpus token counts from " +
+        "one keyed join — the corpus never re-enters the merge loop"))
+
+  /** Shared BPE machinery (Sennrich et al. 2016) for `text_bpe_train` /
+    * `text_bpe_encode`: words are delimiter-framed symbol strings
+    * ("·h·e·l·l·o·"); a merge applies the LITERAL replace
+    * "·a·b·" → "·ab·" (left-to-right, non-overlapping, shared delimiter
+    * consumed — Spark's replace() and DuckDB's replace() agree exactly);
+    * the top pair breaks count ties by (a, b) ascending. The Scala and
+    * SQL faces below implement the SAME 6 unrolled rounds so the two
+    * catalog queries cannot drift from their oracles independently. */
+  private object Bpe {
+    val toksE = "filter(split(sym, '·'), x -> x <> '')"
+
+    /** Corpus word stream → delimiter-framed (word, freq, sym) vocab. */
+    def vocab(words: DataFrame): DataFrame =
+      words.groupBy("word").agg(count(lit(1)).as("freq"))
+        .withColumn("sym",
+          concat(lit("·"), expr("regexp_replace(word, '(.)', '$1·')")))
+        .localCheckpoint()
+
+    /** 6 merge rounds over the vocab frame; returns the final vocab
+      * (merged `sym`) and the per-round 1-row (a, b, n) merge frames.
+      * Each round: vocab-sized pair count, 1-row broadcast, literal
+      * replace — cost independent of corpus size. */
+    def learn(base: DataFrame): (DataFrame, Seq[DataFrame]) = {
+      def topPair(cur: DataFrame): DataFrame =
+        cur.withColumn("toks", expr(toksE))
+          .filter(size(col("toks")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(0, size(toks)-2), " +
+              "i -> struct(toks[i] AS a, toks[i+1] AS b))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("freq").as("n"))
+          .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+      var cur = base
+      var merges = Seq.empty[DataFrame]
+      var r = 1
+      while (r <= 6) {
+        val m = topPair(cur).localCheckpoint()
+        merges = merges :+ m
+        cur = cur.crossJoin(broadcast(m))
+          .withColumn("sym", expr(
+            "replace(sym, concat('·', a, '·', b, '·'), concat('·', a, b, '·'))"))
+          .drop("a", "b", "n")
+        r += 1
+      }
+      (cur, merges)
+    }
+
+    /** DuckDB CTE chain `words, r0, p1, m1, r1, …, r6` replaying the same
+      * 6 rounds; callers append their own tail CTEs/projection. */
+    def sqlCtes: String = {
+      def pairCte(p: String, rPrev: String) =
+        s"""$p AS (
+           |  SELECT a, b, CAST(sum(freq) AS BIGINT) AS n FROM (
+           |    SELECT freq, toks[i] AS a, toks[i+1] AS b FROM (
+           |      SELECT freq, unnest(range(1, len(toks))) AS i, toks
+           |      FROM (SELECT freq,
+           |                   list_filter(string_split(sym, '·'),
+           |                               x -> x <> '') AS toks
+           |            FROM $rPrev)
+           |      WHERE len(toks) >= 2))
+           |  GROUP BY a, b)""".stripMargin
+      def mergeCtes(i: Int) =
+        s"""${pairCte(s"p$i", s"r${i - 1}")},
+           |m$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
+           |r$i AS (SELECT word, freq,
+           |               replace(sym, '·' || a || '·' || b || '·',
+           |                       '·' || a || b || '·') AS sym
+           |        FROM r${i - 1} CROSS JOIN m$i)""".stripMargin
+      s"""words AS (
+         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         |  FROM documents),
+         |r0 AS (
+         |  SELECT word, count(*) AS freq,
+         |         '·' || regexp_replace(word, '(.)', '\\1·', 'g') AS sym
+         |  FROM words GROUP BY word),
+         |${(1 to 6).map(mergeCtes).mkString(",\n")}""".stripMargin
+    }
+  }
 }
