@@ -228,6 +228,51 @@ object CoreQueries extends QueryBase {
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
       doc = "exact interpolated percentiles per group (quantile_cont parity)"),
 
+    // Equi-width histogram per group — the other distribution rollup
+    // (percentiles above give tails; histograms give shape). All binning
+    // is INTEGER arithmetic on cents: bin = (cents-lo)*16 ÷ (hi-lo+1)
+    // (integer division, positive operands → identical in both engines),
+    // so there is no FP boundary hazard where a value could fall in
+    // different bins. The global (lo, hi) range is a 1-row aggregate
+    // broadcast back over the scan — same shape as the BM25 corpus
+    // stats: no keyed shuffle grows with data, the histogram aggregate
+    // is O(groups × 16).
+    Q(
+      "agg_histogram",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_orderpriority").as("pri"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val stats = o.agg(min("cents").as("lo"), max("cents").as("hi"))
+        o.crossJoin(broadcast(stats))
+          .withColumn("bin", expr("(cents - lo) * 16 DIV (hi - lo + 1)"))
+          .groupBy("pri", "bin")
+          .agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(stats))
+          .withColumn("bin_lo",
+            expr("CAST(lo + (bin * (hi - lo + 1)) DIV 16 AS DOUBLE)") / 100.0)
+          .select(col("pri"), col("bin"), col("bin_lo"), col("n"))
+          .orderBy("pri", "bin")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderpriority AS pri,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders),
+        st AS (SELECT min(cents) AS lo, max(cents) AS hi FROM o),
+        b AS (
+          SELECT pri, (cents - lo) * 16 // (hi - lo + 1) AS bin
+          FROM o CROSS JOIN st)
+        SELECT pri, bin,
+               CAST(lo + (bin * (hi - lo + 1)) // 16 AS DOUBLE) / 100.0
+                 AS bin_lo,
+               count(*) AS n
+        FROM b CROSS JOIN st
+        GROUP BY pri, bin, lo, hi ORDER BY pri, bin"""),
+      doc = "equi-width 16-bin histogram per group, integer-exact cents " +
+        "binning; global range is a 1-row broadcast, aggregate is " +
+        "O(groups x bins)"),
+
     // ROLLUP grouping sets: subtotal + grand-total rows in one pass
     // (Spark plans this as a single Expand + hash aggregate — one shuffle
     // for all three grouping levels, not three jobs). Grouping nulls are

@@ -560,6 +560,58 @@ object MlQueries extends QueryBase {
         "(3 unrolled rounds, mode-of-neighbors with total tiebreak) — " +
         "one edge-sized shuffle per round, state O(nodes)"),
 
+    // Multi-source BFS hop distance (≤ 3 hops) over the planted-cohort
+    // co-interaction graph, sparsified with a top-2-per-entity cap so
+    // paths are genuinely multi-hop (at cap 8 the cohort cliques make
+    // everything 1 hop from a seed). Seeds are every node with
+    // id % 10 == 0; each round relaxes dist via one edge join + one
+    // min-aggregate (the frontier pattern — Pregel's BFS as three Spark
+    // shuffles, no driver iteration state). Nodes unreached within 3
+    // hops simply don't appear. Output: per-distance node counts + id
+    // range.
+    Q(
+      "ml_bfs_hops",
+      (s, dir) => {
+        val e = coEdges(t(s, dir, "events"),
+          entityKey * 10 + col("user_id") % 7, cap = 2).localCheckpoint()
+        val und = e.select(col("a").as("src"), col("b").as("dst"))
+          .union(e.select(col("b").as("src"), col("a").as("dst")))
+        var d = und.select(col("src").as("node")).distinct()
+          .filter(col("node") % 10 === 0)
+          .withColumn("dist", lit(0L))
+        for (_ <- 1 to 3) {
+          d = d.unionByName(
+              und.join(d, und("dst") === d("node"))
+                .select(und("src").as("node"), (d("dist") + 1).as("dist")))
+            .groupBy("node").agg(min("dist").as("dist"))
+        }
+        d.groupBy("dist")
+          .agg(count(lit(1)).as("n_nodes"), min("node").as("first_node"),
+            max("node").as("last_node"))
+          .orderBy("dist")
+      },
+      Some(s"""
+        WITH ${coEdgeCtes("CAST(json_extract_string(props, '$.k') AS BIGINT)" +
+          " * 10 + user_id % 7", cap = 2)},
+        und AS (SELECT a AS src, b AS dst FROM e
+                UNION ALL SELECT b, a FROM e),
+        d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+               FROM und WHERE src % 10 = 0),
+        ${(1 to 3).map(i =>
+          s"""d$i AS (
+          SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM d${i - 1}
+            UNION ALL
+            SELECT u.src AS node, d.dist + 1 AS dist
+            FROM und u JOIN d${i - 1} d ON u.dst = d.node)
+          GROUP BY node)""").mkString(",\n        ")}
+        SELECT dist, count(*) AS n_nodes, min(node) AS first_node,
+               max(node) AS last_node
+        FROM d3 GROUP BY dist ORDER BY dist"""),
+      doc = "multi-source BFS hop distances (3 unrolled frontier rounds: " +
+        "edge join + min-aggregate per round) over the planted-cohort " +
+        "graph; unreachable nodes excluded"),
+
     // Lloyd k-means (k=8, 3 iterations) over the embedding corpus, made
     // INTEGER-EXACT so any engine reproduces assignments bit-for-bit:
     // vectors quantized to micro-units (round(x*1e6) as long), distances
@@ -639,13 +691,14 @@ object MlQueries extends QueryBase {
     * deterministic tiebreak) form pairs — edge count grows linearly in
     * entities, never quadratically in users-per-entity. */
   private def coEdges(ev: org.apache.spark.sql.DataFrame,
-      blockKey: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+      blockKey: org.apache.spark.sql.Column,
+      cap: Int = 8): org.apache.spark.sql.DataFrame = {
     val uk = ev.select(col("user_id").as("u"), blockKey.as("k"))
       .filter(col("k").isNotNull)
       .groupBy("k", "u").agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("k").orderBy(col("n").desc, col("u").asc)
     val top = uk.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 8).select("k", "u")
+      .filter(col("rk") <= cap).select("k", "u")
     top.as("x").join(top.as("y"),
         col("x.k") === col("y.k") && col("x.u") < col("y.u"))
       .select(col("x.u").as("a"), col("y.u").as("b")).distinct()
@@ -657,7 +710,8 @@ object MlQueries extends QueryBase {
 
   /** DuckDB face of [[coEdges]] — CTE chain `uk, top, e`. */
   private def coEdgeCtes(keyExpr: String =
-      "CAST(json_extract_string(props, '$.k') AS BIGINT)"): String =
+      "CAST(json_extract_string(props, '$.k') AS BIGINT)",
+      cap: Int = 8): String =
     s"""uk AS (
           SELECT $keyExpr AS k,
                  user_id AS u, count(*) AS n
@@ -669,7 +723,7 @@ object MlQueries extends QueryBase {
             SELECT k, u, row_number() OVER (PARTITION BY k
                            ORDER BY n DESC, u ASC) AS rk
             FROM uk)
-          WHERE rk <= 8),
+          WHERE rk <= $cap),
         e AS (
           SELECT DISTINCT x.u AS a, y.u AS b
           FROM top x JOIN top y ON x.k = y.k AND x.u < y.u)"""
