@@ -273,6 +273,85 @@ object CoreQueries extends QueryBase {
         "binning; global range is a 1-row broadcast, aggregate is " +
         "O(groups x bins)"),
 
+    // Welch's t-test per experiment cell (A/B analysis: variant =
+    // user_id parity). ONE conditional-aggregation pass computes both
+    // variants' n / Σx / Σx² as EXACT integers (scaled cents through the
+    // codegen long-sum path); the t statistic and Welch–Satterthwaite df
+    // are then derived by an identical chain of IEEE double ops on both
+    // sides — every input to the chain is the same exact integer, and
+    // +,-,*,/,sqrt are exact-rounded, so the doubles are bit-identical
+    // with no tolerance needed (emitted unrounded). No per-variant
+    // shuffle or self-join: the experiment readout is a single
+    // O(cells)-sized aggregate at any event volume.
+    Q(
+      "agg_ab_ttest",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("event_type"),
+          (col("user_id") % 2).as("v"),
+          round(col("value") * 100).cast("long").as("cents"))
+        def side(i: Int) = (
+          count(when(col("v") === i, 1)).as(s"n$i"),
+          wsum(when(col("v") === i, col("cents")).otherwise(lit(0L)))
+            .cast("double").as(s"s$i"),
+          wsum(when(col("v") === i, col("cents") * col("cents"))
+            .otherwise(lit(0L))).cast("double").as(s"ss$i"))
+        val (n0, s0, ss0) = side(0)
+        val (n1, s1, ss1) = side(1)
+        ev.groupBy("event_type").agg(n0, s0, ss0, n1, s1, ss1)
+          .withColumn("m0", col("s0") / col("n0"))
+          .withColumn("m1", col("s1") / col("n1"))
+          .withColumn("var0", (col("ss0") - col("m0") * col("s0")) / (col("n0") - 1))
+          .withColumn("var1", (col("ss1") - col("m1") * col("s1")) / (col("n1") - 1))
+          .withColumn("se0", col("var0") / col("n0"))
+          .withColumn("se1", col("var1") / col("n1"))
+          .withColumn("t_stat",
+            (col("m0") - col("m1")) / sqrt(col("se0") + col("se1")))
+          .withColumn("df_welch",
+            (col("se0") + col("se1")) * (col("se0") + col("se1")) /
+              (col("se0") * col("se0") / (col("n0") - 1) +
+               col("se1") * col("se1") / (col("n1") - 1)))
+          .select(col("event_type"), col("n0"), col("n1"),
+            (col("m0") / 100.0).as("mean0"), (col("m1") / 100.0).as("mean1"),
+            col("t_stat"), col("df_welch"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH base AS (
+          SELECT event_type, user_id % 2 AS v,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events),
+        g AS (
+          SELECT event_type,
+                 count(*) FILTER (WHERE v = 0) AS n0,
+                 CAST(sum(CASE WHEN v = 0 THEN CAST(cents AS DECIMAL(38,0))
+                               ELSE 0 END) AS DOUBLE) AS s0,
+                 CAST(sum(CASE WHEN v = 0
+                               THEN CAST(cents * cents AS DECIMAL(38,0))
+                               ELSE 0 END) AS DOUBLE) AS ss0,
+                 count(*) FILTER (WHERE v = 1) AS n1,
+                 CAST(sum(CASE WHEN v = 1 THEN CAST(cents AS DECIMAL(38,0))
+                               ELSE 0 END) AS DOUBLE) AS s1,
+                 CAST(sum(CASE WHEN v = 1
+                               THEN CAST(cents * cents AS DECIMAL(38,0))
+                               ELSE 0 END) AS DOUBLE) AS ss1
+          FROM base GROUP BY event_type),
+        m AS (
+          SELECT *, s0 / n0 AS m0, s1 / n1 AS m1 FROM g),
+        vv AS (
+          SELECT *, (ss0 - m0 * s0) / (n0 - 1) AS var0,
+                    (ss1 - m1 * s1) / (n1 - 1) AS var1
+          FROM m),
+        se AS (
+          SELECT *, var0 / n0 AS se0, var1 / n1 AS se1 FROM vv)
+        SELECT event_type, n0, n1, m0 / 100.0 AS mean0, m1 / 100.0 AS mean1,
+               (m0 - m1) / sqrt(se0 + se1) AS t_stat,
+               (se0 + se1) * (se0 + se1) /
+                 (se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1)) AS df_welch
+        FROM se ORDER BY event_type"""),
+      doc = "Welch t-test per experiment cell from one conditional " +
+        "aggregate (exact integer moments, bit-identical IEEE chain); " +
+        "O(cells) result at any event volume"),
+
     // ROLLUP grouping sets: subtotal + grand-total rows in one pass
     // (Spark plans this as a single Expand + hash aggregate — one shuffle
     // for all three grouping levels, not three jobs). Grouping nulls are

@@ -99,7 +99,68 @@ object DedupQueries extends QueryBase {
         .otherwise(array().cast("array<string>")))
   }
 
-  val all: Seq[Q] = Seq(incrementalBloomQ) ++ Seq(
+  /** Corpus-wide SEGMENT-level dedup with document rewrite — the C4 /
+    * Lee et al. 2022 repeated-passage removal step, as a rewrite (the
+    * sibling `dedup_substring_spans` only DETECTS spans). Documents are
+    * split into consecutive 10-word segments; a segment that already
+    * occurred anywhere in the corpus (first occurrence = smallest
+    * (doc_id, idx), total order) is dropped, and each document is
+    * reassembled from its surviving segments in order.
+    *
+    * Scale shape: two shuffles total — one hash-partition on the segment
+    * (the keeper window; high-cardinality key, no skew group bigger than
+    * a segment's true dup count) and one doc_id shuffle to reassemble.
+    * Per-key window state is O(dups of that segment); nothing is
+    * collected. At 100 TB the window key becomes (xxhash64(seg), seg) so
+    * the shuffle carries 8-byte keys — same plan, cheaper exchange. */
+  private val paragraphDedupQ = Q(
+    "dedup_paragraphs",
+    (s, dir) => {
+      val d = th(s, dir, "documents").select("doc_id", "text")
+      val segs = d.select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, (size(split(text, ' ')) - 1) DIV 10), " +
+          "i -> array_join(slice(split(text, ' '), i * 10 + 1, 10), ' '))"))
+        .as(Seq("idx", "seg")))
+      val w = Window.partitionBy("seg").orderBy(col("doc_id"), col("idx"))
+      val kept = segs.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(expr(
+            "transform(array_sort(collect_list(struct(idx, seg))), t -> t.seg)"),
+            " ").as("text_dedup"))
+      segs.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_segs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH segs AS (
+        SELECT doc_id, i AS idx,
+               array_to_string(toks[i*10+1 : i*10+10], ' ') AS seg
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents),
+             LATERAL (SELECT unnest(range(0, (len(toks)-1)//10 + 1)) AS i)),
+      kept AS (
+        SELECT doc_id, idx, seg,
+               row_number() OVER (PARTITION BY seg
+                                  ORDER BY doc_id, idx) AS rk
+        FROM segs),
+      agg AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(seg, ' ' ORDER BY idx) AS text_dedup
+        FROM kept WHERE rk = 1 GROUP BY doc_id),
+      tot AS (SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY doc_id)
+      SELECT t.doc_id, t.n_segs, coalesce(a.n_kept, 0) AS n_kept,
+             coalesce(a.text_dedup, '') AS text_dedup
+      FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id"""),
+    doc = "corpus-wide 10-word-segment dedup with document REWRITE " +
+      "(first occurrence kept, total order): one segment-hash shuffle " +
+      "+ one doc_id reassembly shuffle")
+
+  val all: Seq[Q] = Seq(incrementalBloomQ, paragraphDedupQ) ++ Seq(
     // Exact dedup: canonical-form fingerprint → hash-groupBy, keep the
     // minimum id (deterministic keeper). Input is documents ∪ a re-keyed
     // copy of every 10th doc, so the dup groups are non-trivial.
