@@ -63,15 +63,22 @@ object GraftFunctions {
     builders.foreach { case (name, b) =>
       reg.createOrReplaceTempFunction(name, b, "built-in")
     }
+    // Optimizer rules ride the same registration call. extraOptimizations
+    // is idempotent to re-register (replace, don't append-duplicate).
+    val rules = Seq(graft.plans.LevenshteinBoundRule)
+    spark.experimental.extraOptimizations =
+      (spark.experimental.extraOptimizations.filterNot(rules.contains) ++ rules)
   }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, b) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[TrigramSimilarity].getName, name),
         b))
     }
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinBoundRule)
+  }
 }

@@ -352,6 +352,65 @@ object CoreQueries extends QueryBase {
         "aggregate (exact integer moments, bit-identical IEEE chain); " +
         "O(cells) result at any event volume"),
 
+    // Robust outlier detection via median absolute deviation (the
+    // z-score's heavy-tail-safe sibling; Iglewicz-Hoaglin cut |x-med| >
+    // 3·MAD). Exactness: inputs are integer cents, so the interpolated
+    // medians are midpoints of integers — exact binary fractions both
+    // engines compute identically (quantile_cont parity is already
+    // proven by agg_percentiles), deviations |cents−med| are exact
+    // doubles, and the 3·MAD comparison is between exact values — no
+    // tolerance anywhere. Two grouped percentile passes (values, then
+    // deviations with the 1-row-per-group medians joined back — a
+    // groups-sized broadcast at any volume) + one conditional count.
+    Q(
+      "agg_outlier_mad",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        val med = ev.groupBy("event_type")
+          .agg(percentile(col("cents"), lit(0.5)).as("med"))
+        val dev = ev.join(broadcast(med), "event_type")
+          .withColumn("dev", abs(col("cents") - col("med")))
+        val mad = dev.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), min(col("med")).as("med_c"),
+            percentile(col("dev"), lit(0.5)).as("mad_c"))
+        val out = dev
+          .join(broadcast(mad.select(col("event_type"), col("mad_c"))),
+            "event_type")
+          .filter(col("dev") > col("mad_c") * 3)
+          .groupBy("event_type").agg(count(lit(1)).as("n_outliers"))
+        mad.join(out, Seq("event_type"), "left")
+          .select(col("event_type"), col("n"),
+            (col("med_c") / 100.0).as("median"),
+            (col("mad_c") / 100.0).as("mad"),
+            coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH base AS (
+          SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events),
+        med AS (
+          SELECT event_type, quantile_cont(cents, 0.5) AS med
+          FROM base GROUP BY event_type),
+        dev AS (
+          SELECT b.event_type, b.cents, m.med,
+                 abs(b.cents - m.med) AS dev
+          FROM base b JOIN med m USING (event_type)),
+        mad AS (
+          SELECT event_type, quantile_cont(dev, 0.5) AS mad
+          FROM dev GROUP BY event_type)
+        SELECT d.event_type, count(*) AS n,
+               any_value(d.med) / 100.0 AS median,
+               any_value(m.mad) / 100.0 AS mad,
+               CAST(count(*) FILTER (WHERE d.dev > m.mad * 3) AS BIGINT)
+                 AS n_outliers
+        FROM dev d JOIN mad m USING (event_type)
+        GROUP BY d.event_type ORDER BY d.event_type"""),
+      doc = "MAD robust outliers (|x-med| > 3*MAD), integer-exact " +
+        "interpolated medians; two grouped percentile passes with " +
+        "groups-sized broadcasts, one conditional count"),
+
     // ROLLUP grouping sets: subtotal + grand-total rows in one pass
     // (Spark plans this as a single Expand + hash aggregate — one shuffle
     // for all three grouping levels, not three jobs). Grouping nulls are

@@ -211,6 +211,41 @@ object JoinQueries extends QueryBase {
         ORDER BY probe, matched"""),
       doc = "J6 fuzzy levenshtein best-match; reference post_aspects.py:152-199"),
 
+    // J6 threshold form, written the way users (and the reference's
+    // postgres SQL) write it: `levenshtein(a, b) <= 2` as a bare filter.
+    // The session-registered optimizer rule
+    // (graft.plans.LevenshteinBoundRule) rewrites the comparison to
+    // Spark's banded thresholded levenshtein — O(k·len) per pair instead
+    // of the full O(len²) DP — with identical results and null
+    // semantics; LevenshteinRuleSpec asserts the rewrite landed in this
+    // query's optimized plan and that values are unchanged with the
+    // rule off. The oracle runs the UNBOUNDED form.
+    Q(
+      "join_fuzzy_threshold",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val p = t(s, dir, "part")
+        val lex = s.createDataFrame(Seq(
+          Tuple1("Brnd#13"), Tuple1("Brand#5"), Tuple1("Brund#19"), Tuple1("brand#33")
+        )).toDF("probe")
+        p.select(col("p_brand")).distinct()
+          .crossJoin(broadcast(lex))
+          .filter(levenshtein(lower(col("p_brand")), lower(col("probe"))) <= 2)
+          .groupBy("probe")
+          .agg(count(lit(1)).as("n_matches"),
+            min(col("p_brand")).as("first_match"))
+          .orderBy("probe")
+      },
+      Some("""
+        SELECT probe, count(*) AS n_matches, min(p_brand) AS first_match
+        FROM (SELECT DISTINCT p_brand FROM part)
+        CROSS JOIN (VALUES ('Brnd#13'),('Brand#5'),('Brund#19'),('brand#33')) t(probe)
+        WHERE levenshtein(lower(p_brand), lower(probe)) <= 2
+        GROUP BY probe ORDER BY probe"""),
+      doc = "levenshtein threshold filter auto-rewritten to the banded " +
+        "O(k*len) form by the LevenshteinBoundRule optimizer rule " +
+        "(unbounded oracle, identical semantics)"),
+
     // J11: posts × opinion-patterns cross join (the literal two-row
     // pattern dim of opinion_patterns.jsonc broadcast against the posts
     // fact; per-pattern match accounting). The full downstream composite
