@@ -411,6 +411,72 @@ object CoreQueries extends QueryBase {
         "interpolated medians; two grouped percentile passes with " +
         "groups-sized broadcasts, one conditional count"),
 
+    // Chi-square independence test on a 2x2 contingency table per
+    // experiment cell (variant = user parity, outcome = cents parity) —
+    // the categorical sibling of agg_ab_ttest. All four cell counts come
+    // from ONE conditional aggregate; chi2 and the phi coefficient are
+    // then a FIXED closed-form expression over the four counts (the 2x2
+    // closed form N·(ad−bc)²/(r0·r1·c0·c1) — no per-cell sum whose
+    // association order could differ between engines). Counts are cast
+    // to DOUBLE before multiplying (cell products overflow int64 at
+    // ~1e10 rows/cell; the double chain is op-identical both sides, so
+    // results stay bit-comparable at every scale).
+    Q(
+      "agg_chi2_2x2",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("event_type"),
+          (col("user_id") % 2).as("v"),
+          (round(col("value") * 100).cast("long") % 2).as("o"))
+        def cell(v: Int, o: Int) =
+          count(when(col("v") === v && col("o") === o, 1))
+            .cast("double").as(s"n$v$o")
+        ev.groupBy("event_type")
+          .agg(cell(0, 0), cell(0, 1), cell(1, 0), cell(1, 1))
+          .withColumn("nn",
+            col("n00") + col("n01") + col("n10") + col("n11"))
+          .withColumn("d",
+            col("n00") * col("n11") - col("n01") * col("n10"))
+          .withColumn("den",
+            (col("n00") + col("n01")) * (col("n10") + col("n11")) *
+              ((col("n00") + col("n10")) * (col("n01") + col("n11"))))
+          .withColumn("chi2", col("nn") * col("d") * col("d") / col("den"))
+          .withColumn("phi", col("d") / sqrt(col("den")))
+          .select(col("event_type"),
+            col("n00").cast("long").as("n00"),
+            col("n01").cast("long").as("n01"),
+            col("n10").cast("long").as("n10"),
+            col("n11").cast("long").as("n11"),
+            col("chi2"), col("phi"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH base AS (
+          SELECT event_type, user_id % 2 AS v,
+                 CAST(round(value * 100) AS BIGINT) % 2 AS o
+          FROM events),
+        g AS (
+          SELECT event_type,
+                 CAST(count(*) FILTER (WHERE v = 0 AND o = 0) AS DOUBLE) AS n00,
+                 CAST(count(*) FILTER (WHERE v = 0 AND o = 1) AS DOUBLE) AS n01,
+                 CAST(count(*) FILTER (WHERE v = 1 AND o = 0) AS DOUBLE) AS n10,
+                 CAST(count(*) FILTER (WHERE v = 1 AND o = 1) AS DOUBLE) AS n11
+          FROM base GROUP BY event_type),
+        e AS (
+          SELECT *, n00 + n01 + n10 + n11 AS nn,
+                 n00 * n11 - n01 * n10 AS d,
+                 (n00 + n01) * (n10 + n11) * ((n00 + n10) * (n01 + n11))
+                   AS den
+          FROM g)
+        SELECT event_type,
+               CAST(n00 AS BIGINT) AS n00, CAST(n01 AS BIGINT) AS n01,
+               CAST(n10 AS BIGINT) AS n10, CAST(n11 AS BIGINT) AS n11,
+               nn * d * d / den AS chi2,
+               d / sqrt(den) AS phi
+        FROM e ORDER BY event_type"""),
+      doc = "chi-square 2x2 independence test per cell: one conditional " +
+        "aggregate + closed-form chi2/phi (no association-order hazard), " +
+        "bit-comparable double chain"),
+
     // ROLLUP grouping sets: subtotal + grand-total rows in one pass
     // (Spark plans this as a single Expand + hash aggregate — one shuffle
     // for all three grouping levels, not three jobs). Grouping nulls are

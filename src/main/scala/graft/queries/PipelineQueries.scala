@@ -921,5 +921,78 @@ object PipelineQueries extends QueryBase {
         FROM ranged ORDER BY o_custkey, valid_from"""),
       doc = "SCD2 dimension versioning: per-day deterministic snapshot " +
         "(max_by), lag change-detection, lead range-close, is_current " +
-        "flag — two keyed shuffles, O(1) window state per key"))
+        "flag — two keyed shuffles, O(1) window state per key"),
+
+    // Snapshot diff / change-data audit: classify every PK between two
+    // table snapshots as added / removed / changed / unchanged, with
+    // exact value-delta totals — the audit face of the upsert sink (K1
+    // writes changes; this op answers "what changed between snapshot A
+    // and B"). Snapshot B is a deterministic mutation of orders (every
+    // 97th key deleted, every 13th repriced +1.50, every 101st re-keyed
+    // in as an insert). ONE full-outer PK join (both sides shuffle on
+    // the key — at 100 TB this is the canonical co-partitioned join,
+    // bucketable via join_bucketed_colocate's layout), then an O(4)
+    // rollup. Null-safe equality (<=>) classifies changes so NULL
+    // columns can't masquerade as 'unchanged'.
+    Q(
+      "pipe_snapshot_diff",
+      (s, dir) => {
+        val a = t(s, dir, "orders")
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("price_a"),
+            col("o_orderstatus").as("status_a"))
+        val b0 = t(s, dir, "orders")
+        val b = b0.filter(col("o_orderkey") % 97 =!= 0)
+          .select(col("o_orderkey").as("k"),
+            when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1.5)
+              .otherwise(col("o_totalprice")).as("price_b"),
+            col("o_orderstatus").as("status_b"))
+          .unionByName(b0.filter(col("o_orderkey") % 101 === 0)
+            .select((col("o_orderkey") + 1000000000L).as("k"),
+              col("o_totalprice").as("price_b"),
+              col("o_orderstatus").as("status_b")))
+        a.join(b, Seq("k"), "full_outer")
+          .withColumn("status",
+            when(col("price_a").isNull, lit("added"))
+              .when(col("price_b").isNull, lit("removed"))
+              .when(col("price_a") <=> col("price_b") &&
+                col("status_a") <=> col("status_b"), lit("unchanged"))
+              .otherwise(lit("changed")))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n_keys"),
+            dsum(coalesce(col("price_b"), lit(0.0)) -
+              coalesce(col("price_a"), lit(0.0))).as("revenue_delta"),
+            min(col("k")).as("first_key"), max(col("k")).as("last_key"))
+          .orderBy("status")
+      },
+      Some("""
+        WITH a AS (
+          SELECT o_orderkey AS k, o_totalprice AS price_a,
+                 o_orderstatus AS status_a
+          FROM orders),
+        b AS (
+          SELECT o_orderkey AS k,
+                 CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.5
+                      ELSE o_totalprice END AS price_b,
+                 o_orderstatus AS status_b
+          FROM orders WHERE o_orderkey % 97 <> 0
+          UNION ALL
+          SELECT o_orderkey + 1000000000 AS k, o_totalprice, o_orderstatus
+          FROM orders WHERE o_orderkey % 101 = 0),
+        d AS (
+          SELECT coalesce(a.k, b.k) AS k, price_a, price_b,
+                 CASE WHEN price_a IS NULL THEN 'added'
+                      WHEN price_b IS NULL THEN 'removed'
+                      WHEN price_a IS NOT DISTINCT FROM price_b
+                           AND status_a IS NOT DISTINCT FROM status_b
+                      THEN 'unchanged'
+                      ELSE 'changed' END AS status
+          FROM a FULL OUTER JOIN b ON a.k = b.k)
+        SELECT status, count(*) AS n_keys,
+               CAST(sum(CAST(coalesce(price_b, 0) - coalesce(price_a, 0)
+                 AS DECIMAL(30,4))) AS DOUBLE) AS revenue_delta,
+               min(k) AS first_key, max(k) AS last_key
+        FROM d GROUP BY status ORDER BY status"""),
+      doc = "snapshot diff audit: full-outer PK join + null-safe " +
+        "change classification + exact delta totals; one co-partitioned " +
+        "shuffle and an O(4) rollup"))
 }

@@ -517,5 +517,74 @@ object WindowQueries extends QueryBase {
         ORDER BY user_id, day"""),
       doc = "EWMA (alpha=0.5) smoothing of per-user daily series: one " +
         "keyed shuffle + calendar-bounded per-key arrays; power-of-two " +
-        "alpha makes the recurrence bit-exact in both engines"))
+        "alpha makes the recurrence bit-exact in both engines"),
+
+    // Holt double-exponential smoothing (level + trend, alpha=beta=0.5)
+    // with a 1-step forecast — the trend-aware sibling of
+    // window_ewma_smooth, same bit-exactness contract: both smoothing
+    // constants are powers of two and the (level, trend) recurrence is
+    // folded over structs in the SAME order by Spark's aggregate() and
+    // DuckDB's list_reduce (whose accumulator must share the element
+    // type — hence the series is lifted to {l, b} structs with b=0, and
+    // the first element seeds the fold: l_1 = x_1, b_1 = 0).
+    // l_t = 0.5·x_t + 0.5·(l+b);  b_t = 0.5·(l_t − l) + 0.5·b;
+    // forecast = l_t + b_t. Emitted unrounded.
+    Q(
+      "window_holt_trend",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val daily = ev.groupBy(col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(dsum(col("value")).as("x"))
+        val lt = "0.5D * e.l + 0.5D * (acc.l + acc.b)"
+        daily.groupBy("user_id")
+          .agg(array_sort(collect_list(struct(col("day"), col("x"))))
+            .as("ds"))
+          .withColumn("xs", expr(
+            "transform(ds, d -> named_struct('l', d.x, 'b', 0.0D))"))
+          .select(col("user_id"), explode(expr(
+            s"""transform(ds, (d, j) -> named_struct(
+                'day', d.day, 'x', d.x,
+                'st', aggregate(slice(xs, 2, j), xs[0],
+                  (acc, e) -> named_struct(
+                    'l', $lt,
+                    'b', 0.5D * (($lt) - acc.l) + 0.5D * acc.b))))"""))
+            .as("r"))
+          .select(col("user_id"), col("r.day").as("day"),
+            col("r.x").as("x"), col("r.st.l").as("level"),
+            col("r.st.b").as("trend"),
+            (col("r.st.l") + col("r.st.b")).as("forecast1"))
+          .orderBy("user_id", "day")
+      },
+      // NOTE the oracle recursion is a WITH RECURSIVE scalar walk, not a
+      // list_reduce: DuckDB 1.0's list_reduce mis-evaluates STRUCT-typed
+      // accumulators when vectorized over multiple rows (minimal repro:
+      // folding [{1,0},{3,0},{5,0}] with the Holt lambda returns
+      // b=0.6875 across 8 rows where the true fold gives 1.125; the same
+      // call over one row is correct). Scalar-typed accumulators (the
+      // EWMA oracle) are unaffected.
+      Some("""
+        WITH RECURSIVE daily AS (
+          SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+                 CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS x
+          FROM events GROUP BY user_id, day),
+        series AS (
+          SELECT user_id,
+                 list(struct_pack(day := day, x := x) ORDER BY day) AS ds
+          FROM daily GROUP BY user_id),
+        f AS (
+          SELECT user_id, 1 AS j, ds,
+                 ds[1].x AS l, CAST(0.0 AS DOUBLE) AS b
+          FROM series
+          UNION ALL
+          SELECT user_id, j + 1, ds,
+                 0.5 * ds[j + 1].x + 0.5 * (l + b),
+                 0.5 * ((0.5 * ds[j + 1].x + 0.5 * (l + b)) - l) + 0.5 * b
+          FROM f WHERE j < len(ds))
+        SELECT user_id, ds[j].day AS day, ds[j].x AS x, l AS level,
+               b AS trend, l + b AS forecast1
+        FROM f ORDER BY user_id, day"""),
+      doc = "Holt level+trend smoothing (alpha=beta=0.5) with 1-step " +
+        "forecast: struct-typed fold, power-of-two constants, " +
+        "bit-identical in both engines; calendar-bounded per-key state"))
 }
