@@ -477,6 +477,72 @@ object CoreQueries extends QueryBase {
         "aggregate + closed-form chi2/phi (no association-order hazard), " +
         "bit-comparable double chain"),
 
+    // Shannon entropy / perplexity of the behavior mix per user cohort
+    // (diversity metric — the mixture-health readout of a sampling
+    // pipeline). The event-type domain is a fixed enum, so the entropy
+    // sum is a CLOSED-FORM left-associated chain over 5 conditional
+    // counts from ONE aggregate — no data-dependent summation order to
+    // diverge on (summing p·ln p per-row and aggregating would make the
+    // result depend on shuffle arrival order). Zero counts contribute 0
+    // (the 0·ln0 limit), guarded identically on both sides.
+    Q(
+      "agg_entropy_mix",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val ev = t(s, dir, "events")
+          .select((col("user_id") % 10).as("cohort"), col("event_type"))
+        val cells = types.map(tp =>
+          count(when(col("event_type") === tp, 1)).as(s"n_$tp"))
+        def term(tp: String) = {
+          val p = col(s"n_$tp").cast("double") / col("n").cast("double")
+          when(col(s"n_$tp") === 0, 0.0).otherwise(p * log(p))
+        }
+        ev.groupBy("cohort")
+          .agg(count(lit(1)).as("n"), cells: _*)
+          .withColumn("entropy",
+            -types.map(term).reduce(_ + _))
+          .withColumn("perplexity", exp(col("entropy")))
+          .select(col("cohort") +: col("n") +:
+            types.map(tp => col(s"n_$tp")) :+
+            col("entropy") :+ col("perplexity"): _*)
+          .orderBy("cohort")
+      },
+      Some("""
+        WITH g AS (
+          SELECT user_id % 10 AS cohort, count(*) AS n,
+                 count(*) FILTER (WHERE event_type = 'click') AS n_click,
+                 count(*) FILTER (WHERE event_type = 'error') AS n_error,
+                 count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                 count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+                 count(*) FILTER (WHERE event_type = 'view') AS n_view
+          FROM events GROUP BY 1),
+        e AS (
+          SELECT *,
+            -((((
+              (CASE WHEN n_click = 0 THEN 0.0 ELSE
+                (CAST(n_click AS DOUBLE) / CAST(n AS DOUBLE)) *
+                ln(CAST(n_click AS DOUBLE) / CAST(n AS DOUBLE)) END)
+              + (CASE WHEN n_error = 0 THEN 0.0 ELSE
+                (CAST(n_error AS DOUBLE) / CAST(n AS DOUBLE)) *
+                ln(CAST(n_error AS DOUBLE) / CAST(n AS DOUBLE)) END))
+              + (CASE WHEN n_purchase = 0 THEN 0.0 ELSE
+                (CAST(n_purchase AS DOUBLE) / CAST(n AS DOUBLE)) *
+                ln(CAST(n_purchase AS DOUBLE) / CAST(n AS DOUBLE)) END))
+              + (CASE WHEN n_signup = 0 THEN 0.0 ELSE
+                (CAST(n_signup AS DOUBLE) / CAST(n AS DOUBLE)) *
+                ln(CAST(n_signup AS DOUBLE) / CAST(n AS DOUBLE)) END))
+              + (CASE WHEN n_view = 0 THEN 0.0 ELSE
+                (CAST(n_view AS DOUBLE) / CAST(n AS DOUBLE)) *
+                ln(CAST(n_view AS DOUBLE) / CAST(n AS DOUBLE)) END))
+              AS entropy
+          FROM g)
+        SELECT cohort, n, n_click, n_error, n_purchase, n_signup, n_view,
+               entropy, exp(entropy) AS perplexity
+        FROM e ORDER BY cohort"""),
+      doc = "Shannon entropy + perplexity of the per-cohort behavior mix " +
+        "via a closed-form fixed-order chain over one conditional " +
+        "aggregate (no shuffle-order dependence)"),
+
     // ROLLUP grouping sets: subtotal + grand-total rows in one pass
     // (Spark plans this as a single Expand + hash aggregate — one shuffle
     // for all three grouping levels, not three jobs). Grouping nulls are

@@ -785,7 +785,62 @@ object TextQueries extends QueryBase {
       },
       doc = "BPE encoding via the learned merge table: per-distinct-word " +
         "merge application on the vocab frame, corpus token counts from " +
-        "one keyed join — the corpus never re-enters the merge loop"))
+        "one keyed join — the corpus never re-enters the merge loop"),
+
+    // PMI collocation mining (pointwise mutual information over adjacent
+    // word pairs — the classic phrase detector, cf. word2vec-phrases).
+    // All probabilities live in BIGRAM space: one (a,b) count table,
+    // marginals n_a• / n_•b re-aggregated FROM that table (vocab²-bounded,
+    // far smaller than the corpus), and the grand total as a 1-row
+    // broadcast. PMI = ln((n_ab·N)/(n_a·n_b)) — one fixed-order double
+    // chain over exact integers, so the value is bit-comparable; ranking
+    // uses (count desc, pair) which is integer-deterministic regardless.
+    Q(
+      "text_pmi_collocations",
+      (s, dir) => {
+        val d = th(s, dir, "documents")
+        val bi = d.select(split(lower(col("text")), " ").as("tk"))
+          .select(explode(expr(
+            "transform(sequence(0, size(tk) - 2), " +
+              "i -> struct(tk[i] AS a, tk[i+1] AS b))")).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+        val cnt = bi.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+          .localCheckpoint()
+        val ma = cnt.groupBy("a").agg(sum("n_ab").as("n_a"))
+        val mb = cnt.groupBy("b").agg(sum("n_ab").as("n_b"))
+        val tot = cnt.agg(sum("n_ab").as("nn"))
+        cnt.join(ma, "a").join(mb, "b").crossJoin(broadcast(tot))
+          .filter(col("n_ab") >= 5)
+          .withColumn("pmi", log(
+            (col("n_ab").cast("double") * col("nn").cast("double")) /
+              (col("n_a").cast("double") * col("n_b").cast("double"))))
+          .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+            col("pmi"))
+          .orderBy(col("n_ab").desc, col("a"), col("b"))
+          .limit(30)
+      },
+      Some("""
+        WITH bi AS (
+          SELECT toks[i] AS a, toks[i + 1] AS b
+          FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+                FROM (SELECT string_split(lower(text), ' ') AS toks
+                      FROM documents))),
+        cnt AS (
+          SELECT a, b, count(*) AS n_ab FROM bi GROUP BY a, b),
+        ma AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a
+               FROM cnt GROUP BY a),
+        mb AS (SELECT b, CAST(sum(n_ab) AS BIGINT) AS n_b
+               FROM cnt GROUP BY b),
+        tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS nn FROM cnt)
+        SELECT a, b, n_ab, n_a, n_b,
+               ln((CAST(n_ab AS DOUBLE) * CAST(nn AS DOUBLE)) /
+                  (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) AS pmi
+        FROM cnt JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
+        WHERE n_ab >= 5
+        ORDER BY n_ab DESC, a, b LIMIT 30"""),
+      doc = "PMI collocations over the bigram count table (marginals and " +
+        "total derived from it, vocab-squared-bounded); fixed-order ln " +
+        "chain over exact integers, integer-deterministic ranking"))
 
   /** Shared BPE machinery (Sennrich et al. 2016) for `text_bpe_train` /
     * `text_bpe_encode`: words are delimiter-framed symbol strings

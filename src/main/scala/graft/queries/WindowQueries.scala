@@ -586,5 +586,54 @@ object WindowQueries extends QueryBase {
         FROM f ORDER BY user_id, day"""),
       doc = "Holt level+trend smoothing (alpha=beta=0.5) with 1-step " +
         "forecast: struct-typed fold, power-of-two constants, " +
-        "bit-identical in both engines; calendar-bounded per-key state"))
+        "bit-identical in both engines; calendar-bounded per-key state"),
+
+    // Longest consecutive-day activity streak per user — the classic
+    // gaps-and-islands shape (engagement metric; also the pattern behind
+    // retention-window features). Island id = day − row_number (constant
+    // within a run of consecutive days), entirely windowed: one user_id
+    // shuffle, O(1) running state, no self-join against shifted copies.
+    Q(
+      "window_streak_days",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val days = ev.select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        val w = Window.partitionBy("user_id").orderBy("day")
+        days.withColumn("grp",
+            datediff(col("day"), lit("2024-01-01").cast("date")) -
+              row_number().over(w))
+          .groupBy("user_id", "grp")
+          .agg(count(lit(1)).as("len"),
+            date_format(min(col("day")), "yyyy-MM-dd").as("streak_start"))
+          .groupBy("user_id")
+          .agg(max(struct(col("len"), col("streak_start"))).as("best"),
+            count(lit(1)).as("n_streaks"))
+          .select(col("user_id"), col("best.len").as("longest_streak"),
+            col("best.streak_start"), col("n_streaks"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH days AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        grps AS (
+          SELECT user_id, day,
+                 datediff('day', DATE '2024-01-01', day) -
+                   row_number() OVER (PARTITION BY user_id ORDER BY day)
+                   AS grp
+          FROM days),
+        streaks AS (
+          SELECT user_id, grp, count(*) AS len,
+                 strftime(min(day), '%Y-%m-%d') AS streak_start
+          FROM grps GROUP BY user_id, grp)
+        SELECT user_id,
+               (max(struct_pack(len := len, s := streak_start))).len
+                 AS longest_streak,
+               (max(struct_pack(len := len, s := streak_start))).s
+                 AS streak_start,
+               count(*) AS n_streaks
+        FROM streaks GROUP BY user_id ORDER BY user_id"""),
+      doc = "gaps-and-islands longest-streak per user (day - row_number " +
+        "island id): one keyed shuffle, O(1) window state, no shifted " +
+        "self-join"))
 }

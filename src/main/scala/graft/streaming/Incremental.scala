@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming forms of the reference's incremental-batch
@@ -104,6 +104,55 @@ object Incremental {
       .join(clicks.withWatermark("c_ts", late),
         expr("p_user = c_user AND " +
           "c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts < p_ts"))
+
+  /** Streaming ordered-event funnel — the continuous twin of the batch
+    * `window_funnel` query, as keyed custom state: per user the state is
+    * EXACTLY three epoch-micro longs (first view, first click strictly
+    * after it, first purchase strictly after that; -1 = stage not
+    * reached) — the same O(1)-per-user bound the batch window argument
+    * makes, held in the state store instead of a shuffle partition.
+    *
+    * Each micro-batch's events for a user are folded in (event-time,
+    * type) order, so results equal the batch query whenever a user's
+    * events arrive in event-time order ACROSS batches (within a batch,
+    * order never matters — we sort). That's the standard streaming-
+    * funnel contract: out-of-order arrival is tolerated up to the
+    * micro-batch boundary; an earlier-stage event that arrives in a
+    * LATER batch than its dependents cannot retroactively validate them
+    * (the alternative — buffering every candidate event per user — has
+    * unbounded state). Append output with NoTimeout: each batch emits
+    * the user's current reach; readers keep the last row per user. */
+  def funnelStages(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val typed = events.select(col("user_id").cast("long").as("user_id"),
+      col("ts").cast("timestamp").as("ts"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, java.sql.Timestamp, String)],
+            state: GroupState[(Long, Long, Long)]) =>
+          var (t1, t2, t3) = state.getOption.getOrElse((-1L, -1L, -1L))
+          it.toSeq
+            .map { case (_, ts, tpe) =>
+              val inst = ts.toInstant
+              (inst.getEpochSecond * 1000000L + inst.getNano / 1000L, tpe)
+            }
+            .sortBy(identity)
+            .foreach { case (t, tpe) =>
+              tpe match {
+                case "view" if t1 < 0 => t1 = t
+                case "click" if t2 < 0 && t1 >= 0 && t > t1 => t2 = t
+                case "purchase" if t3 < 0 && t2 >= 0 && t > t2 => t3 = t
+                case _ => ()
+              }
+            }
+          state.update((t1, t2, t3))
+          Iterator.single((user, t1, t2, t3))
+      }
+      .toDF("user_id", "t1", "t2", "t3")
+  }
 
   /** Run a streaming transform over everything currently unprocessed, then
     * stop (the FillDbHourly cadence). Restart with the same checkpoint to

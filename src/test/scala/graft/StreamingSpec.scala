@@ -184,6 +184,50 @@ class StreamingSpec extends SparkSpec {
       "inner stream-stream interval join must emit exactly the batch rows")
   }
 
+  test("streaming funnel stages equal the batch funnel per user") {
+    val tmp = Files.createTempDirectory("graft-stream-funnel").toString
+    val ev = graft.core.Tables.events(spark, sfDir)
+    // One file => one micro-batch => per-user events fold in event-time
+    // order, the contract under which streaming equals batch exactly.
+    ev.select("user_id", "ts", "event_type")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/src")
+    val src = Incremental.readStream(spark, s"$tmp/src",
+      spark.read.parquet(s"$tmp/src").schema)
+    val q = Incremental.runAvailableNow(Incremental.funnelStages(src),
+      s"$tmp/ckpt", s"$tmp/out")
+    q.awaitTermination()
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+    // Batch twin: the window_funnel per-user chained conditional mins.
+    val src2 = spark.read.parquet(s"$tmp/src")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val batch = src2
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts") > col("t1"),
+          col("ts"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+          col("ts"))).over(w))
+      .groupBy("user_id")
+      .agg(max(unix_micros(col("t1"))).as("t1"),
+        max(unix_micros(col("t2"))).as("t2"),
+        max(unix_micros(col("t3"))).as("t3"))
+      .collect()
+      .map(r => (r.getLong(0), (
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))))
+      .toMap
+    assert(batch.nonEmpty)
+    assert(batch.values.exists(_._3 >= 0), "no user completes the funnel")
+    assert(streamed == batch,
+      "streaming funnel state must equal the batch chained-window result")
+  }
+
   test("streaming heavy hitters: exact parity above capacity, theorems below") {
     val batchEvents = graft.core.Tables.events(spark, sfDir)
     val tmp = Files.createTempDirectory("graft-stream-hh").toString
