@@ -63,11 +63,16 @@ object GraftFunctions {
     builders.foreach { case (name, b) =>
       reg.createOrReplaceTempFunction(name, b, "built-in")
     }
-    // Optimizer rules ride the same registration call. extraOptimizations
-    // is idempotent to re-register (replace, don't append-duplicate).
+    // Optimizer rules and planner strategies ride the same registration
+    // call; both are idempotent to re-register (replace, don't
+    // append-duplicate).
     val rules = Seq(graft.plans.LevenshteinBoundRule)
     spark.experimental.extraOptimizations =
       (spark.experimental.extraOptimizations.filterNot(rules.contains) ++ rules)
+    val strategies = Seq(graft.plans.TopKStrategy)
+    spark.experimental.extraStrategies =
+      (spark.experimental.extraStrategies.filterNot(strategies.contains)
+        ++ strategies)
   }
 }
 
@@ -80,5 +85,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         b))
     }
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinBoundRule)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

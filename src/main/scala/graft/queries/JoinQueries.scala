@@ -385,5 +385,84 @@ object JoinQueries extends QueryBase {
         GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
       doc = "runtime Bloom-filter join pruning: distributed filter build, " +
         "codegen probe pushed to the fact scan, exact join repairs " +
-        "false positives"))
+        "false positives"),
+
+    // Grid-bucketed spatial nearest-neighbor join — the geo analog of
+    // the LSH-bucketed joins: each point hashes to an integer grid cell
+    // and candidates are searched only in the 3×3 neighborhood (the
+    // store side explodes ×9 with cell offsets; the join is a plain
+    // (row, col) equi-join, never a cross product), so candidate volume
+    // is O(points × density), not O(points × stores). Coordinates are
+    // deterministic micro-degree INTEGERS minted from the keys and
+    // SHIFTED NON-NEGATIVE before cell division — integer DIV and
+    // DuckDB // agree only for non-negative operands (truncation vs
+    // floor), so the shift is semantic, not cosmetic. Distances are
+    // exact squared-integer L2; ties break to the lowest store id. A
+    // customer with no store within one cell radius is absent (bounded
+    // search radius is the point); the rollup reports per-store demand.
+    Q(
+      "join_spatial_grid",
+      (s, dir) => {
+        val g = 100000L
+        val cust = t(s, dir, "customer").select(col("c_custkey"),
+          (col("c_custkey") * 97 % 1800000L).as("clat"),
+          (col("c_custkey") * 131 % 3600000L).as("clon"))
+        val store = t(s, dir, "supplier").select(col("s_suppkey"),
+          (col("s_suppkey") * 61 % 1800000L).as("slat"),
+          (col("s_suppkey") * 89 % 3600000L).as("slon"))
+        val storeCells = store
+          .withColumn("o", explode(expr(
+            "transform(sequence(0, 8), i -> struct(i DIV 3 - 1 AS dr, i % 3 - 1 AS dc))")))
+          .select(col("s_suppkey"), col("slat"), col("slon"),
+            (expr(s"slat DIV $g") + col("o.dr")).as("cr"),
+            (expr(s"slon DIV $g") + col("o.dc")).as("cc"))
+        val custCells = cust
+          .withColumn("cr", expr(s"clat DIV $g"))
+          .withColumn("cc", expr(s"clon DIV $g"))
+        val cand = custCells.join(storeCells, Seq("cr", "cc"))
+          .withColumn("d2",
+            (col("clat") - col("slat")) * (col("clat") - col("slat")) +
+              (col("clon") - col("slon")) * (col("clon") - col("slon")))
+        val w = Window.partitionBy("c_custkey")
+          .orderBy(col("d2"), col("s_suppkey"))
+        cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .groupBy("s_suppkey")
+          .agg(count(lit(1)).as("n_customers"), min(col("d2")).as("min_d2"),
+            max(col("d2")).as("max_d2"))
+          .orderBy("s_suppkey")
+      },
+      Some("""
+        WITH cust AS (
+          SELECT c_custkey, c_custkey * 97 % 1800000 AS clat,
+                 c_custkey * 131 % 3600000 AS clon
+          FROM customer),
+        store AS (
+          SELECT s_suppkey, s_suppkey * 61 % 1800000 AS slat,
+                 s_suppkey * 89 % 3600000 AS slon
+          FROM supplier),
+        storecells AS (
+          SELECT s_suppkey, slat, slon,
+                 slat // 100000 + dr AS cr, slon // 100000 + dc AS cc
+          FROM store,
+               LATERAL (SELECT unnest([-1, 0, 1]) AS dr),
+               LATERAL (SELECT unnest([-1, 0, 1]) AS dc)),
+        cand AS (
+          SELECT c.c_custkey, s.s_suppkey,
+                 (c.clat - s.slat) * (c.clat - s.slat) +
+                 (c.clon - s.slon) * (c.clon - s.slon) AS d2
+          FROM (SELECT *, clat // 100000 AS cr, clon // 100000 AS cc
+                FROM cust) c
+          JOIN storecells s USING (cr, cc)),
+        nearest AS (
+          SELECT c_custkey, s_suppkey, d2 FROM (
+            SELECT *, row_number() OVER (PARTITION BY c_custkey
+                        ORDER BY d2, s_suppkey) AS rn
+            FROM cand)
+          WHERE rn = 1)
+        SELECT s_suppkey, count(*) AS n_customers,
+               min(d2) AS min_d2, max(d2) AS max_d2
+        FROM nearest GROUP BY s_suppkey ORDER BY s_suppkey"""),
+      doc = "grid-bucketed spatial nearest-neighbor join (3x3 neighbor " +
+        "cells, store side exploded x9, integer-exact squared L2, " +
+        "bounded search radius) — candidate volume O(points x density)"))
 }

@@ -635,5 +635,35 @@ object WindowQueries extends QueryBase {
         FROM streaks GROUP BY user_id ORDER BY user_id"""),
       doc = "gaps-and-islands longest-streak per user (day - row_number " +
         "island id): one keyed shuffle, O(1) window state, no shifted " +
-        "self-join"))
+        "self-join"),
+
+    // W3 again, through the engine's own physical operator: the custom
+    // TopKPerKey LogicalPlan + Strategy + SparkPlan (graft.plans.TopK)
+    // replaces Window's full per-group sort with bounded per-key heaps
+    // AND pre-reduces map-side, so the exchange moves at most
+    // partitions × keys × k rows instead of the whole table. Same
+    // result set as window_topk_per_group (minus the rank column);
+    // TopKOperatorSpec asserts the plan shape (two TopKPerKeyExec
+    // nodes around one exchange, no Window) and result parity.
+    Q(
+      "pipe_topk_operator",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        graft.plans.TopK.perKey(o, Seq("o_custkey"),
+            Seq(("o_totalprice", false), ("o_orderkey", true)), 2)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_custkey"), col("o_totalprice").desc,
+            col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+          FROM orders)
+        WHERE rk <= 2
+        ORDER BY o_custkey, o_totalprice DESC, o_orderkey"""),
+      doc = "top-k per key via the custom TopKPerKey physical operator " +
+        "(bounded heaps + map-side partial reduction instead of a " +
+        "windowed full sort); row_number oracle"))
 }
