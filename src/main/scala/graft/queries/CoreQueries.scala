@@ -543,6 +543,155 @@ object CoreQueries extends QueryBase {
         "via a closed-form fixed-order chain over one conditional " +
         "aggregate (no shuffle-order dependence)"),
 
+    // KMV/theta-sketch audience OVERLAP — the set operation HLL cannot
+    // do (HLL unions; it cannot intersect). Each event type keeps its
+    // k=32 smallest distinct user-hash values (built through the custom
+    // TopKPerKey operator — per-key bounded heaps, k rows per type);
+    // distinct-count estimate is the KMV (k-1)/theta estimator, and the
+    // pairwise overlap estimate is |Sa ∩ Sb < min(theta)| / min(theta)
+    // (Beyer et al. 2007 / theta-sketch intersection). The user hash is
+    // the engine's murmur3_seeded over a FIXED-width padded id, so the
+    // oracle replays the whole sketch with the independent DuckDB-SQL
+    // murmur3 (Mm3Sql) — sketch contents, thetas, estimates and the
+    // error-contract flags all value-compare. Deterministic end to end:
+    // no RNG, the "randomness" is the hash. Scale: sketches are k rows
+    // per group (mergeable, O(groups·k) state); the only corpus-sized
+    // work is the distinct (type, user) projection.
+    Q(
+      "agg_theta_overlap",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val k = 32
+        // Per-type salted subset (drop ~1/4 of users per type, salt =
+        // first letter) so the pairwise overlaps actually DIFFER — the
+        // raw fixture has every type touching every user, which would
+        // exercise only the trivial full-overlap case.
+        val tu = t(s, dir, "events")
+          .select(col("event_type").as("tp"), col("user_id")).distinct()
+          .filter((col("user_id") + ascii(substring(col("tp"), 1, 1))) % 4
+            =!= 0)
+          .localCheckpoint()
+        val uh = tu.select("user_id").distinct()
+          .withColumn("pad", lpad(col("user_id").cast("string"), 8, "0"))
+          .withColumn("h", expr("murmur3_seeded(pad, 42)"))
+          .withColumn("uh",
+            (col("h").cast("long") + 4294967296L) % 4294967296L)
+          .select("user_id", "uh")
+        val du = tu.join(uh, "user_id").select("tp", "uh").distinct()
+        val sk = graft.plans.TopK.perKey(du, Seq("tp"), Seq(("uh", true)), k)
+          .localCheckpoint()
+        val st = sk.groupBy("tp")
+          .agg(count(lit(1)).as("n_sk"), max("uh").as("theta"))
+        val exact = tu.groupBy("tp")
+          .agg(countDistinct("user_id").as("n_exact"))
+        val est = st.join(exact, "tp")
+          .withColumn("est",
+            when(col("n_sk") < k, col("n_sk").cast("double"))
+              .otherwise(lit(133143986176.0) / col("theta").cast("double")))
+        val grid = est.select(col("tp").as("tp_a"), col("theta").as("th_a"),
+            col("est").as("est_a"), col("n_exact").as("n_a"))
+          .crossJoin(est.select(col("tp").as("tp_b"), col("theta").as("th_b"),
+            col("est").as("est_b"), col("n_exact").as("n_b")))
+          .filter(col("tp_a") < col("tp_b"))
+        val com = sk.as("x")
+          .join(sk.as("y"), col("x.uh") === col("y.uh") &&
+            col("x.tp") < col("y.tp"))
+          .select(col("x.tp").as("tp_a"), col("y.tp").as("tp_b"),
+            col("x.uh").as("uh"))
+          .join(grid.select("tp_a", "tp_b", "th_a", "th_b"),
+            Seq("tp_a", "tp_b"))
+          .filter(col("uh") < least(col("th_a"), col("th_b")))
+          .groupBy("tp_a", "tp_b").agg(count(lit(1)).as("common"))
+        val exOv = tu.as("p")
+          .join(tu.as("q"), col("p.user_id") === col("q.user_id") &&
+            col("p.tp") < col("q.tp"))
+          .groupBy(col("p.tp").as("tp_a"), col("q.tp").as("tp_b"))
+          .agg(countDistinct(col("p.user_id")).as("exact_overlap"))
+        grid.join(com, Seq("tp_a", "tp_b"), "left")
+          .join(exOv, Seq("tp_a", "tp_b"), "left")
+          .withColumn("common", coalesce(col("common"), lit(0L)))
+          .withColumn("exact_overlap", coalesce(col("exact_overlap"), lit(0L)))
+          .withColumn("est_overlap",
+            col("common").cast("double") * 4294967296.0 /
+              least(col("th_a"), col("th_b")).cast("double"))
+          .withColumn("ok_a", abs(col("est_a") - col("n_a").cast("double"))
+            <= col("n_a").cast("double") * 0.5 + 16.0)
+          .withColumn("ok_b", abs(col("est_b") - col("n_b").cast("double"))
+            <= col("n_b").cast("double") * 0.5 + 16.0)
+          .withColumn("ok_overlap",
+            abs(col("est_overlap") - col("exact_overlap").cast("double"))
+              <= col("exact_overlap").cast("double") * 0.6 + 64.0)
+          .select(col("tp_a"), col("tp_b"), col("n_a"), col("n_b"),
+            col("exact_overlap"), col("est_a"), col("est_b"),
+            col("est_overlap"), col("ok_a"), col("ok_b"), col("ok_overlap"))
+          .orderBy("tp_a", "tp_b")
+      },
+      Some(s"""
+        WITH uu AS (SELECT DISTINCT user_id FROM events),
+        raw AS (SELECT user_id AS k,
+                       lpad(CAST(user_id AS VARCHAR), 8, '0') AS pad
+                FROM uu),
+        ${graft.queries.Mm3Sql.chain("raw", "k", "pad", 8, 42L, "m")},
+        hh AS (SELECT k AS user_id,
+                      (hash + 4294967296) % 4294967296 AS uh
+               FROM m_fin),
+        tu AS (SELECT tp, user_id FROM (
+                 SELECT DISTINCT event_type AS tp, user_id FROM events)
+               WHERE (user_id + unicode(substr(tp, 1, 1))) % 4 <> 0),
+        du AS (SELECT DISTINCT tp, uh FROM tu JOIN hh USING (user_id)),
+        sk AS (SELECT tp, uh FROM (
+                 SELECT tp, uh, row_number() OVER (PARTITION BY tp
+                          ORDER BY uh) AS rn
+                 FROM du)
+               WHERE rn <= 32),
+        st AS (SELECT tp, CAST(count(*) AS BIGINT) AS n_sk, max(uh) AS theta
+               FROM sk GROUP BY tp),
+        ex AS (SELECT tp, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+               FROM tu GROUP BY tp),
+        est AS (SELECT tp, n_sk, theta, n_exact,
+                       CASE WHEN n_sk < 32 THEN CAST(n_sk AS DOUBLE)
+                            ELSE 133143986176.0 / CAST(theta AS DOUBLE)
+                       END AS est
+                FROM st JOIN ex USING (tp)),
+        grid AS (SELECT a.tp AS tp_a, b.tp AS tp_b,
+                        a.theta AS th_a, b.theta AS th_b,
+                        a.est AS est_a, b.est AS est_b,
+                        a.n_exact AS n_a, b.n_exact AS n_b
+                 FROM est a JOIN est b ON a.tp < b.tp),
+        com AS (SELECT g.tp_a, g.tp_b, CAST(count(*) AS BIGINT) AS common
+                FROM grid g
+                JOIN sk x ON x.tp = g.tp_a
+                JOIN sk y ON y.tp = g.tp_b AND y.uh = x.uh
+                WHERE x.uh < least(g.th_a, g.th_b)
+                GROUP BY 1, 2),
+        ov AS (SELECT p.tp AS tp_a, q.tp AS tp_b,
+                      CAST(count(DISTINCT p.user_id) AS BIGINT)
+                        AS exact_overlap
+               FROM tu p JOIN tu q ON p.user_id = q.user_id AND p.tp < q.tp
+               GROUP BY 1, 2),
+        fin AS (
+          SELECT g.tp_a, g.tp_b, g.n_a, g.n_b,
+                 coalesce(ov.exact_overlap, 0) AS exact_overlap,
+                 g.est_a, g.est_b,
+                 CAST(coalesce(com.common, 0) AS DOUBLE) * 4294967296.0 /
+                   CAST(least(g.th_a, g.th_b) AS DOUBLE) AS est_overlap
+          FROM grid g
+          LEFT JOIN com ON com.tp_a = g.tp_a AND com.tp_b = g.tp_b
+          LEFT JOIN ov ON ov.tp_a = g.tp_a AND ov.tp_b = g.tp_b)
+        SELECT tp_a, tp_b, n_a, n_b, exact_overlap, est_a, est_b,
+               est_overlap,
+               abs(est_a - CAST(n_a AS DOUBLE))
+                 <= CAST(n_a AS DOUBLE) * 0.5 + 16.0 AS ok_a,
+               abs(est_b - CAST(n_b AS DOUBLE))
+                 <= CAST(n_b AS DOUBLE) * 0.5 + 16.0 AS ok_b,
+               abs(est_overlap - CAST(exact_overlap AS DOUBLE))
+                 <= CAST(exact_overlap AS DOUBLE) * 0.6 + 64.0 AS ok_overlap
+        FROM fin ORDER BY tp_a, tp_b"""),
+      doc = "KMV/theta-sketch distinct + pairwise INTERSECTION estimates " +
+        "with error-contract flags, sketches built via the custom " +
+        "TopKPerKey operator and fully replayed by the DuckDB murmur3 " +
+        "oracle — the O(groups x k) overlap path at 100 TB"),
+
     // ROLLUP grouping sets: subtotal + grand-total rows in one pass
     // (Spark plans this as a single Expand + hash aggregate — one shuffle
     // for all three grouping levels, not three jobs). Grouping nulls are

@@ -34,6 +34,54 @@ object SimilarityQueries extends QueryBase {
   private def cosine(a: String, b: String): Column =
     expr(s"cosine_ff($a, $b)")
 
+  /** Shared SQ8 quantize→dequantize plumbing (`sim_ann_sq8`,
+    * `sim_retrieve_rerank`): one-pass per-dim ranges, 255-level codes,
+    * dequantized doubles. The corpus frame keeps BOTH the raw floats
+    * (`vv`) and the dequantized doubles (`dv`) so a reranker can
+    * re-score candidates at full precision without a join back. */
+  private def sq8Corpus(v: DataFrame): DataFrame = {
+    val rng = v.select(posexplode(col("vv")).as(Seq("d0", "x")))
+      .groupBy("d0")
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+    val rngArr = rng.agg(
+      transform(array_sort(collect_list(struct(col("d0"), col("mn")))),
+        t => t.getField("mn")).as("mns"),
+      transform(array_sort(collect_list(struct(col("d0"), col("mx")))),
+        t => t.getField("mx")).as("mxs"))
+    val deq = transform(sequence(lit(0), lit(dims - 1)), i => {
+      val x = element_at(col("vv"), i + 1).cast("double")
+      val mn = element_at(col("mns"), i + 1)
+      val span = element_at(col("mxs"), i + 1) - mn
+      val code = when(span > 0,
+        round(lit(255.0) * (x - mn) / span)).otherwise(lit(0.0))
+      mn + code * span / lit(255.0)
+    })
+    v.crossJoin(broadcast(rngArr)).withColumn("dv", deq)
+      .drop("mns", "mxs")
+  }
+
+  /** DuckDB face of [[sq8Corpus]] — CTE chain `v, rng, r1, corpus`. */
+  private def sq8Ctes: String =
+    s"""v AS (
+          SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS vv
+          FROM embeddings),
+        rng AS (
+          SELECT d, min(x) AS mn, max(x) AS mx
+          FROM (SELECT unnest(vv) AS x, generate_subscripts(vv, 1) AS d FROM v)
+          GROUP BY d),
+        r1 AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
+               FROM rng),
+        corpus AS (
+          SELECT vec_id, label, vv,
+                 [CASE WHEN mxs[i+1] - mns[i+1] > 0
+                       THEN mns[i+1] + round(255.0 * (vv[i+1] - mns[i+1])
+                              / (mxs[i+1] - mns[i+1]))
+                            * (mxs[i+1] - mns[i+1]) / 255.0
+                       ELSE mns[i+1] END
+                  FOR i IN range(0, $dims)] AS dv
+          FROM v CROSS JOIN r1)"""
+
   val all: Seq[Q] = Seq(
     // Brute-force cosine top-k: 5 query vectors broadcast against the
     // corpus; exact answer, the recall baseline for the ANN variants.
@@ -228,24 +276,7 @@ object SimilarityQueries extends QueryBase {
       (s, dir) => {
         graft.functions.GraftFunctions.register(s)
         val v = vv(th(s, dir, "embeddings"))
-        val rng = v.select(posexplode(col("vv")).as(Seq("d0", "x")))
-          .groupBy("d0")
-          .agg(min(col("x").cast("double")).as("mn"),
-            max(col("x").cast("double")).as("mx"))
-        val rngArr = rng.agg(
-          transform(array_sort(collect_list(struct(col("d0"), col("mn")))),
-            t => t.getField("mn")).as("mns"),
-          transform(array_sort(collect_list(struct(col("d0"), col("mx")))),
-            t => t.getField("mx")).as("mxs"))
-        val deq = transform(sequence(lit(0), lit(dims - 1)), i => {
-          val x = element_at(col("vv"), i + 1).cast("double")
-          val mn = element_at(col("mns"), i + 1)
-          val span = element_at(col("mxs"), i + 1) - mn
-          val code = when(span > 0,
-            round(lit(255.0) * (x - mn) / span)).otherwise(lit(0.0))
-          mn + code * span / lit(255.0)
-        })
-        val corpus = v.crossJoin(broadcast(rngArr)).withColumn("dv", deq)
+        val corpus = sq8Corpus(v)
         val q = broadcast(v.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("vv").as("qv")))
         val w = Window.partitionBy("qid")
@@ -260,23 +291,7 @@ object SimilarityQueries extends QueryBase {
           .orderBy("qid", "rank")
       },
       Some(s"""
-        WITH v AS (
-          SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS vv FROM embeddings),
-        rng AS (
-          SELECT d, min(x) AS mn, max(x) AS mx
-          FROM (SELECT unnest(vv) AS x, generate_subscripts(vv, 1) AS d FROM v)
-          GROUP BY d),
-        r1 AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
-               FROM rng),
-        corpus AS (
-          SELECT vec_id,
-                 [CASE WHEN mxs[i+1] - mns[i+1] > 0
-                       THEN mns[i+1] + round(255.0 * (vv[i+1] - mns[i+1])
-                              / (mxs[i+1] - mns[i+1]))
-                            * (mxs[i+1] - mns[i+1]) / 255.0
-                       ELSE mns[i+1] END
-                  FOR i IN range(0, $dims)] AS dv
-          FROM v CROSS JOIN r1),
+        WITH $sq8Ctes,
         q AS (SELECT vec_id AS qid, vv AS qv FROM v WHERE vec_id < 5),
         scored AS (
           SELECT qid, vec_id,
@@ -404,5 +419,68 @@ object SimilarityQueries extends QueryBase {
       doc = "IVF over SQ8 codes (FAISS IVF+SQ layout): nprobe=2 coarse " +
         "cells scanned as 4x-compressed dequantized codes, asymmetric " +
         "full-precision queries; oracle replays probe + dequantize + " +
-        "score end-to-end"))
+        "score end-to-end"),
+
+    // Two-stage retrieve-and-rerank — the production retrieval shape:
+    // stage 1 scans the 4x-compressed SQ8 codes and keeps a WIDE
+    // candidate set (top-20 by quantized score, cheap); stage 2
+    // re-scores ONLY those 20 per query at full float precision and
+    // emits the top-5 (accurate). retrieval_rank in the output shows
+    // where the reranker disagreed with the quantized ordering — the
+    // accuracy the second stage buys. At 100 TB stage 1 is the only
+    // corpus-sized scan (over memory 4x smaller than the floats);
+    // stage 2 touches 20 rows per query.
+    Q(
+      "sim_retrieve_rerank",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val v = vv(th(s, dir, "embeddings"))
+        val corpus = sq8Corpus(v)
+        val q = broadcast(v.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("vv").as("qv")))
+        val w1 = Window.partitionBy("qid")
+          .orderBy(col("qcos").desc, col("vec_id").asc)
+        val cand = corpus.crossJoin(q)
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("qcos", expr("cosine_fd(qv, dv)"))
+          .withColumn("rk1", row_number().over(w1))
+          .filter(col("rk1") <= 20)
+        val w2 = Window.partitionBy("qid")
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+        cand.withColumn("cosine", cosine("qv", "vv"))
+          .withColumn("rank", row_number().over(w2))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("rank"), col("vec_id"),
+            round(col("cosine"), 6).as("cosine"),
+            col("rk1").as("retrieval_rank"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""
+        WITH $sq8Ctes,
+        q AS (SELECT vec_id AS qid, vv AS qv FROM v WHERE vec_id < 5),
+        s1 AS (
+          SELECT qid, qv, vec_id, vv,
+                 row_number() OVER (PARTITION BY qid ORDER BY
+                   list_sum([qv[i+1] * dv[i+1] FOR i IN range(0, $dims)]) /
+                   (sqrt(list_sum([qv[i+1] * qv[i+1] FOR i IN range(0, $dims)])) *
+                    sqrt(list_sum([dv[i+1] * dv[i+1] FOR i IN range(0, $dims)]))) DESC,
+                   vec_id ASC) AS rk1
+          FROM corpus CROSS JOIN q WHERE vec_id <> qid),
+        cand AS (SELECT * FROM s1 WHERE rk1 <= 20),
+        s2 AS (
+          SELECT qid, vec_id, rk1,
+                 list_sum([qv[i+1] * vv[i+1] FOR i IN range(0, $dims)]) /
+                 (sqrt(list_sum([qv[i+1] * qv[i+1] FOR i IN range(0, $dims)])) *
+                  sqrt(list_sum([vv[i+1] * vv[i+1] FOR i IN range(0, $dims)]))) AS cosine
+          FROM cand)
+        SELECT qid, rank, vec_id, round(cosine, 6) AS cosine,
+               rk1 AS retrieval_rank
+        FROM (SELECT qid, vec_id, rk1, cosine,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY cosine DESC, vec_id ASC) AS rank
+              FROM s2)
+        WHERE rank <= 5 ORDER BY qid, rank"""),
+      doc = "two-stage retrieval: wide SQ8-quantized candidate scan " +
+        "(top-20, 4x-compressed) + full-precision rerank of 20 rows " +
+        "per query (top-5); retrieval_rank exposes rerank disagreement"))
 }
