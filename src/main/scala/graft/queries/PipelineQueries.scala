@@ -994,5 +994,80 @@ object PipelineQueries extends QueryBase {
         FROM d GROUP BY status ORDER BY status"""),
       doc = "snapshot diff audit: full-outer PK join + null-safe " +
         "change classification + exact delta totals; one co-partitioned " +
-        "shuffle and an O(4) rollup"))
+        "shuffle and an O(4) rollup"),
+
+    // Late-arriving dimension handling (inferred members): facts that
+    // reference dim keys not present yet get STUB dim rows (key +
+    // defaults + inferred flag) so the fact load stays FK-clean; when
+    // the real dim row arrives it overwrites the stub via the K1 merge
+    // shape (anti-join + union, here in-plan). Simulation: every 11th
+    // customer is "late" (absent at fact-load time); the ones ALSO
+    // divisible by 3 arrive during the run and resolve their stubs.
+    // Scale: one anti-join to discover missing keys (broadcastable dim
+    // side is only needed per-partition — at 100 TB both sides shuffle
+    // on the PK, the bucketed-layout join), one merge; rollup is O(2).
+    // The fk_clean column asserts zero dangling fact keys END-TO-END —
+    // the property the pattern exists to protect.
+    Q(
+      "pipe_inferred_members",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        val dim = cust.filter(col("c_custkey") % 11 =!= 0)
+          .withColumn("inferred", lit(false))
+        val facts = t(s, dir, "orders").select("o_custkey", "o_orderkey")
+        val stubs = facts.select(col("o_custkey").as("c_custkey")).distinct()
+          .join(dim, Seq("c_custkey"), "left_anti")
+          .select(col("c_custkey"), lit("(inferred)").as("c_name"),
+            lit("UNKNOWN").as("c_mktsegment"), lit(true).as("inferred"))
+        val dim2 = dim.unionByName(stubs)
+        val late = cust
+          .filter(col("c_custkey") % 11 === 0 && col("c_custkey") % 3 === 0)
+          .withColumn("inferred", lit(false))
+        val dim3 = late.unionByName(
+          dim2.join(late.select("c_custkey"), Seq("c_custkey"), "left_anti"))
+        val dangling = facts
+          .join(dim3, facts("o_custkey") === dim3("c_custkey"), "left_anti")
+          .count() // bounded: a COUNT, not a collect of rows
+        dim3.groupBy(col("inferred"))
+          .agg(count(lit(1)).as("n_customers"),
+            min(col("c_custkey")).as("first_key"),
+            max(col("c_custkey")).as("last_key"))
+          .withColumn("status",
+            when(col("inferred"), lit("inferred")).otherwise(lit("real")))
+          .withColumn("fk_clean", lit(dangling == 0L))
+          .select(col("status"), col("n_customers"), col("first_key"),
+            col("last_key"), col("fk_clean"))
+          .orderBy("status")
+      },
+      Some("""
+        WITH cust AS (
+          SELECT c_custkey, c_name, c_mktsegment FROM customer),
+        dim AS (
+          SELECT *, false AS inferred FROM cust WHERE c_custkey % 11 <> 0),
+        stubs AS (
+          SELECT DISTINCT o_custkey AS c_custkey, '(inferred)' AS c_name,
+                 'UNKNOWN' AS c_mktsegment, true AS inferred
+          FROM orders
+          WHERE o_custkey NOT IN (SELECT c_custkey FROM dim)),
+        dim2 AS (SELECT * FROM dim UNION ALL SELECT * FROM stubs),
+        late AS (
+          SELECT *, false AS inferred FROM cust
+          WHERE c_custkey % 11 = 0 AND c_custkey % 3 = 0),
+        dim3 AS (
+          SELECT * FROM late
+          UNION ALL
+          SELECT * FROM dim2
+          WHERE c_custkey NOT IN (SELECT c_custkey FROM late)),
+        dangling AS (
+          SELECT count(*) AS n FROM orders
+          WHERE o_custkey NOT IN (SELECT c_custkey FROM dim3))
+        SELECT CASE WHEN inferred THEN 'inferred' ELSE 'real' END AS status,
+               count(*) AS n_customers,
+               min(c_custkey) AS first_key, max(c_custkey) AS last_key,
+               (SELECT n FROM dangling) = 0 AS fk_clean
+        FROM dim3 GROUP BY inferred ORDER BY status"""),
+      doc = "late-arriving dimension: inferred-member stubs for fact keys " +
+        "missing from the dim, stub resolution via the K1 anti+union " +
+        "merge, end-to-end fk_clean assertion"))
 }
