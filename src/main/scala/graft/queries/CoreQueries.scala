@@ -692,6 +692,75 @@ object CoreQueries extends QueryBase {
         "TopKPerKey operator and fully replayed by the DuckDB murmur3 " +
         "oracle — the O(groups x k) overlap path at 100 TB"),
 
+    // Market-basket association rules (support / confidence / lift) at
+    // the brand level. Pair generation is the basket self-join on the
+    // order key — NATURALLY bounded: a basket holds at most
+    // |brand domain| distinct brands, so pairs per order are
+    // O(brands²) = constant, never O(items²) unbounded (the same
+    // blocking argument as the co-interaction graph). Item counts, the
+    // order total (1-row broadcast), and pair counts are exact
+    // integers; support/confidence/lift are fixed-order double chains
+    // over them. Ranking by (n_ab desc, pair) is integer-deterministic.
+    Q(
+      "agg_market_basket",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+        val brands = broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand")))
+        val basket = li.join(brands, col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("oid"), col("p_brand").as("item"))
+          .distinct()
+        val nOrders = basket.agg(countDistinct("oid").as("n_orders"))
+        val itemN = basket.groupBy("item").agg(count(lit(1)).as("cnt"))
+        val pairs = basket.as("a")
+          .join(basket.as("b"), col("a.oid") === col("b.oid") &&
+            col("a.item") < col("b.item"))
+          .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+          .agg(count(lit(1)).as("n_ab"))
+        pairs
+          .join(itemN.select(col("item").as("item_a"), col("cnt").as("n_a")),
+            "item_a")
+          .join(itemN.select(col("item").as("item_b"), col("cnt").as("n_b")),
+            "item_b")
+          .crossJoin(broadcast(nOrders))
+          .withColumn("support",
+            col("n_ab").cast("double") / col("n_orders").cast("double"))
+          .withColumn("confidence",
+            col("n_ab").cast("double") / col("n_a").cast("double"))
+          .withColumn("lift",
+            col("n_ab").cast("double") * col("n_orders").cast("double") /
+              (col("n_a").cast("double") * col("n_b").cast("double")))
+          .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+            col("n_b"), col("support"), col("confidence"), col("lift"))
+          .orderBy(col("n_ab").desc, col("item_a"), col("item_b"))
+          .limit(25)
+      },
+      Some("""
+        WITH basket AS (
+          SELECT DISTINCT l_orderkey AS oid, p_brand AS item
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        tot AS (SELECT CAST(count(DISTINCT oid) AS BIGINT) AS n_orders
+                FROM basket),
+        itemn AS (SELECT item, count(*) AS cnt FROM basket GROUP BY item),
+        pairs AS (
+          SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_ab
+          FROM basket a JOIN basket b
+            ON a.oid = b.oid AND a.item < b.item
+          GROUP BY 1, 2)
+        SELECT item_a, item_b, n_ab, na.cnt AS n_a, nb.cnt AS n_b,
+               CAST(n_ab AS DOUBLE) / CAST(n_orders AS DOUBLE) AS support,
+               CAST(n_ab AS DOUBLE) / CAST(na.cnt AS DOUBLE) AS confidence,
+               CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE) /
+                 (CAST(na.cnt AS DOUBLE) * CAST(nb.cnt AS DOUBLE)) AS lift
+        FROM pairs
+        JOIN itemn na ON na.item = item_a
+        JOIN itemn nb ON nb.item = item_b
+        CROSS JOIN tot
+        ORDER BY n_ab DESC, item_a, item_b LIMIT 25"""),
+      doc = "market-basket association rules (support/confidence/lift) " +
+        "over brand baskets: pair self-join bounded by the brand domain, " +
+        "exact integer counts, fixed-order double metrics"),
+
     // ROLLUP grouping sets: subtotal + grand-total rows in one pass
     // (Spark plans this as a single Expand + hash aggregate — one shuffle
     // for all three grouping levels, not three jobs). Grouping nulls are

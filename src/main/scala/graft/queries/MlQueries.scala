@@ -683,7 +683,84 @@ object MlQueries extends QueryBase {
       doc = "integer-exact Lloyd k-means (micro-unit squared-L2, " +
         "truncating-division centroids, struct-min argmin ties): " +
         "k-row broadcast per round, partial-aggregable argmin, no " +
-        "driver state"))
+        "driver state"),
+
+    // Closed-form OLS trend per group (simple linear regression of the
+    // daily value series on the day index): slope, intercept and R²
+    // from the FIVE exact moments (n, Σx, Σy, Σxy, Σx², Σy²) computed in
+    // ONE aggregate — x is an integer day index and y exact cents, so
+    // every moment is an exact integer through the codegen long-sum
+    // path, and the slope/intercept/R² formulas are a fixed-order double
+    // chain (bit-comparable, no per-row residual pass). The textbook
+    // "distributed ML as moments" shape: model fitting cost is O(groups),
+    // not O(rows), at any scale.
+    Q(
+      "ml_ols_trend",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val daily = ev.groupBy(col("event_type"),
+            datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+              .cast("long").as("x"))
+          .agg(wsum(round(col("value") * 100).cast("long"))
+            .cast("long").as("yc"))
+        val g = daily.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          wsum(col("yc")).cast("double").as("sy"),
+          wsum(col("x") * col("yc")).cast("double").as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          wsum(col("yc") * col("yc")).cast("double").as("syy"))
+        g.withColumn("nd", col("n").cast("double"))
+          .withColumn("sxd", col("sx").cast("double"))
+          .withColumn("sxxd", col("sxx").cast("double"))
+          .withColumn("slope",
+            (col("nd") * col("sxy") - col("sxd") * col("sy")) /
+              (col("nd") * col("sxxd") - col("sxd") * col("sxd")))
+          .withColumn("intercept",
+            (col("sy") - col("slope") * col("sxd")) / col("nd"))
+          .withColumn("r2", {
+            val ssxy = col("nd") * col("sxy") - col("sxd") * col("sy")
+            val ssxx = col("nd") * col("sxxd") - col("sxd") * col("sxd")
+            val ssyy = col("nd") * col("syy") - col("sy") * col("sy")
+            ssxy * ssxy / (ssxx * ssyy)
+          })
+          .select(col("event_type"), col("n"),
+            (col("slope") / 100.0).as("slope"),
+            (col("intercept") / 100.0).as("intercept"), col("r2"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type,
+                 datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS yc
+          FROM events GROUP BY 1, 2),
+        g AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(yc) AS DOUBLE) AS sy,
+                 CAST(sum(x * yc) AS DOUBLE) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(yc * yc) AS DOUBLE) AS syy
+          FROM daily GROUP BY event_type),
+        d AS (
+          SELECT *, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+                 CAST(sxx AS DOUBLE) AS sxxd
+          FROM g),
+        m AS (
+          SELECT *,
+                 (nd * sxy - sxd * sy) / (nd * sxxd - sxd * sxd) AS slope
+          FROM d)
+        SELECT event_type, n, slope / 100.0 AS slope,
+               (sy - slope * sxd) / nd / 100.0 AS intercept,
+               (nd * sxy - sxd * sy) * (nd * sxy - sxd * sy) /
+                 ((nd * sxxd - sxd * sxd) * (nd * syy - sy * sy)) AS r2
+        FROM m ORDER BY event_type"""),
+      doc = "closed-form OLS trend per group from one exact-moment " +
+        "aggregate (slope/intercept/R^2 as a fixed-order double chain); " +
+        "fitting cost O(groups), not O(rows)"))
 
   /** Blocked user co-interaction graph shared by `ml_triangle_count` and
     * `ml_label_prop`: users co-occurring on an event entity are linked,
