@@ -105,6 +105,17 @@ object Incremental {
         expr("p_user = c_user AND " +
           "c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts < p_ts"))
 
+  /** Stream-static enrichment join — the remaining cell of the streaming
+    * join matrix (stream-stream: [[attributionJoin]]): each micro-batch
+    * joins the arriving facts against a STATIC dimension snapshot.
+    * Stateless — no watermark, no state store; the dim is re-resolved
+    * per micro-batch (so a replace-content refresh of the dim parquet is
+    * picked up by the next batch) and small dims broadcast exactly as in
+    * batch plans. Inner join keeps the stream append-only. */
+  def enrichStream(facts: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String): DataFrame =
+    facts.join(dim, col(factKey) === col(dimKey))
+
   /** Streaming ordered-event funnel — the continuous twin of the batch
     * `window_funnel` query, as keyed custom state: per user the state is
     * EXACTLY three epoch-micro longs (first view, first click strictly

@@ -228,6 +228,47 @@ class StreamingSpec extends SparkSpec {
       "streaming funnel state must equal the batch chained-window result")
   }
 
+  test("stream-static enrichment equals the batch join, and sees dim refreshes") {
+    val tmp = Files.createTempDirectory("graft-stream-enrich").toString
+    val ev = graft.core.Tables.events(spark, sfDir)
+    ev.select("event_id", "user_id", "value")
+      .write.mode("overwrite").parquet(s"$tmp/facts")
+    val cust = graft.core.Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    cust.write.mode("overwrite").parquet(s"$tmp/dim")
+    val src = Incremental.readStream(spark, s"$tmp/facts",
+      spark.read.parquet(s"$tmp/facts").schema)
+    val dim = spark.read.parquet(s"$tmp/dim")
+    val q = Incremental.runAvailableNow(
+      Incremental.enrichStream(src, dim, "user_id", "c_custkey"),
+      s"$tmp/ckpt", s"$tmp/out")
+    q.awaitTermination()
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val batch = spark.read.parquet(s"$tmp/facts")
+      .join(cust, col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(batch.nonEmpty && streamed == batch)
+
+    // Dim refresh (replace-content) + NEW fact files only: the next
+    // AvailableNow run reads the refreshed dim for the new arrivals.
+    cust.withColumn("c_mktsegment", concat(lit("R_"), col("c_mktsegment")))
+      .write.mode("overwrite").parquet(s"$tmp/dim")
+    ev.select((col("event_id") + 1000000L).as("event_id"), col("user_id"),
+        col("value")).limit(100)
+      .write.mode("append").parquet(s"$tmp/facts")
+    val dim2 = spark.read.parquet(s"$tmp/dim")
+    val q2 = Incremental.runAvailableNow(
+      Incremental.enrichStream(src, dim2, "user_id", "c_custkey"),
+      s"$tmp/ckpt", s"$tmp/out")
+    q2.awaitTermination()
+    val refreshed = spark.read.parquet(s"$tmp/out")
+      .filter(col("c_mktsegment").startsWith("R_")).count()
+    assert(refreshed > 0, "second batch must see the refreshed dim")
+  }
+
   test("streaming heavy hitters: exact parity above capacity, theorems below") {
     val batchEvents = graft.core.Tables.events(spark, sfDir)
     val tmp = Files.createTempDirectory("graft-stream-hh").toString
