@@ -760,7 +760,91 @@ object MlQueries extends QueryBase {
         FROM m ORDER BY event_type"""),
       doc = "closed-form OLS trend per group from one exact-moment " +
         "aggregate (slope/intercept/R^2 as a fixed-order double chain); " +
-        "fitting cost O(groups), not O(rows)"))
+        "fitting cost O(groups), not O(rows)"),
+
+    // Model-evaluation harness: per-class precision / recall / F1 of the
+    // engine's trigram language detector against the documents table's
+    // lang ground truth. Confusion counts are one (truth, pred)
+    // aggregate; class marginals and the diagonal are re-aggregations of
+    // that O(classes²) frame; metrics are fixed-order double chains with
+    // identical zero-denominator guards on both sides. The oracle
+    // re-runs the WHOLE detector through the shared DuckDB face
+    // (TextQueries.langIdCtes) — prediction parity and metric parity in
+    // one query.
+    Q(
+      "ml_eval_langid",
+      (s, dir) => {
+        val det = udf((text: String) =>
+          graft.functions.LangId.detect(text).orNull)
+        val pred = th(s, dir, "documents")
+          .select(col("lang").as("truth"),
+            coalesce(det(col("text")), lit("(none)")).as("pred"))
+        val conf = pred.groupBy("truth", "pred").agg(count(lit(1)).as("n"))
+          .localCheckpoint()
+        val byTruth = conf.groupBy("truth")
+          .agg(sum("n").cast("long").as("n_true"))
+          .select(col("truth").as("cls"), col("n_true"))
+        val byPred = conf.groupBy("pred")
+          .agg(sum("n").cast("long").as("n_pred"))
+          .select(col("pred").as("cls"), col("n_pred"))
+        val diag = conf.filter(col("truth") === col("pred"))
+          .select(col("truth").as("cls"), col("n").as("tp"))
+        byTruth.join(byPred, Seq("cls"), "full_outer")
+          .join(diag, Seq("cls"), "left")
+          .withColumn("n_true", coalesce(col("n_true"), lit(0L)))
+          .withColumn("n_pred", coalesce(col("n_pred"), lit(0L)))
+          .withColumn("tp", coalesce(col("tp"), lit(0L)))
+          .withColumn("precision",
+            when(col("n_pred") > 0,
+              col("tp").cast("double") / col("n_pred").cast("double"))
+              .otherwise(0.0))
+          .withColumn("recall",
+            when(col("n_true") > 0,
+              col("tp").cast("double") / col("n_true").cast("double"))
+              .otherwise(0.0))
+          .withColumn("f1",
+            when(col("precision") + col("recall") > 0.0,
+              lit(2.0) * col("precision") * col("recall") /
+                (col("precision") + col("recall"))).otherwise(0.0))
+          .select(col("cls"), col("n_true"), col("n_pred"), col("tp"),
+            col("precision"), col("recall"), col("f1"))
+          .orderBy("cls")
+      },
+      Some(s"""
+        WITH ${TextQueries.langIdCtes},
+        pred AS (
+          SELECT d.lang AS truth, coalesce(b.lang, '(none)') AS pred
+          FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id),
+        conf AS (
+          SELECT truth, pred, CAST(count(*) AS BIGINT) AS n
+          FROM pred GROUP BY 1, 2),
+        bt AS (SELECT truth AS cls, CAST(sum(n) AS BIGINT) AS n_true
+               FROM conf GROUP BY 1),
+        bp AS (SELECT pred AS cls, CAST(sum(n) AS BIGINT) AS n_pred
+               FROM conf GROUP BY 1),
+        dg AS (SELECT truth AS cls, n AS tp FROM conf WHERE truth = pred),
+        m AS (
+          SELECT cls, coalesce(n_true, 0) AS n_true,
+                 coalesce(n_pred, 0) AS n_pred, coalesce(tp, 0) AS tp
+          FROM bt FULL OUTER JOIN bp USING (cls)
+          LEFT JOIN dg USING (cls)),
+        pr AS (
+          SELECT *,
+            CASE WHEN n_pred > 0
+                 THEN CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)
+                 ELSE 0.0 END AS precision,
+            CASE WHEN n_true > 0
+                 THEN CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE)
+                 ELSE 0.0 END AS recall
+          FROM m)
+        SELECT cls, n_true, n_pred, tp, precision, recall,
+               CASE WHEN precision + recall > 0.0
+                    THEN 2.0 * precision * recall / (precision + recall)
+                    ELSE 0.0 END AS f1
+        FROM pr ORDER BY cls"""),
+      doc = "evaluation harness: per-class precision/recall/F1 of the " +
+        "trigram language detector vs ground truth; the oracle re-runs " +
+        "the full detector through its shared DuckDB face"))
 
   /** Blocked user co-interaction graph shared by `ml_triangle_count` and
     * `ml_label_prop`: users co-occurring on an event entity are linked,

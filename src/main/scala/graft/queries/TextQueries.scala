@@ -210,35 +210,8 @@ object TextQueries extends QueryBase {
           .orderBy("detected")
       },
       Some {
-        val lc = graft.functions.LangId.letterClass
         s"""
-        WITH w(lang, tri, wt) AS (SELECT * FROM (VALUES
-          ${graft.functions.LangId.sqlWeightValues})),
-        fl(lang, fw) AS (SELECT * FROM (VALUES
-          ${graft.functions.LangId.sqlFloorValues})),
-        norm AS (
-          SELECT doc_id,
-            trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
-              'https?://\\S+', ' ', 'g'),
-              '[${lc}0-9._-]+@[${lc}0-9._-]+', ' ', 'g'),
-              '[^$lc]+', ' ', 'g')) AS t
-          FROM documents),
-        grams AS (
-          SELECT doc_id, substr(concat(' ', t, ' '), i, 3) AS tri
-          FROM norm, LATERAL (SELECT unnest(range(1, length(t) + 1)) AS i)
-          WHERE t <> ''),
-        vocab AS (SELECT DISTINCT tri FROM w),
-        hits AS (SELECT g.doc_id, g.tri FROM grams g JOIN vocab v USING (tri)),
-        scores AS (
-          SELECT h.doc_id, l.lang, sum(coalesce(w.wt, l.fw)) AS score
-          FROM hits h CROSS JOIN fl l
-          LEFT JOIN w ON w.lang = l.lang AND w.tri = h.tri
-          GROUP BY h.doc_id, l.lang),
-        best AS (
-          SELECT doc_id, lang FROM (
-            SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id
-              ORDER BY score DESC, lang ASC) AS rn
-            FROM scores) WHERE rn = 1)
+        WITH $langIdCtes
         SELECT coalesce(b.lang, '(none)') AS detected, count(*) AS n_docs
         FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
         GROUP BY 1 ORDER BY detected"""
@@ -841,6 +814,42 @@ object TextQueries extends QueryBase {
       doc = "PMI collocations over the bigram count table (marginals and " +
         "total derived from it, vocab-squared-bounded); fixed-order ln " +
         "chain over exact integers, integer-deterministic ranking"))
+
+  /** DuckDB face of the trigram language detector — CTE chain
+    * `w, fl, norm, grams, vocab, hits, scores, best` ending in
+    * `best(doc_id, lang)`; shared by `text_langid_ngram` (distribution)
+    * and `ml_eval_langid` (confusion-matrix evaluation). Weight/floor
+    * tables are generated from the SAME model the Scala detector uses. */
+  private[queries] def langIdCtes: String = {
+    val lc = graft.functions.LangId.letterClass
+    s"""w(lang, tri, wt) AS (SELECT * FROM (VALUES
+          ${graft.functions.LangId.sqlWeightValues})),
+        fl(lang, fw) AS (SELECT * FROM (VALUES
+          ${graft.functions.LangId.sqlFloorValues})),
+        norm AS (
+          SELECT doc_id,
+            trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+              'https?://\\S+', ' ', 'g'),
+              '[${lc}0-9._-]+@[${lc}0-9._-]+', ' ', 'g'),
+              '[^$lc]+', ' ', 'g')) AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id, substr(concat(' ', t, ' '), i, 3) AS tri
+          FROM norm, LATERAL (SELECT unnest(range(1, length(t) + 1)) AS i)
+          WHERE t <> ''),
+        vocab AS (SELECT DISTINCT tri FROM w),
+        hits AS (SELECT g.doc_id, g.tri FROM grams g JOIN vocab v USING (tri)),
+        scores AS (
+          SELECT h.doc_id, l.lang, sum(coalesce(w.wt, l.fw)) AS score
+          FROM hits h CROSS JOIN fl l
+          LEFT JOIN w ON w.lang = l.lang AND w.tri = h.tri
+          GROUP BY h.doc_id, l.lang),
+        best AS (
+          SELECT doc_id, lang FROM (
+            SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, lang ASC) AS rn
+            FROM scores) WHERE rn = 1)"""
+  }
 
   /** Shared BPE machinery (Sennrich et al. 2016) for `text_bpe_train` /
     * `text_bpe_encode`: words are delimiter-framed symbol strings

@@ -665,5 +665,120 @@ object WindowQueries extends QueryBase {
         ORDER BY o_custkey, o_totalprice DESC, o_orderkey"""),
       doc = "top-k per key via the custom TopKPerKey physical operator " +
         "(bounded heaps + map-side partial reduction instead of a " +
-        "windowed full sort); row_number oracle"))
+        "windowed full sort); row_number oracle"),
+
+    // Pareto / ABC classification of customers by revenue contribution:
+    // cumulative share over the revenue-ranked customer frame, classes
+    // cut at 80% / 95%. The class decision is INTEGER-EXACT — instead of
+    // comparing a floating cumulative ratio against 0.8 (where an ulp
+    // decides the class), the comparison cross-multiplies exact cents:
+    // cum·100 ≤ total·80. The corpus-sized work is one custkey
+    // aggregate; ranking and the running sum act on the
+    // customer-cardinality frame (window ordered by exact cents with
+    // unique tiebreak).
+    Q(
+      "window_pareto_abc",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val cust = o.groupBy("o_custkey")
+          .agg(wsum(round(col("o_totalprice") * 100).cast("long"))
+            .cast("long").as("cents"))
+        val w = Window.orderBy(col("cents").desc, col("o_custkey").asc)
+        val tot = cust.agg(sum("cents").as("total"))
+        cust.withColumn("cum", sum(col("cents")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .crossJoin(broadcast(tot))
+          .withColumn("cls",
+            when(col("cum") * 100 <= col("total") * 80, "A")
+              .when(col("cum") * 100 <= col("total") * 95, "B")
+              .otherwise(lit("C")))
+          .groupBy("cls")
+          .agg(count(lit(1)).as("n_customers"),
+            (sum(col("cents")).cast("double") / 100.0).as("revenue"),
+            min(col("o_custkey")).as("first_key"))
+          .orderBy("cls")
+      },
+      Some("""
+        WITH cust AS (
+          SELECT o_custkey,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS cents
+          FROM orders GROUP BY o_custkey),
+        tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM cust),
+        ranked AS (
+          SELECT o_custkey, cents,
+                 CAST(sum(cents) OVER (ORDER BY cents DESC, o_custkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+          FROM cust)
+        SELECT cls, count(*) AS n_customers,
+               CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0
+                 AS revenue,
+               min(o_custkey) AS first_key
+        FROM (SELECT o_custkey, cents,
+                     CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                          WHEN cum * 100 <= total * 95 THEN 'B'
+                          ELSE 'C' END AS cls
+              FROM ranked CROSS JOIN tot)
+        GROUP BY cls ORDER BY cls"""),
+      doc = "Pareto/ABC revenue classification with integer-exact class " +
+        "cuts (cross-multiplied cents, no FP threshold hazard); windows " +
+        "only touch the customer-cardinality frame"),
+
+    // Gini coefficient of revenue concentration per market segment (the
+    // inequality readout behind the ABC cut): sorted-formula Gini
+    // G = (2·Σ i·x_i) / (n·Σx) − (n+1)/n over the revenue-ranked
+    // customers of each segment. Σ i·x_i and Σx are exact integers
+    // (rank from a unique-tiebreak window, cents through the long-sum
+    // path); the final G is a fixed-order double chain. Work: one
+    // custkey aggregate + one per-segment window + an O(segments)
+    // rollup.
+    Q(
+      "agg_gini_concentration",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .join(t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+        val cust = o.groupBy("c_mktsegment", "o_custkey")
+          .agg(wsum(round(col("o_totalprice") * 100).cast("long"))
+            .cast("long").as("cents"))
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(col("cents").asc, col("o_custkey").asc)
+        cust.withColumn("i", row_number().over(w).cast("long"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            wsum(col("cents")).cast("double").as("sx"),
+            wsum(col("i") * col("cents")).cast("double").as("six"))
+          .withColumn("nd", col("n").cast("double"))
+          .withColumn("gini",
+            lit(2.0) * col("six") / (col("nd") * col("sx")) -
+              (col("nd") + 1.0) / col("nd"))
+          .select(col("c_mktsegment"), col("n"),
+            (col("sx") / 100.0).as("revenue"), col("gini"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        WITH cust AS (
+          SELECT c_mktsegment, o_custkey,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS cents
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT c_mktsegment, cents,
+                 CAST(row_number() OVER (PARTITION BY c_mktsegment
+                   ORDER BY cents ASC, o_custkey ASC) AS BIGINT) AS i
+          FROM cust),
+        g AS (
+          SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(cents) AS DOUBLE) AS sx,
+                 CAST(sum(i * cents) AS DOUBLE) AS six
+          FROM ranked GROUP BY c_mktsegment)
+        SELECT c_mktsegment, n, sx / 100.0 AS revenue,
+               2.0 * six / (CAST(n AS DOUBLE) * sx) -
+                 (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+        FROM g ORDER BY c_mktsegment"""),
+      doc = "sorted-formula Gini concentration per segment from exact " +
+        "integer rank-weighted sums; one keyed window + O(segments) " +
+        "rollup"))
 }
