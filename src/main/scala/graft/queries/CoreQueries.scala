@@ -950,5 +950,90 @@ object CoreQueries extends QueryBase {
         ORDER BY cohort_week, week_offset"""),
       doc = "weekly cohort retention matrix (first-active week x offset, " +
         "share of cohort active): one corpus-sized distinct, then " +
-        "O(users) aggregates with the cohort sizes broadcast back"))
+        "O(users) aggregates with the cohort sizes broadcast back"),
+
+    // Kaplan-Meier retention survival — the censoring-aware version of
+    // the retention matrix above (a user still active in the final
+    // observed week hasn't churned; counting them as churn biases S(t)
+    // down). Discrete KM over weekly activity spans: per offset t,
+    // n_t = users whose span reaches t (at risk), d_t = users whose
+    // span ENDS at t and whose last week is before the observation
+    // horizon (true churn; horizon-enders are censored);
+    // S(t) = Π_{i≤t} (1 − d_i/n_i). The corpus-sized work is ONE
+    // per-user span aggregate; the KM frame is offset-sized (weeks),
+    // and the running product folds over the offset-sorted array — the
+    // same deterministic-order trick as the EWMA fold, scalar
+    // accumulator (safe in DuckDB's list_reduce). Survival emitted
+    // unrounded: every factor is an exact-rounded division and the fold
+    // order is identical on both sides.
+    Q(
+      "agg_survival_km",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val spans = ev.select(col("user_id"),
+            floor(datediff(to_date(col("ts")),
+              lit("2024-01-01").cast("date")) / 7).cast("long").as("wk"))
+          .groupBy("user_id")
+          .agg(min("wk").as("w0"), max("wk").as("w1"))
+        val horizon = spans.agg(max("w1").as("hmax"))
+        val perUser = spans.crossJoin(broadcast(horizon))
+          .withColumn("span", col("w1") - col("w0"))
+          .withColumn("censored", col("w1") === col("hmax"))
+        // d_t and n_t from one offset-exploded aggregate:
+        val km = perUser
+          .select(col("span"), col("censored"),
+            explode(sequence(lit(0L), col("span"))).as("t"))
+          .groupBy("t")
+          .agg(count(lit(1)).as("n_risk"),
+            count(when(col("span") === col("t") && !col("censored"), 1))
+              .as("d_churn"))
+          .withColumn("factor",
+            lit(1.0) - col("d_churn").cast("double") /
+              col("n_risk").cast("double"))
+        km.agg(array_sort(collect_list(
+            struct(col("t"), col("n_risk"), col("d_churn"), col("factor"))))
+            .as("fs"))
+          .select(explode(expr(
+            "transform(fs, (e, j) -> struct(e.t AS t, e.n_risk AS n_risk, " +
+              "e.d_churn AS d_churn, " +
+              "aggregate(slice(fs, 2, j), fs[0].factor, " +
+              "(acc, e2) -> acc * e2.factor) AS survival))")).as("r"))
+          .select(col("r.t").as("t"), col("r.n_risk").as("n_risk"),
+            col("r.d_churn").as("d_churn"), col("r.survival").as("survival"))
+          .orderBy("t")
+      },
+      Some("""
+        WITH spans AS (
+          SELECT user_id, min(wk) AS w0, max(wk) AS w1 FROM (
+            SELECT user_id,
+                   CAST(floor(datediff('day', DATE '2024-01-01',
+                     CAST(ts AS DATE)) / 7) AS BIGINT) AS wk
+            FROM events)
+          GROUP BY user_id),
+        horizon AS (SELECT max(w1) AS hmax FROM spans),
+        per_user AS (
+          SELECT user_id, w1 - w0 AS span, w1 = hmax AS censored
+          FROM spans CROSS JOIN horizon),
+        km AS (
+          SELECT t, CAST(count(*) AS BIGINT) AS n_risk,
+                 CAST(count(*) FILTER (WHERE span = t AND NOT censored)
+                   AS BIGINT) AS d_churn
+          FROM per_user,
+               LATERAL (SELECT unnest(range(0, span + 1)) AS t)
+          GROUP BY t),
+        fs AS (
+          SELECT list(struct_pack(t := t, n_risk := n_risk,
+                   d_churn := d_churn,
+                   factor := 1.0 - CAST(d_churn AS DOUBLE) /
+                             CAST(n_risk AS DOUBLE)) ORDER BY t) AS fs
+          FROM km)
+        SELECT fs[j].t AS t, fs[j].n_risk AS n_risk,
+               fs[j].d_churn AS d_churn,
+               list_reduce(list_transform(fs[1:j], e -> e.factor),
+                 (a, b) -> a * b) AS survival
+        FROM fs, LATERAL (SELECT unnest(range(1, len(fs) + 1)) AS j)
+        ORDER BY t"""),
+      doc = "Kaplan-Meier retention survival (censoring-aware churn): one " +
+        "per-user span aggregate, offset-sized KM frame, deterministic " +
+        "ordered product fold; survival bit-identical unrounded"))
 }
