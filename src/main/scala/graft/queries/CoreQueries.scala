@@ -1035,5 +1035,54 @@ object CoreQueries extends QueryBase {
         ORDER BY t"""),
       doc = "Kaplan-Meier retention survival (censoring-aware churn): one " +
         "per-user span aggregate, offset-sized KM frame, deterministic " +
-        "ordered product fold; survival bit-identical unrounded"))
+        "ordered product fold; survival bit-identical unrounded"),
+
+    // Benford's-law first-digit audit (the classic fabricated-amounts
+    // screen): observed first-significant-digit frequencies of order
+    // totals vs the Benford expectation log10(1+1/d), with per-digit
+    // deviation. First digit extracted TEXTUALLY from the cents integer
+    // (substr of the digit string — no log/pow on the data path, so
+    // digit assignment is integer-exact); the nine expected shares are
+    // log10 CONSTANTS evaluated identically by both engines, and the
+    // observed/expected chains are fixed-order doubles over exact
+    // counts. One digit-keyed aggregate (9 groups) at any volume.
+    Q(
+      "agg_benford_digits",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .filter(col("cents") > 0)
+        val d1 = substring(col("cents").cast("string"), 1, 1).cast("int")
+        val g = o.select(d1.as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+        val tot = g.agg(sum("n").cast("long").as("total"))
+        g.crossJoin(broadcast(tot))
+          .withColumn("observed",
+            col("n").cast("double") / col("total").cast("double"))
+          .withColumn("expected",
+            log10(lit(1.0) + lit(1.0) / col("digit").cast("double")))
+          .withColumn("deviation", col("observed") - col("expected"))
+          .select(col("digit"), col("n"), col("observed"), col("expected"),
+            col("deviation"))
+          .orderBy("digit")
+      },
+      Some("""
+        WITH c AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+          WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+        g AS (
+          SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+                 count(*) AS n
+          FROM c GROUP BY 1),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+        SELECT digit, n,
+               CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS observed,
+               log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS expected,
+               CAST(n AS DOUBLE) / CAST(total AS DOUBLE) -
+                 log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS deviation
+        FROM g CROSS JOIN tot ORDER BY digit"""),
+      doc = "Benford first-digit audit: textual integer-exact digit " +
+        "extraction, log10 constants, fixed-order observed/expected " +
+        "chains; O(9) result at any volume"))
 }

@@ -1069,5 +1069,88 @@ object PipelineQueries extends QueryBase {
         FROM dim3 GROUP BY inferred ORDER BY status"""),
       doc = "late-arriving dimension: inferred-member stubs for fact keys " +
         "missing from the dim, stub resolution via the K1 anti+union " +
-        "merge, end-to-end fk_clean assertion"))
+        "merge, end-to-end fk_clean assertion"),
+
+    // Dead-letter routing (ingest quarantine): every row is classified
+    // by its FIRST failing validation rule (fixed rule order — a row
+    // failing several rules lands in exactly one bucket, so the report
+    // partitions the input) and the output is the per-reason ledger a
+    // DLQ consumer reads. The input plants violations deterministically
+    // (re-keyed copies with nulled keys / bad enums / negated prices /
+    // out-of-range dates). Pure row-level classification + one
+    // O(reasons) aggregate — the quarantine SPLIT itself is the same
+    // frame filtered by reason, costing one shared scan. Distinct from
+    // core/Checks (constraint metrics): this is the routing face.
+    Q(
+      "pipe_dlq_quarantine",
+      (s, dir) => {
+        // o_orderdate normalizes to TIMESTAMP at load; the DLQ rules
+        // work on its yyyy-MM-dd string face on both sides.
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+        // Plant: every 7th order re-keyed with one violation class.
+        val planted = o.unionByName(
+          o.filter(col("o_orderkey") % 7 === 0)
+            .withColumn("o_orderkey", col("o_orderkey") + 2000000L)
+            .withColumn("o_custkey",
+              when(col("o_orderkey") % 4 === 0, lit(null).cast("long"))
+                .otherwise(col("o_custkey")))
+            .withColumn("o_orderstatus",
+              when(col("o_orderkey") % 4 === 1, lit("X"))
+                .otherwise(col("o_orderstatus")))
+            .withColumn("o_totalprice",
+              when(col("o_orderkey") % 4 === 2, -col("o_totalprice"))
+                .otherwise(col("o_totalprice")))
+            .withColumn("o_orderdate",
+              when(col("o_orderkey") % 4 === 3, lit("1899-01-01"))
+                .otherwise(col("o_orderdate"))))
+        val reason =
+          when(col("o_custkey").isNull, "null_key")
+            .when(!col("o_orderstatus").isin("F", "O", "P"), "bad_status")
+            .when(col("o_totalprice") <= 0, "nonpositive_amount")
+            .when(col("o_orderdate") < "1990-01-01", "date_out_of_range")
+            .otherwise(lit("ok"))
+        planted.withColumn("reason", reason)
+          .groupBy("reason")
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("o_orderkey")).as("first_key"),
+            max(col("o_orderkey")).as("last_key"))
+          .orderBy("reason")
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                 strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+          FROM orders),
+        planted AS (
+          SELECT * FROM base
+          UNION ALL
+          SELECT o_orderkey + 2000000 AS k,
+                 CASE WHEN (o_orderkey + 2000000) % 4 = 0 THEN NULL
+                      ELSE o_custkey END,
+                 CASE WHEN (o_orderkey + 2000000) % 4 = 1 THEN 'X'
+                      ELSE o_orderstatus END,
+                 CASE WHEN (o_orderkey + 2000000) % 4 = 2
+                      THEN -o_totalprice ELSE o_totalprice END,
+                 CASE WHEN (o_orderkey + 2000000) % 4 = 3
+                      THEN '1899-01-01' ELSE o_orderdate END
+          FROM base WHERE o_orderkey % 7 = 0)
+        SELECT reason, count(*) AS n_rows,
+               min(o_orderkey) AS first_key, max(o_orderkey) AS last_key
+        FROM (SELECT o_orderkey,
+                     CASE WHEN o_custkey IS NULL THEN 'null_key'
+                          WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                            THEN 'bad_status'
+                          WHEN o_totalprice <= 0
+                            THEN 'nonpositive_amount'
+                          WHEN o_orderdate < '1990-01-01'
+                            THEN 'date_out_of_range'
+                          ELSE 'ok' END AS reason
+              FROM planted)
+        GROUP BY reason ORDER BY reason"""),
+      doc = "dead-letter quarantine routing: first-failing-rule " +
+        "classification (fixed rule order partitions the input) + " +
+        "per-reason ledger; row-level map work, O(reasons) aggregate"))
 }
