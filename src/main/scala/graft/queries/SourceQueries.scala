@@ -601,6 +601,48 @@ object SourceQueries extends QueryBase {
           FROM nation)
         ORDER BY n_nationkey"""),
       doc = "K4 CSV sink with CR->LF normalization, round-trip proven; " +
-        "reference data_preparation.py:56-74")
+        "reference data_preparation.py:56-74"),
+
+    // Schema evolution across snapshot generations: generation 1 wrote
+    // (key, price); generation 2 added a column. A mergeSchema parquet
+    // read unifies the directory — old files surface the new column as
+    // NULL — and downstream code distinguishes pre-schema rows
+    // explicitly instead of silently defaulting. The lakehouse
+    // add-a-column migration path with zero rewrite of history; at
+    // 100 TB "rewrite old files" is not an option, the read-side merge
+    // is. Oracle replays the generation split from the source table.
+    Q(
+      "src_schema_evolution",
+      (s, dir) => {
+        val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_schema_evo").getAbsolutePath
+        val o = t(s, dir, "orders")
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_totalprice")
+          .write.mode("overwrite").parquet(s"$base/gen=1")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+          .write.mode("overwrite").parquet(s"$base/gen=2")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$base/gen=1", s"$base/gen=2")
+          .withColumn("prio",
+            coalesce(col("o_orderpriority"), lit("(pre-schema)")))
+          .groupBy("prio")
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("revenue"))
+          .orderBy("prio")
+      },
+      Some("""
+        SELECT prio, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+                 AS revenue
+        FROM (SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+                          ELSE '(pre-schema)' END AS prio,
+                     o_totalprice
+              FROM orders)
+        GROUP BY prio ORDER BY prio"""),
+      doc = "schema evolution: mergeSchema read across snapshot " +
+        "generations (added column NULL for old files), explicit " +
+        "pre-schema handling, no history rewrite")
   )
 }

@@ -780,5 +780,130 @@ object WindowQueries extends QueryBase {
         FROM g ORDER BY c_mktsegment"""),
       doc = "sorted-formula Gini concentration per segment from exact " +
         "integer rank-weighted sums; one keyed window + O(segments) " +
-        "rollup"))
+        "rollup"),
+
+    // CUSUM change-point detection on the daily total series (the
+    // monitoring op behind "did the metric shift?"): one-sided upper
+    // CUSUM S_t = max(0, S_{t-1} + (x_t − μ − slack)) with μ the exact
+    // global daily mean and slack = μ/10; alarm when S_t > 5·μ. The
+    // recursion is a scalar-accumulator fold over the day-sorted array
+    // (the EWMA machinery — scalar list_reduce is safe in DuckDB; the
+    // struct-accumulator bug does not apply) with every input an exact
+    // cents double and both engines applying the identical op chain.
+    // One global aggregate (1-row broadcast) + one calendar-bounded
+    // fold; per-day outputs emitted unrounded.
+    Q(
+      "window_cusum_shift",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val daily = ev.groupBy(
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(wsum(round(col("value") * 100).cast("long"))
+            .cast("double").as("x"))
+        val mu = daily.agg(
+          (sum(col("x")) / count(lit(1))).as("mu"))
+        daily.crossJoin(broadcast(mu))
+          .groupBy("mu")
+          .agg(array_sort(collect_list(struct(col("day"), col("x"))))
+            .as("xs"))
+          .select(col("mu"), explode(expr(
+            "transform(xs, (e, j) -> struct(e.day AS day, e.x AS x, " +
+              "aggregate(slice(xs, 2, j), " +
+              "greatest(0.0D, xs[0].x - (mu + mu / 10.0D)), " +
+              "(acc, e2) -> greatest(0.0D, acc + (e2.x - (mu + mu / 10.0D))))" +
+              " AS s))")).as("r"))
+          .select(col("r.day").as("day"), (col("r.x") / 100.0).as("x"),
+            (col("r.s") / 100.0).as("cusum"),
+            (col("r.s") > lit(5.0) * col("mu")).as("alarm"))
+          .orderBy("day")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day,
+                 CAST(CAST(sum(CAST(round(value * 100) AS BIGINT))
+                   AS BIGINT) AS DOUBLE) AS x
+          FROM events GROUP BY 1),
+        mu AS (SELECT CAST(sum(x) AS DOUBLE) / count(*) AS mu FROM daily),
+        series AS (
+          SELECT mu, list(struct_pack(day := day, x := x) ORDER BY day)
+                   AS xs
+          FROM daily CROSS JOIN mu GROUP BY mu)
+        SELECT xs[j].day AS day, xs[j].x / 100.0 AS x,
+               s / 100.0 AS cusum, s > 5.0 * mu AS alarm
+        FROM (
+          SELECT mu, xs, j,
+                 list_reduce(
+                   list_prepend(greatest(0.0, xs[1].x - (mu + mu / 10.0)),
+                     list_transform(xs[2:j], e -> e.x)),
+                   (a, b) -> greatest(0.0, a + (b - (mu + mu / 10.0)))) AS s
+          FROM series, LATERAL (SELECT unnest(range(1, len(xs) + 1)) AS j))
+        ORDER BY day"""),
+      doc = "one-sided CUSUM change detection over the daily series: " +
+        "exact-cents inputs, scalar-accumulator ordered fold, identical " +
+        "op chain both engines; alarm at 5 sigma-ish threshold"),
+
+    // Maximum drawdown of the cumulative revenue series per market
+    // segment (the running-extremes pattern): cum_t (running exact
+    // cents), peak_t = running max of cum, drawdown_t = peak − cum;
+    // report each segment's max drawdown and when it bottomed. ENTIRELY
+    // integer arithmetic — running sums, running maxes, differences and
+    // the argmax tiebreak are all exact, no FP anywhere until the final
+    // cents→currency display division. One segment-keyed window pass.
+    Q(
+      "window_max_drawdown",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .join(t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+        // Signed daily "pnl": alternate sign by order parity so the
+        // cumulative series actually draws down (raw revenue is
+        // monotone — drawdown would be constant 0).
+        val daily = o.groupBy(col("c_mktsegment"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+          .agg(wsum(when(col("o_orderkey") % 2 === 0,
+              round(col("o_totalprice") * 100).cast("long"))
+            .otherwise(-round(col("o_totalprice") * 100).cast("long")))
+            .cast("long").as("pnl"))
+        val w = Window.partitionBy("c_mktsegment").orderBy("day")
+        val cum = daily
+          .withColumn("cum", sum(col("pnl")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("peak", max(col("cum")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("dd", col("peak") - col("cum"))
+        cum.groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_days"),
+            (max(col("dd")).cast("double") / 100.0).as("max_drawdown"),
+            max(struct(col("dd"), col("day"))).getField("day")
+              .as("trough_day"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT c_mktsegment, strftime(o_orderdate, '%Y-%m-%d') AS day,
+                 CAST(sum(CASE WHEN o_orderkey % 2 = 0
+                     THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                     ELSE -CAST(round(o_totalprice * 100) AS BIGINT) END)
+                   AS BIGINT) AS pnl
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2),
+        c AS (
+          SELECT c_mktsegment, day,
+                 CAST(sum(pnl) OVER (PARTITION BY c_mktsegment ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+          FROM daily),
+        p AS (
+          SELECT c_mktsegment, day, cum,
+                 max(cum) OVER (PARTITION BY c_mktsegment ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS peak
+          FROM c)
+        SELECT c_mktsegment, count(*) AS n_days,
+               CAST(max(peak - cum) AS DOUBLE) / 100.0 AS max_drawdown,
+               (max(struct_pack(dd := peak - cum, day := day))).day
+                 AS trough_day
+        FROM p GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      doc = "max drawdown per segment (running sum + running max + " +
+        "argmax, all integer-exact); one keyed window pass"))
 }
