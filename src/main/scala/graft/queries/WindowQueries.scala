@@ -905,5 +905,80 @@ object WindowQueries extends QueryBase {
                  AS trough_day
         FROM p GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
       doc = "max drawdown per segment (running sum + running max + " +
-        "argmax, all integer-exact); one keyed window pass"))
+        "argmax, all integer-exact); one keyed window pass"),
+
+    // Additive seasonal decomposition of the daily series:
+    // x = trend + seasonal + residual. Trend is a centered 7-day moving
+    // average (explicit sum/count over the frame — both engines divide
+    // the same exact integer frame-sum, so no avg()-implementation
+    // ambiguity); the weekday seasonal index is derived from EXACT
+    // integer sums only (mean of the weekday minus the global mean —
+    // a sum of DETRENDED doubles would be shuffle-order-dependent, the
+    // one FP hazard this formulation avoids); the residual is the
+    // per-row fixed chain x − trend − seasonal. Output unrounded.
+    Q(
+      "window_seasonal_decompose",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val daily = ev.groupBy(
+            date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            ((dayofweek(to_date(col("ts"))) + lit(5)) % 7).as("dow"))
+          .agg(wsum(round(col("value") * 100).cast("long"))
+            .cast("long").as("cents"))
+        val w = Window.orderBy("day").rowsBetween(-3, 3)
+        val dowStats = daily.groupBy("dow")
+          .agg(sum("cents").as("sc"), count(lit(1)).as("nc"))
+        val tot = daily.agg(sum("cents").as("st"), count(lit(1)).as("nt"))
+        val seasonal = dowStats.crossJoin(broadcast(tot))
+          .withColumn("seasonal",
+            col("sc").cast("double") / col("nc").cast("double") -
+              col("st").cast("double") / col("nt").cast("double"))
+          .select("dow", "seasonal")
+        daily
+          .withColumn("trend",
+            sum(col("cents")).over(w).cast("double") /
+              count(lit(1)).over(w).cast("double"))
+          .join(broadcast(seasonal), "dow")
+          .withColumn("x", col("cents").cast("double"))
+          .withColumn("residual",
+            col("x") - col("trend") - col("seasonal"))
+          .select(col("day"), col("dow"), (col("x") / 100.0).as("x"),
+            (col("trend") / 100.0).as("trend"),
+            (col("seasonal") / 100.0).as("seasonal"),
+            (col("residual") / 100.0).as("residual"))
+          .orderBy("day")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day,
+                 CAST(isodow(CAST(ts AS DATE)) - 1 AS BIGINT) AS dow,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM events GROUP BY 1, 2),
+        ds AS (SELECT dow, CAST(sum(cents) AS BIGINT) AS sc,
+                      CAST(count(*) AS BIGINT) AS nc
+               FROM daily GROUP BY dow),
+        tot AS (SELECT CAST(sum(cents) AS BIGINT) AS st,
+                       CAST(count(*) AS BIGINT) AS nt
+                FROM daily),
+        seasonal AS (
+          SELECT dow, CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE) -
+                      CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) AS seasonal
+          FROM ds CROSS JOIN tot),
+        tr AS (
+          SELECT day, dow, cents,
+                 CAST(CAST(sum(cents) OVER fr AS BIGINT) AS DOUBLE) /
+                   CAST(count(*) OVER fr AS DOUBLE) AS trend
+          FROM daily
+          WINDOW fr AS (ORDER BY day
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+        SELECT day, dow, CAST(cents AS DOUBLE) / 100.0 AS x,
+               trend / 100.0 AS trend, seasonal / 100.0 AS seasonal,
+               (CAST(cents AS DOUBLE) - trend - seasonal) / 100.0
+                 AS residual
+        FROM tr JOIN seasonal USING (dow)
+        ORDER BY day"""),
+      doc = "additive seasonal decomposition (centered 7-day trend, " +
+        "exact-integer weekday index, per-row residual chain) — no " +
+        "shuffle-order-dependent float sums anywhere"))
 }
