@@ -1152,5 +1152,77 @@ object PipelineQueries extends QueryBase {
         GROUP BY reason ORDER BY reason"""),
       doc = "dead-letter quarantine routing: first-failing-rule " +
         "classification (fixed rule order partitions the input) + " +
-        "per-reason ledger; row-level map work, O(reasons) aggregate"))
+        "per-reason ledger; row-level map work, O(reasons) aggregate"),
+
+    // CDC log application — the consumer side of change-data-capture:
+    // a sequence-numbered op log (I/U/D) folds onto a base snapshot by
+    // LAST-WRITER-WINS per key (max seq), with deletes dropping the key
+    // and inserts/updates replacing the row. The log is planted
+    // deterministically (every 5th key updated at seq 1, every 9th
+    // deleted at seq 2, a re-keyed insert block at seq 3, and a
+    // late-seq update that must beat the earlier delete for keys
+    // divisible by 45 — the seq-ordering edge). Plan: ONE window over
+    // the log keyed by PK (max-seq pick), one anti-join + union against
+    // the base — the same two shuffles at any log length; nothing
+    // replays the log row-by-row.
+    Q(
+      "pipe_cdc_apply",
+      (s, dir) => {
+        val base = t(s, dir, "customer")
+          .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+        val log = base.filter(col("k") % 5 === 0)
+            .select(col("k"), lit(1L).as("seq"), lit("U").as("op"),
+              lit("UPDATED_1").as("seg"))
+          .unionByName(base.filter(col("k") % 9 === 0)
+            .select(col("k"), lit(2L).as("seq"), lit("D").as("op"),
+              lit(null).cast("string").as("seg")))
+          .unionByName(base.filter(col("k") % 7 === 0)
+            .select((col("k") + 5000000L).as("k"), lit(3L).as("seq"),
+              lit("I").as("op"), lit("INSERTED").as("seg")))
+          .unionByName(base.filter(col("k") % 45 === 0)
+            .select(col("k"), lit(4L).as("seq"), lit("U").as("op"),
+              lit("UPDATED_LATE").as("seg")))
+        val w = Window.partitionBy("k").orderBy(col("seq").desc)
+        val lastOp = log.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).select("k", "op", "seg")
+        val applied = lastOp.filter(col("op") =!= "D")
+          .select(col("k"), col("seg"))
+          .unionByName(
+            base.join(lastOp.select("k"), Seq("k"), "left_anti"))
+        applied.groupBy("seg")
+          .agg(count(lit(1)).as("n_rows"), min(col("k")).as("first_key"),
+            max(col("k")).as("last_key"))
+          .orderBy("seg")
+      },
+      Some("""
+        WITH base AS (
+          SELECT c_custkey AS k, c_mktsegment AS seg FROM customer),
+        log AS (
+          SELECT k, CAST(1 AS BIGINT) AS seq, 'U' AS op,
+                 'UPDATED_1' AS seg
+          FROM base WHERE k % 5 = 0
+          UNION ALL
+          SELECT k, 2, 'D', NULL FROM base WHERE k % 9 = 0
+          UNION ALL
+          SELECT k + 5000000, 3, 'I', 'INSERTED' FROM base WHERE k % 7 = 0
+          UNION ALL
+          SELECT k, 4, 'U', 'UPDATED_LATE' FROM base WHERE k % 45 = 0),
+        last_op AS (
+          SELECT k, op, seg FROM (
+            SELECT k, op, seg,
+                   row_number() OVER (PARTITION BY k ORDER BY seq DESC)
+                     AS rn
+            FROM log)
+          WHERE rn = 1),
+        applied AS (
+          SELECT k, seg FROM last_op WHERE op <> 'D'
+          UNION ALL
+          SELECT k, seg FROM base
+          WHERE k NOT IN (SELECT k FROM last_op))
+        SELECT seg, count(*) AS n_rows, min(k) AS first_key,
+               max(k) AS last_key
+        FROM applied GROUP BY seg ORDER BY seg"""),
+      doc = "CDC apply: last-writer-wins per key over a seq-numbered " +
+        "I/U/D log (one PK window + one anti-join/union merge), deletes " +
+        "drop, late update beats earlier delete"))
 }

@@ -980,5 +980,61 @@ object WindowQueries extends QueryBase {
         ORDER BY day"""),
       doc = "additive seasonal decomposition (centered 7-day trend, " +
         "exact-integer weekday index, per-row residual chain) — no " +
-        "shuffle-order-dependent float sums anywhere"))
+        "shuffle-order-dependent float sums anywhere"),
+
+    // Sweep-line concurrency: how many intervals are active at once
+    // (peak-load / occupancy analysis — the reference's capacity-grid
+    // family asks exactly this of museum slots). Each order becomes an
+    // active interval [orderdate, orderdate + (key%5 + 1) days); the
+    // sweep emits +1/−1 DELTA events, pre-aggregates them per day
+    // (days-sized frame), and a running sum over the day order is the
+    // concurrency — O(days) window state, never materializing
+    // interval × day rows (the grid-join alternative explodes exactly
+    // that). Running max tracks the high-water mark. Integer-exact
+    // end-to-end.
+    Q(
+      "window_concurrency_sweep",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(to_date(col("o_orderdate")).as("d0"),
+            (col("o_orderkey") % 5 + 1).cast("int").as("len"))
+        val deltas = o.select(col("d0").as("day"), lit(1L).as("delta"))
+          .unionByName(o.select(expr("date_add(d0, len)").as("day"),
+            lit(-1L).as("delta")))
+        val perDay = deltas
+          .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+          .agg(sum("delta").cast("long").as("net"))
+        val w = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        perDay.withColumn("active", sum(col("net")).over(w))
+          .withColumn("peak", max(col("active")).over(w))
+          .select(col("day"), col("net"), col("active"), col("peak"))
+          .orderBy("day")
+      },
+      Some("""
+        WITH o AS (
+          SELECT CAST(o_orderdate AS DATE) AS d0,
+                 CAST(o_orderkey % 5 + 1 AS INT) AS len
+          FROM orders),
+        deltas AS (
+          SELECT d0 AS day, CAST(1 AS BIGINT) AS delta FROM o
+          UNION ALL
+          SELECT d0 + to_days(len), -1 FROM o),
+        per_day AS (
+          SELECT strftime(day, '%Y-%m-%d') AS day,
+                 CAST(sum(delta) AS BIGINT) AS net
+          FROM deltas GROUP BY 1)
+        SELECT day, net, active,
+               CAST(max(active) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS peak
+        FROM (SELECT day, net,
+                     CAST(sum(net) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS active
+              FROM per_day)
+        ORDER BY day"""),
+      doc = "sweep-line interval concurrency (+1/-1 deltas, day " +
+        "pre-aggregation, running sum + running peak): O(days) state, " +
+        "no interval x day explosion"))
 }
