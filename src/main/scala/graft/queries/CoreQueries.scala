@@ -1084,5 +1084,56 @@ object CoreQueries extends QueryBase {
         FROM g CROSS JOIN tot ORDER BY digit"""),
       doc = "Benford first-digit audit: textual integer-exact digit " +
         "extraction, log10 constants, fixed-order observed/expected " +
-        "chains; O(9) result at any volume"))
+        "chains; O(9) result at any volume"),
+
+    // Sketch REUSE across rollup levels (the Druid/datasketches
+    // pattern): HLL sketches are built ONCE at the fine grain
+    // (nation-level distinct customers) and merged UPWARD with
+    // hll_union_agg for region totals — the raw data is scanned once
+    // for the entire hierarchy, and re-aggregating a coarser level
+    // costs O(sketches), not another corpus pass. Because DuckDB cannot
+    // replay Spark's sketch binaries, this is a CONTRACT query (the
+    // agg_sketch_contract pattern): the compared columns are the exact
+    // distincts and the boolean bounds — the merged estimate must land
+    // within 5% of exact at both levels; the estimates themselves stay
+    // engine-internal.
+    Q(
+      "agg_hll_rollup_reuse",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+        val fine = c.groupBy("n_regionkey", "n_nationkey")
+          .agg(hll_sketch_agg(col("c_custkey")).as("sk"),
+            countDistinct(col("c_custkey")).as("exact_n"))
+        val coarse = fine.groupBy("n_regionkey")
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
+            sum("exact_n").cast("long").as("exact_region"),
+            count(lit(1)).as("n_nations"),
+            min(abs(hll_sketch_estimate(col("sk")).cast("double") -
+              col("exact_n").cast("double")) <=
+              col("exact_n").cast("double") * 0.05 + 4.0)
+              .as("fine_within_5pct"))
+        coarse
+          .withColumn("region_within_5pct",
+            abs(col("est").cast("double") - col("exact_region").cast("double"))
+              <= col("exact_region").cast("double") * 0.05 + 4.0)
+          .select(col("n_regionkey"), col("n_nations"),
+            col("exact_region"), col("fine_within_5pct"),
+            col("region_within_5pct"))
+          .orderBy("n_regionkey")
+      },
+      Some("""
+        SELECT n_regionkey,
+               CAST(count(DISTINCT n_nationkey) AS BIGINT) AS n_nations,
+               CAST(count(DISTINCT c_custkey) AS BIGINT) AS exact_region,
+               true AS fine_within_5pct,
+               true AS region_within_5pct
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_regionkey ORDER BY n_regionkey"""),
+      doc = "HLL sketch reuse across rollup levels: build once at nation " +
+        "grain, hll_union_agg upward to regions — one corpus scan for " +
+        "the hierarchy; contract flags bound both levels within 5% of " +
+        "exact (customers are disjoint across nations, so summed exact " +
+        "counts equal the region distinct)"))
 }

@@ -1224,5 +1224,52 @@ object PipelineQueries extends QueryBase {
         FROM applied GROUP BY seg ORDER BY seg"""),
       doc = "CDC apply: last-writer-wins per key over a seq-numbered " +
         "I/U/D log (one PK window + one anti-join/union merge), deletes " +
-        "drop, late update beats earlier delete"))
+        "drop, late update beats earlier delete"),
+
+    // Small-file compaction — the table-maintenance op every streaming
+    // ingest eventually needs (micro-batches leave thousands of tiny
+    // files; scans then pay per-file open cost and lose row-group
+    // locality). A 48-file fragmented copy is rewritten as 4
+    // range-partitioned files (repartitionByRange on the PK also leaves
+    // the data CLUSTERED, min/max file skipping on the key works
+    // afterwards — compaction and clustering in one pass). The output
+    // proves content parity through the rewrite (row count + exact key
+    // checksum identical before/after) plus the file counts; the
+    // driver-side work is one bounded directory listing.
+    Q(
+      "pipe_small_file_compact",
+      (s, dir) => {
+        val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_compact").getAbsolutePath
+        val o = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        o.repartition(48).write.mode("overwrite").parquet(s"$base/small")
+        val small = s.read.parquet(s"$base/small")
+        small.repartitionByRange(4, col("o_orderkey"))
+          .write.mode("overwrite").parquet(s"$base/compact")
+        val compact = s.read.parquet(s"$base/compact")
+        def nFiles(p: String): Int =
+          new java.io.File(p).listFiles()
+            .count(_.getName.endsWith(".parquet"))
+        def phase(name: String, df: org.apache.spark.sql.DataFrame,
+            path: String) =
+          df.agg(count(lit(1)).as("n_rows"),
+              wsum(col("o_orderkey")).cast("long").as("key_sum"))
+            .select(lit(name).as("phase"),
+              lit(nFiles(path)).as("n_files"), col("n_rows"),
+              col("key_sum"))
+        phase("1_before", small, s"$base/small")
+          .unionByName(phase("2_after", compact, s"$base/compact"))
+          .orderBy("phase")
+      },
+      Some("""
+        SELECT phase, n_files, count(*) AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders
+        CROSS JOIN (SELECT * FROM (VALUES ('1_before', 48), ('2_after', 4))
+                    t(phase, n_files))
+        GROUP BY phase, n_files ORDER BY phase"""),
+      doc = "small-file compaction: 48 fragment files rewritten as 4 " +
+        "range-clustered files (compaction + key clustering in one " +
+        "pass), content parity proven by row count + exact key checksum"))
 }
