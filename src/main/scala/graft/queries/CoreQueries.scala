@@ -1135,5 +1135,72 @@ object CoreQueries extends QueryBase {
         "grain, hll_union_agg upward to regions — one corpus scan for " +
         "the hierarchy; contract flags bound both levels within 5% of " +
         "exact (customers are disjoint across nations, so summed exact " +
-        "counts equal the region distinct)"))
+        "counts equal the region distinct)"),
+
+    // Cumulative LTV curve per signup cohort — the revenue side of the
+    // retention matrix (agg_retention_cohorts counts who came back;
+    // this accumulates what they spent). Per (cohort-week, offset):
+    // exact cents revenue from that cohort's users in that week, then a
+    // running exact-integer cumulative per cohort and the per-user LTV
+    // as one division over exact values. Corpus-sized work is one
+    // (user, week) rollup; everything after runs on the cohort × offset
+    // frame.
+    Q(
+      "agg_cohort_ltv",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"),
+            floor(datediff(to_date(col("ts")),
+              lit("2024-01-01").cast("date")) / 7).cast("long").as("wk"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val uw = ev.groupBy("user_id", "wk")
+          .agg(wsum(col("cents")).cast("long").as("c"))
+        val first = uw.groupBy("user_id").agg(min("wk").as("cw"))
+        val sizes = first.groupBy("cw").agg(count(lit(1)).as("cohort_n"))
+        val rev = uw.join(first, "user_id")
+          .groupBy(col("cw"), (col("wk") - col("cw")).as("week_offset"))
+          .agg(sum(col("c")).as("week_cents"))
+        val w = Window.partitionBy("cw").orderBy("week_offset")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        rev.withColumn("cum_cents", sum(col("week_cents")).over(w))
+          .join(broadcast(sizes), "cw")
+          .select(col("cw").as("cohort_week"), col("week_offset"),
+            col("cohort_n"),
+            (col("week_cents").cast("double") / 100.0).as("week_revenue"),
+            (col("cum_cents").cast("double") /
+              (col("cohort_n").cast("double") * 100.0)).as("ltv_per_user"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id,
+                 CAST(floor(datediff('day', DATE '2024-01-01',
+                   CAST(ts AS DATE)) / 7) AS BIGINT) AS wk,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events),
+        uw AS (
+          SELECT user_id, wk, CAST(sum(cents) AS BIGINT) AS c
+          FROM ev GROUP BY 1, 2),
+        fw AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY 1),
+        sizes AS (SELECT cw, count(*) AS cohort_n FROM fw GROUP BY 1),
+        rev AS (
+          SELECT cw, wk - cw AS week_offset,
+                 CAST(sum(c) AS BIGINT) AS week_cents
+          FROM uw JOIN fw USING (user_id) GROUP BY 1, 2),
+        cum AS (
+          SELECT cw, week_offset, week_cents,
+                 CAST(sum(week_cents) OVER (PARTITION BY cw
+                   ORDER BY week_offset
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_cents
+          FROM rev)
+        SELECT cw AS cohort_week, week_offset, cohort_n,
+               CAST(week_cents AS DOUBLE) / 100.0 AS week_revenue,
+               CAST(cum_cents AS DOUBLE) /
+                 (CAST(cohort_n AS DOUBLE) * 100.0) AS ltv_per_user
+        FROM cum JOIN sizes USING (cw)
+        ORDER BY cohort_week, week_offset"""),
+      doc = "cumulative LTV per signup cohort: one (user, week) exact " +
+        "rollup, cohort-x-offset running integer cumulative, per-user " +
+        "LTV as a single division over exact values"))
 }
