@@ -160,7 +160,82 @@ object DedupQueries extends QueryBase {
       "(first occurrence kept, total order): one segment-hash shuffle " +
       "+ one doc_id reassembly shuffle")
 
-  val all: Seq[Q] = Seq(incrementalBloomQ, paragraphDedupQ) ++ Seq(
+  /** Winnowing document fingerprints (Schleimer et al. 2002 — the MOSS
+    * algorithm): hash every 8-char gram, slide a w=4 window over the
+    * hash sequence, and select each window's minimum hash — the
+    * guarantee that matching substrings of length ≥ k+w−1 share a
+    * fingerprint, at selection density ~2/(w+1). Fingerprints here are
+    * the selected hash VALUES (array_distinct per doc): pairing joins
+    * on the hash, so per-occurrence positions — which full MOSS keeps
+    * for match LOCATION — are deliberately dropped. Selection is
+    * closed-form per window (array_min), no fold anywhere. Pairing joins on the fingerprint hash with the standard
+    * per-posting probe cap; everything upstream is per-doc expression
+    * work. The gram hash is murmur3_seeded over FIXED 8-char substrings,
+    * so the DuckDB oracle replays the whole pipeline — hashes,
+    * selection, pairing — via the independent SQL murmur3 applied once
+    * per DISTINCT gram (vocab-sized, joined back by position). */
+  private val winnowingQ = Q(
+    "dedup_winnowing",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val d0 = th(s, dir, "documents").select(col("doc_id"),
+        lower(col("text")).as("t"))
+      val d = d0.unionByName(d0.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000))
+      val hs = d.withColumn("hs", expr(
+        "transform(sequence(1, greatest(length(t) - 7, 1)), " +
+          "i -> murmur3_seeded(substring(t, i, 8), 7))"))
+      val fp = hs.select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, greatest(size(hs) - 3, 1)), " +
+          "j -> array_min(slice(hs, j, 4))))")).as("h"))
+        .distinct()
+      val wcap = Window.partitionBy("h").orderBy("doc_id")
+      val capped = fp.withColumn("rn", row_number().over(wcap))
+        .filter(col("rn") <= 32).select("doc_id", "h")
+      capped.as("a").join(capped.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
+        .limit(25)
+    },
+    Some(s"""
+      WITH d0 AS (SELECT doc_id, lower(text) AS t FROM documents),
+      d AS (SELECT * FROM d0
+            UNION ALL
+            SELECT doc_id + 100000, t FROM d0 WHERE doc_id % 10 = 0),
+      pos AS (
+        SELECT doc_id, i, substr(t, i, 8) AS gram
+        FROM d, LATERAL (SELECT unnest(range(1,
+               greatest(length(t) - 7, 1) + 1)) AS i)),
+      raw AS (SELECT DISTINCT gram FROM pos),
+      ${graft.queries.Mm3Sql.chain("raw", "gram", "gram", 8, 7L, "m")},
+      hseq AS (
+        SELECT p.doc_id, list(m.hash ORDER BY p.i) AS hs
+        FROM pos p JOIN m_fin m ON m.k = p.gram
+        GROUP BY p.doc_id),
+      fp AS (
+        SELECT DISTINCT doc_id, h FROM (
+          SELECT doc_id,
+                 list_min(hs[j:j+3]) AS h
+          FROM hseq, LATERAL (SELECT unnest(range(1,
+                 greatest(len(hs) - 3, 1) + 1)) AS j))),
+      capped AS (
+        SELECT doc_id, h FROM (
+          SELECT doc_id, h,
+                 row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+          FROM fp)
+        WHERE rn <= 32)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM capped a JOIN capped b
+        ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 ORDER BY n_shared DESC, doc_a, doc_b LIMIT 25"""),
+    doc = "winnowing fingerprints (8-gram murmur3, w=4 window minima, " +
+      "density ~2/(w+1)): per-doc expression selection, capped " +
+      "fingerprint-hash pair join; full murmur3 oracle replay over the " +
+      "distinct-gram vocab")
+
+  val all: Seq[Q] = Seq(incrementalBloomQ, paragraphDedupQ, winnowingQ) ++ Seq(
     // Exact dedup: canonical-form fingerprint → hash-groupBy, keep the
     // minimum id (deterministic keeper). Input is documents ∪ a re-keyed
     // copy of every 10th doc, so the dup groups are non-trivial.
