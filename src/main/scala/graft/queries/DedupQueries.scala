@@ -182,6 +182,10 @@ object DedupQueries extends QueryBase {
         lower(col("text")).as("t"))
       val d = d0.unionByName(d0.filter(col("doc_id") % 10 === 0)
         .withColumn("doc_id", col("doc_id") + 100000))
+        // Docs shorter than one gram (8 chars) have no full-width gram;
+        // drop them so every hashed substring is exactly 8 bytes — the
+        // fixed width the oracle's SQL murmur3 replay contracts on.
+        .filter(length(col("t")) >= 8)
       val hs = d.withColumn("hs", expr(
         "transform(sequence(1, greatest(length(t) - 7, 1)), " +
           "i -> murmur3_seeded(substring(t, i, 8), 7))"))
@@ -201,9 +205,11 @@ object DedupQueries extends QueryBase {
     },
     Some(s"""
       WITH d0 AS (SELECT doc_id, lower(text) AS t FROM documents),
-      d AS (SELECT * FROM d0
-            UNION ALL
-            SELECT doc_id + 100000, t FROM d0 WHERE doc_id % 10 = 0),
+      d AS (SELECT * FROM (
+              SELECT * FROM d0
+              UNION ALL
+              SELECT doc_id + 100000, t FROM d0 WHERE doc_id % 10 = 0)
+            WHERE length(t) >= 8),
       pos AS (
         SELECT doc_id, i, substr(t, i, 8) AS gram
         FROM d, LATERAL (SELECT unnest(range(1,

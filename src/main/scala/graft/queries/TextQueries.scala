@@ -773,6 +773,7 @@ object TextQueries extends QueryBase {
       (s, dir) => {
         val d = th(s, dir, "documents")
         val bi = d.select(split(lower(col("text")), " ").as("tk"))
+          .filter(size(col("tk")) >= 2)
           .select(explode(expr(
             "transform(sequence(0, size(tk) - 2), " +
               "i -> struct(tk[i] AS a, tk[i+1] AS b))")).as("p"))

@@ -114,7 +114,9 @@ object Incremental {
     * batch plans. Inner join keeps the stream append-only. */
   def enrichStream(facts: DataFrame, dim: DataFrame,
       factKey: String, dimKey: String): DataFrame =
-    facts.join(dim, col(factKey) === col(dimKey))
+    // Dataframe-qualified keys: bare col() is ambiguous when the fact
+    // and dim key columns share a name (the common enrichment case).
+    facts.join(dim, facts(factKey) === dim(dimKey))
 
   /** Streaming ordered-event funnel — the continuous twin of the batch
     * `window_funnel` query, as keyed custom state: per user the state is
