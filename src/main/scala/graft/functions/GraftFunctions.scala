@@ -66,7 +66,9 @@ object GraftFunctions {
     // Optimizer rules and planner strategies ride the same registration
     // call; both are idempotent to re-register (replace, don't
     // append-duplicate).
-    val rules = Seq(graft.plans.LevenshteinBoundRule)
+    val rules: Seq[org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+      Seq(graft.plans.LevenshteinBoundRule, graft.plans.TrigramBoundRule)
     spark.experimental.extraOptimizations =
       (spark.experimental.extraOptimizations.filterNot(rules.contains) ++ rules)
     val strategies = Seq(graft.plans.TopKStrategy)
@@ -85,6 +87,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         b))
     }
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinBoundRule)
+    ext.injectOptimizerRule(_ => graft.plans.TrigramBoundRule)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

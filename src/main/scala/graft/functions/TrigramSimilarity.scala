@@ -44,6 +44,56 @@ case class TrigramSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Guarded trigram-threshold comparison — the rewrite target of
+  * [[graft.plans.TrigramBoundRule]] (the pg_trgm-index analog of
+  * [[graft.plans.LevenshteinBoundRule]]).
+  *
+  * `trigram_sim(a, b) >= t` (t > 0 literal) builds two trigram hash-sets
+  * and intersects them for EVERY pair, even pairs whose lengths already
+  * make the threshold unreachable. pg_trgm never pays that: its GIN
+  * index prunes candidates before `similarity()` runs (the reference
+  * relies on exactly that via postgres `similarity() >= 0.65`,
+  * src/absa/post_aspects.py:120-199, pg_trgm enabled in
+  * migration_027.sql). This expression is the planner-level equivalent:
+  * an allocation-free O(len) length/char-diversity bound runs first and
+  * the full kernel only on survivors.
+  *
+  * Soundness (bound is NECESSARY for sim >= t > 0): Jaccard >= t implies
+  * |A| >= t·|B| and |B| >= t·|A| and both sets nonempty; the guard
+  * relaxes those with a per-side upper bound U (total padded trigram
+  * positions; chars >= U+0080 count 2 since some lowercase INTO ascii,
+  * e.g. U+212A KELVIN SIGN → 'k') and lower bound L (distinct definite
+  * ascii-alnum chars + 1: every word char is the middle of a distinct
+  * trigram, plus the double-space lead gram). Null semantics match the
+  * unguarded comparison exactly (null iff an input is null). Fused as
+  * one expression — no bare `trigram_sim >= lit` survives the rewrite,
+  * so the optimizer's fixpoint cannot re-match it. */
+case class TrigramGuardedCmp(left: Expression, right: Expression,
+    threshold: Double, strict: Boolean) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, string), got (${left.dataType}, ${right.dataType})")
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String =
+    if (strict) "trigram_sim_gt_bounded" else "trigram_sim_ge_bounded"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TrigramOps.boundedCmp(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String], threshold, strict)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TrigramOps.boundedCmp($a, $b, ${threshold}D, $strict)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TrigramGuardedCmp =
+    copy(left = newLeft, right = newRight)
+}
+
 object TrigramOps {
   /** Distinct padded trigrams of `s`, pg_trgm style. */
   def trigrams(s: String): java.util.HashSet[String] = {
@@ -66,6 +116,62 @@ object TrigramOps {
     }
     out
   }
+
+  /** Packed (U << 32) | L pre-filter stats in ONE allocation-free scan.
+    * U = upper bound on |trigram set| = Σ over definite words (len + 1),
+    * with every char >= U+0080 adding 2 (it may lowercase into ascii
+    * alnum range and extend/split words — always an over-count, never
+    * under). L = lower bound = popcount(distinct definite alnum chars)
+    * + 1 when any definite word exists (each distinct word char is the
+    * middle of a distinct trigram; the "  c" lead gram of the first word
+    * has a space middle, so it is distinct from all of those). */
+  def stats(str: String): Long = {
+    var total = 0
+    var words = 0
+    var extra = 0
+    var inWord = false
+    var bits = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      var c = str.charAt(i)
+      if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+      if (c >= 'a' && c <= 'z') {
+        total += 1; bits |= 1L << (c - 'a')
+        if (!inWord) { words += 1; inWord = true }
+      } else if (c >= '0' && c <= '9') {
+        total += 1; bits |= 1L << (26 + (c - '0'))
+        if (!inWord) { words += 1; inWord = true }
+      } else if (c >= 0x80) {
+        extra += 2; inWord = false
+      } else inWord = false
+      i += 1
+    }
+    val u = total + words + extra
+    val l = if (words > 0) java.lang.Long.bitCount(bits) + 1 else 0
+    (u.toLong << 32) | l.toLong
+  }
+
+  /** Cheap necessary condition for sim(a, b) >= t (t > 0): both trigram
+    * sets nonempty (U > 0) and the cross size bounds U_x >= t · L_y
+    * (relaxations of |A| >= t·|B| / |B| >= t·|A|). */
+  def bound(a: UTF8String, b: UTF8String, t: Double): Boolean = {
+    val sa = stats(a.toString)
+    val sb = stats(b.toString)
+    val ua = (sa >>> 32).toInt
+    val la = sa.toInt
+    val ub = (sb >>> 32).toInt
+    val lb = sb.toInt
+    ua > 0 && ub > 0 && ua.toDouble >= t * lb && ub.toDouble >= t * la
+  }
+
+  /** Guarded comparison: bound first, full kernel only on survivors. */
+  def boundedCmp(a: UTF8String, b: UTF8String, t: Double,
+      strict: Boolean): Boolean =
+    bound(a, b, t) && {
+      val s = sim(a, b)
+      if (strict) s > t else s >= t
+    }
 
   def sim(a: UTF8String, b: UTF8String): Double = {
     val ta = trigrams(a.toString)

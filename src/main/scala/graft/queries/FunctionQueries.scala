@@ -63,6 +63,59 @@ object FunctionQueries extends QueryBase {
         ORDER BY probe, matched"""),
       doc = "J6/N11 trigram-similarity fuzzy match via custom Catalyst expression; reference post_aspects.py:120-150"),
 
+    // J6 threshold form, written the way the reference's postgres SQL
+    // writes it: `similarity(a, b) >= t` as a bare theta-join predicate
+    // (post_aspects.py:120-150, threshold 0.65 there; 0.35 here for this
+    // hash-suffixed brand corpus). The session-registered optimizer rule
+    // (graft.plans.TrigramBoundRule) rewrites the comparison to the
+    // fused trigram_sim_ge_bounded form — an allocation-free O(len)
+    // length/char-diversity prune runs per pair before the full
+    // hash-set kernel, the planner-level analog of pg_trgm's GIN index
+    // prune. TrigramBoundRuleSpec asserts the rewrite lands in this
+    // query's optimized plan and that values are unchanged with the
+    // rule off. The oracle runs the UNPRUNED full-kernel form.
+    Q(
+      "join_trigram_prefilter",
+      (s, dir) => {
+        GraftFunctions.register(s)
+        val p = t(s, dir, "part")
+        val lex = s.createDataFrame(Seq(
+          Tuple1("brnad#13"), Tuple1("brand 45"), Tuple1("brnd#55"),
+          Tuple1("bramd#21"), Tuple1("zzzz"))).toDF("probe")
+        p.select(col("p_brand")).distinct()
+          .join(broadcast(lex), expr("trigram_sim(p_brand, probe) >= 0.35"))
+          .groupBy("probe")
+          .agg(count(lit(1)).as("n_matches"),
+            min(col("p_brand")).as("first_match"))
+          .orderBy("probe")
+      },
+      Some("""
+        WITH brands AS (SELECT DISTINCT p_brand FROM part),
+        probes AS (SELECT unnest(['brnad#13','brand 45','brnd#55','bramd#21','zzzz']) AS probe),
+        tg AS (
+          SELECT p_brand, probe,
+                 list_distinct(flatten([[substr(concat('  ', w, ' '), i, 3)
+                     FOR i IN range(1, length(w) + 2)]
+                   FOR w IN [x FOR x IN regexp_split_to_array(lower(p_brand), '[^a-z0-9]+')
+                             IF x <> '']])) AS t1,
+                 list_distinct(flatten([[substr(concat('  ', w, ' '), i, 3)
+                     FOR i IN range(1, length(w) + 2)]
+                   FOR w IN [x FOR x IN regexp_split_to_array(lower(probe), '[^a-z0-9]+')
+                             IF x <> '']])) AS t2
+          FROM brands CROSS JOIN probes),
+        scored AS (
+          SELECT p_brand, probe,
+                 CASE WHEN len(list_distinct(t1 || t2)) = 0 THEN 0.0
+                      ELSE len(list_intersect(t1, t2)) * 1.0 /
+                           len(list_distinct(t1 || t2)) END AS sim
+          FROM tg)
+        SELECT probe, count(*) AS n_matches, min(p_brand) AS first_match
+        FROM scored WHERE sim >= 0.35
+        GROUP BY probe ORDER BY probe"""),
+      doc = "trigram threshold theta-join auto-rewritten to the " +
+        "length/char-diversity-pruned form by the TrigramBoundRule " +
+        "optimizer rule (unpruned oracle, identical semantics)"),
+
     // P4: seeded Murmur3 privacy hash (seed 666, signed-int parity with
     // the reference's mmh3). Canonical per-vector parity is unit-tested
     // in Murmur3Spec; the gate additionally value-checks against a FULL
