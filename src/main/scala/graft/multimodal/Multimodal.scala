@@ -201,6 +201,132 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Textured variant of [[mintPng]] for the perceptual-hash fixture:
+    * dims `w = 9 + k % 5`, `h = 8 + k % 3` (at least the 9x8 dHash grid,
+    * so every grid cell samples a distinct pixel), per pixel
+    * `r = (k*31 + x*7  + y*13 + (k%7 +1)·x²) % 256`  (+bump, then %256)
+    * `g = (k*17 + x*11 + y*5  + (k%11+1)·x·y) % 256`
+    * `b = (k*29 + x*3  + y*19 + (k%13+1)·y²) % 256`.
+    * The quadratic cross-terms give every seed its own gradient-sign
+    * pattern, so dHashes are diverse (the purely linear [[mintPng]]
+    * formula makes thousands of images share a hash — LSH buckets
+    * saturate and planted pairs fall past the probe cap). Still a
+    * closed form over (k, x, y): the SQL oracle replays it exactly. */
+  def mintPngTextured(k: Long, bump: Int): Array[Byte] = {
+    val w = (9 + java.lang.Math.floorMod(k, 5L)).toInt
+    val h = (8 + java.lang.Math.floorMod(k, 3L)).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((java.lang.Math.floorMod(
+          k * 31 + x * 7 + y * 13 + (java.lang.Math.floorMod(k, 7L) + 1) * x * x,
+          256L) + bump) % 256).toInt
+        val g = java.lang.Math.floorMod(
+          k * 17 + x * 11 + y * 5 + (java.lang.Math.floorMod(k, 11L) + 1) * x * y,
+          256L).toInt
+        val b = java.lang.Math.floorMod(
+          k * 29 + x * 3 + y * 19 + (java.lang.Math.floorMod(k, 13L) + 1) * y * y,
+          256L).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Textured image-media fixture rows for the perceptual-hash stage:
+    * one [[mintPngTextured]] PNG per id (`bump = 0`), minted
+    * executor-side like [[asImageMedia]]. */
+  def asImageMediaTextured(docs: DataFrame): DataFrame = {
+    val mint = udf((id: Long) => mintPngTextured(id, 0))
+    docs.select(col("doc_id").cast("long").as("media_id"),
+        lit("image/png").as("kind"),
+        mint(col("doc_id").cast("long")).as("payload"))
+      .withColumn("n_bytes", length(col("payload")).cast("int"))
+  }
+
+  /** Planted near-dup rows: `media_id = doc_id + 100000`, payload minted
+    * from the ORIGINAL seed with the red channel bumped one level. */
+  def asImageMediaTexturedBumped(docs: DataFrame): DataFrame = {
+    val mint = udf((id: Long) => mintPngTextured(id, 1))
+    docs.select((col("doc_id").cast("long") + 100000L).as("media_id"),
+        lit("image/png").as("kind"),
+        mint(col("doc_id").cast("long")).as("payload"))
+      .withColumn("n_bytes", length(col("payload")).cast("int"))
+  }
+
+  /** 64-bit dHash (difference hash — the standard perceptual-hash
+    * family: aHash/dHash/pHash; dHash is the gradient variant) over the
+    * DECODED pixel grid, returned as four 16-bit bands for Hamming-ball
+    * LSH bucketing.
+    *
+    * Nearest-neighbor sample the decoded W×H image on a 9×8 grid
+    * (`sx = x·W/9`, `sy = y·H/8`, integer division), take integer
+    * luminance `(r+g+b)/3`, and set bit `(y%2)·8 + x` of band `y/2`
+    * when `lum(x+1,y) > lum(x,y)` — 64 adjacent-gradient bits total.
+    * Every step is integer-exact, so the SQL oracle recomputes the hash
+    * from the mint seed alone. `None` for undecodable payloads. */
+  def dHashBands(payload: Array[Byte]): Option[Array[Int]] = {
+    if (payload == null || payload.isEmpty) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    val lum = Array.ofDim[Int](8, 9)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val rgb = img.getRGB(x * w / 9, y * h / 8)
+        lum(y)(x) =
+          (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        x += 1
+      }
+      y += 1
+    }
+    val bands = new Array[Int](4)
+    y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (lum(y)(x + 1) > lum(y)(x)) bands(y / 2) |= 1 << ((y % 2) * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    Some(bands)
+  }
+
+  /** Batched perceptual-hash extraction (same mapPartitions batch shape
+    * as [[decodeMedia]]): real ImageIO decode → dHash bands, emitting
+    * `(media_id, b0, b1, b2, b3)`. Undecodable payloads are dropped —
+    * a near-dup stage has nothing to say about them. */
+  def imageDHash(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("b0", IntegerType, nullable = false),
+      StructField("b1", IntegerType, nullable = false),
+      StructField("b2", IntegerType, nullable = false),
+      StructField("b3", IntegerType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        dHashBands(r.getAs[Array[Byte]]("payload")).map { b =>
+          Row(r.getAs[Long]("media_id"), b(0), b(1), b(2), b(3))
+        }
+      }
+    }(enc)
+  }
+
+
   /** Image-media fixture rows: one minted PNG per document id. Minting
     * runs executor-side in the scan stage (a UDF over the id), so the
     * fixture is as distributed as a real payload column would be. */
