@@ -9,6 +9,47 @@ import org.apache.spark.sql.SparkSession
   * most of the work and flatter the numbers.
   */
 object Bench {
+
+  /** Co-tenancy signal: a second Spark JVM sharing these cores inflates
+    * every number 1.5-2.5x (the r5 post-round artifact was polluted
+    * exactly this way and had to be forensically discarded). Sampled at
+    * start and end of the timed region so a polluted artifact is
+    * machine-detectable from the JSON instead. Returns (1-min loadavg,
+    * other java JVMs, other SPARK/graft JVMs). */
+  private def cotenancy(): (Double, Int, Int) = {
+    val load =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0).toDouble
+      catch { case _: Throwable =>
+        java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean.getSystemLoadAverage
+      }
+    val self = ProcessHandle.current().pid()
+    var javas = 0
+    var sparks = 0
+    try {
+      import scala.jdk.CollectionConverters._
+      val it = java.nio.file.Files.list(java.nio.file.Paths.get("/proc"))
+      try it.iterator().asScala
+        .filter(_.getFileName.toString.forall(_.isDigit))
+        .foreach { p =>
+          try {
+            if (p.getFileName.toString.toLong != self) {
+              val cmd = new String(
+                java.nio.file.Files.readAllBytes(p.resolve("cmdline")))
+              if (cmd.contains("java")) {
+                javas += 1
+                if (cmd.contains("org.apache.spark") || cmd.contains("graft."))
+                  sparks += 1
+              }
+            }
+          } catch { case _: Throwable => }
+        }
+      finally it.close()
+    } catch { case _: Throwable => javas = -1; sparks = -1 }
+    (load, javas, sparks)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Driver contract: bench runs at local[32].
@@ -74,6 +115,7 @@ object Bench {
       case Some(f) => SparkEntry.queries.filter { case (n, _) => f(n) }
       case None => SparkEntry.queries
     }
+    val (loadStart, jvmStart, sparkStart) = cotenancy()
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def timeOne(name: String,
         fn: (org.apache.spark.sql.SparkSession, String) =>
@@ -132,7 +174,14 @@ object Bench {
     val total = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
     val errs = failed.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","cold_total":$coldTotal%.2f,"errors":$errs,"queries":$qs,"cold":$cs,"sf":"$sfDir"}""")
+    // Co-tenancy stamp: numbers from a contended run (another Spark JVM
+    // alive, or the machine already half-busy before timing) must carry
+    // the evidence in-band — a reader comparing rounds checks this flag
+    // before reading the seconds.
+    val (loadEnd, jvmEnd, sparkEnd) = cotenancy()
+    val contended = sparkStart > 0 || sparkEnd > 0 ||
+      loadStart >= cpus.toInt / 2.0
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","cold_total":$coldTotal%.2f,"errors":$errs,"load_start":$loadStart%.1f,"load_end":$loadEnd%.1f,"other_jvms":${math.max(jvmStart, jvmEnd)},"other_spark_jvms":${math.max(sparkStart, sparkEnd)},"contended":$contended,"queries":$qs,"cold":$cs,"sf":"$sfDir"}""")
     spark.stop()
     // A bench run with ANY erroring query must not look like a clean perf
     // gate (r4: window_sessionize failed with rows=-1 yet rc=0, so the
