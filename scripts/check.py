@@ -43,7 +43,12 @@ def main():
     outdir, sfdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+        # Driver fixtures are single files; MintScale output dirs hold
+        # part files — accept both.
+        path = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     results = {}
     for name in sorted(os.listdir(outdir)):
