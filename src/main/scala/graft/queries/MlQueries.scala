@@ -282,12 +282,25 @@ object MlQueries extends QueryBase {
           .select(col("n_members"), col("min_doc"))
       },
       Some("""
-        WITH h AS (
+        WITH h0 AS (
           SELECT doc_id,
                  [CAST(len(list_filter(cps, x -> x // 16 = b)) AS BIGINT)
                   FOR b IN range(16)] AS hist
           FROM (SELECT doc_id, [unicode(c) FOR c IN split(text, '')] AS cps
                 FROM documents)),
+        -- Replay the engine's bounded-driver-fit cap: distinct vectors
+        -- ranked (multiplicity DESC, min doc ASC), top 4096 kept; docs
+        -- whose vector falls past the cap are unlabeled (noise), exactly
+        -- as in the Spark side. (At sf0.01 the cap never binds; at
+        -- sf0.1 it does — 4782 distinct vectors.)
+        kept AS (
+          SELECT hist FROM (
+            SELECT hist,
+                   row_number() OVER (ORDER BY count(*) DESC,
+                                      min(doc_id) ASC) AS rn
+            FROM h0 GROUP BY hist)
+          WHERE rn <= 4096),
+        h AS (SELECT h0.* FROM h0 JOIN kept USING (hist)),
         n AS (
           SELECT doc_id, hist,
                  list_aggregate(list_transform(hist, x -> x * x), 'sum') AS s2
