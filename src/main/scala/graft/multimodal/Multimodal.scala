@@ -457,6 +457,111 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Textured variant of [[mintWav]] for the fingerprint fixture:
+    * `s_i = ((k·24097 + i·17 + (k%251+3)·i² + bump) % 65536) − 32768`
+    * (large odd phase multiplier so neighbor seeds land far apart).
+    * The plain mint is an arithmetic (+17 mod 2¹⁶) sequence — every
+    * seed is a PHASE SHIFT of the same stream, so acoustic shingles
+    * collide corpus-wide (4776 accidental pairs at sf0.01). The
+    * per-seed quadratic term gives each stream its own shape. `bump=1`
+    * is the planted near-dup: after 8-bit quantization at most 1/256 of
+    * samples change bucket, so the variant's fingerprint set overlaps
+    * the original's almost completely. Closed form over (k, i) — the
+    * SQL oracle replays it exactly. */
+  def mintWavTextured(k: Long, bump: Int): Array[Byte] = {
+    val n = (64 + java.lang.Math.floorMod(k, 65L)).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (java.lang.Math.floorMod(
+        k * 24097 + i * 17 + (java.lang.Math.floorMod(k, 251L) + 3) * i * i + bump,
+        65536L) - 32768L).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL decode to the raw signed 16-bit sample stream (first channel
+    * interleaved order, same parsing/guards as [[decodeAudio]]) — the
+    * input a fingerprinting stage needs. `None` for non-PCM16/unparseable
+    * payloads. */
+  def decodeAudioSamples(payload: Array[Byte]): Option[Array[Int]] = {
+    if (payload == null || payload.isEmpty) return None
+    val stream =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case _: java.io.IOException => null
+      }
+    if (stream == null) return None
+    try {
+      val fmt = stream.getFormat
+      if (fmt.getSampleSizeInBits != 16 ||
+        fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        return None
+      val bytes = stream.readAllBytes()
+      val n = bytes.length / 2
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        val lo = bytes(2 * i) & 0xff
+        val hi = bytes(2 * i + 1) & 0xff
+        out(i) =
+          if (fmt.isBigEndian) ((lo << 8) | hi).toShort.toInt
+          else ((hi << 8) | lo).toShort.toInt
+        i += 1
+      }
+      Some(out)
+    } finally stream.close()
+  }
+
+  /** Batched sample extraction (mapPartitions, same batch shape as the
+    * other decoders): `(media_id, smp array<int>)`; undecodable payloads
+    * dropped. Downstream fingerprinting stays EXPRESSION work over the
+    * bounded sample array — the decode is the only imperative step. */
+  def audioSampleFrame(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("smp", ArrayType(IntegerType, containsNull = false),
+        nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeAudioSamples(r.getAs[Array[Byte]]("payload")).map { s =>
+          Row(r.getAs[Long]("media_id"), s.toSeq)
+        }
+      }
+    }(enc)
+  }
+
+  /** Textured audio fixture rows (`bump = 0`), executor-side mint. */
+  def asAudioMediaTextured(docs: DataFrame): DataFrame = {
+    val mint = udf((id: Long) => mintWavTextured(id, 0))
+    docs.select(col("doc_id").cast("long").as("media_id"),
+        lit("audio/wav").as("kind"),
+        mint(col("doc_id").cast("long")).as("payload"))
+      .withColumn("n_bytes", length(col("payload")).cast("int"))
+  }
+
+  /** Planted audio near-dup rows: `media_id = doc_id + 100000`, payload
+    * minted from the ORIGINAL seed with `bump = 1`. */
+  def asAudioMediaTexturedBumped(docs: DataFrame): DataFrame = {
+    val mint = udf((id: Long) => mintWavTextured(id, 1))
+    docs.select((col("doc_id").cast("long") + 100000L).as("media_id"),
+        lit("audio/wav").as("kind"),
+        mint(col("doc_id").cast("long")).as("payload"))
+      .withColumn("n_bytes", length(col("payload")).cast("int"))
+  }
+
   /** Audio-media fixture rows: one minted WAV per document id,
     * executor-side like [[asImageMedia]]. */
   def asAudioMedia(docs: DataFrame): DataFrame = {

@@ -348,8 +348,104 @@ object DedupQueries extends QueryBase {
       "9x8 gradient grid) + Hamming-ball LSH band join, probe cap 32; " +
       "oracle recomputes the full pixel->hash chain from the mint seed")
 
+  /** Audio near-duplicate detection — the dedup family's third modality
+    * (text: [[winnowingQ]], image: [[imagePhashQ]]).
+    *
+    * Pipeline: mint one 16-bit PCM WAV per document id (+ a
+    * sample-shifted near-dup variant for every 10th id) → REAL
+    * javax.sound decode to the raw sample stream
+    * ([[graft.multimodal.Multimodal.audioSampleFrame]]) → 8-bit
+    * quantization → 4-gram acoustic shingles → w=4 window-minima
+    * fingerprint selection (the winnowing scheme over samples instead
+    * of characters — a Shazam-style constellation stand-in that keeps
+    * every step integer-exact) → capped fingerprint equi-join →
+    * shared-fingerprint count per pair. The +1 sample shift moves at
+    * most 1/256 of quantized values, so planted pairs share nearly all
+    * fingerprints while distinct seeds share none.
+    *
+    * Scale posture: decode is linear mapPartitions work; everything
+    * after it is codegen expression work per row; the only shuffles are
+    * the fingerprint hash-partition (probe cap 32) and the pair
+    * aggregate. The DuckDB oracle replays the ENTIRE chain — PCM
+    * formula, quantization, shingles, minima, cap — from the mint seed,
+    * so the real encode→decode path is value-checked end-to-end. */
+  private val audioFingerprintQ = Q(
+    "dedup_audio_fingerprint",
+    (s, dir) => {
+      val mm = graft.multimodal.Multimodal
+      val d = th(s, dir, "documents").select(col("doc_id"))
+      val media = mm.asAudioMediaTextured(d).unionByName(
+        mm.asAudioMediaTexturedBumped(d.filter(col("doc_id") % 10 === 0)))
+      val samp = mm.audioSampleFrame(media)
+      val fp = samp
+        .withColumn("q", expr(
+          "transform(smp, x -> CAST((x + 32768) DIV 256 AS BIGINT))"))
+        // Constant shingles (all four quantized samples equal — encoded
+        // value is a multiple of 16843009 = 0x01010101) are the audio
+        // analog of stopwords: every slowly-varying stream emits them,
+        // so they only manufacture cross-doc collisions. Drop them
+        // before fingerprint selection (both faces do).
+        .withColumn("g", expr(
+          "filter(transform(sequence(1, size(q) - 3), " +
+            "i -> ((q[i-1]*256 + q[i])*256 + q[i+1])*256 + q[i+2]), " +
+            "x -> x % 16843009 != 0)"))
+        .select(col("media_id"), explode(expr(
+          "array_distinct(CASE WHEN size(g) >= 4 THEN " +
+            "transform(sequence(1, size(g) - 3), " +
+            "j -> array_min(slice(g, j, 4))) " +
+            "ELSE CAST(array() AS array<bigint>) END)")).as("h"))
+      val wcap = Window.partitionBy("h").orderBy("media_id")
+      val capped = fp.withColumn("rn", row_number().over(wcap))
+        .filter(col("rn") <= 32).select("media_id", "h")
+      capped.as("a").join(capped.as("b"),
+          col("a.h") === col("b.h") && col("a.media_id") < col("b.media_id"))
+        .groupBy(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 20)
+        .orderBy(col("n_shared").desc, col("media_a"), col("media_b"))
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id AS media_id, doc_id AS k, 0 AS bump FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, doc_id, 1 FROM documents WHERE doc_id % 10 = 0),
+      smp AS (
+        SELECT media_id, i,
+               (k*24097 + i*17 + (k % 251 + 3)*i*i + bump) % 65536 - 32768 AS s
+        FROM (SELECT media_id, k, bump, CAST(64 + k % 65 AS BIGINT) AS n
+              FROM ids),
+             LATERAL (SELECT unnest(range(0, n)) AS i)),
+      qs AS (
+        SELECT media_id, list((s + 32768) // 256 ORDER BY i) AS ql
+        FROM smp GROUP BY media_id),
+      grams AS (
+        SELECT media_id,
+               [x FOR x IN [((ql[j]*256 + ql[j+1])*256 + ql[j+2])*256 + ql[j+3]
+                            FOR j IN range(1, len(ql) - 2)]
+                  IF x % 16843009 != 0] AS gl
+        FROM qs),
+      fps AS (
+        SELECT DISTINCT media_id, h FROM (
+          SELECT media_id, list_min(gl[j:j+3]) AS h
+          FROM grams, LATERAL (SELECT unnest(range(1, len(gl) - 2)) AS j))),
+      capped AS (
+        SELECT media_id, h FROM (
+          SELECT media_id, h,
+                 row_number() OVER (PARTITION BY h ORDER BY media_id) AS rn
+          FROM fps)
+        WHERE rn <= 32)
+      SELECT a.media_id AS media_a, b.media_id AS media_b,
+             count(*) AS n_shared
+      FROM capped a JOIN capped b
+        ON a.h = b.h AND a.media_id < b.media_id
+      GROUP BY 1, 2 HAVING count(*) >= 20
+      ORDER BY n_shared DESC, media_a, media_b"""),
+    doc = "audio near-dup fingerprints (real WAV decode, 8-bit quantized " +
+      "4-gram shingles, w=4 winnowing minima), capped fingerprint join; " +
+      "oracle replays PCM formula -> quantize -> shingle -> select -> cap")
+
   val all: Seq[Q] = Seq(incrementalBloomQ, paragraphDedupQ, winnowingQ,
-    imagePhashQ) ++ Seq(
+    imagePhashQ, audioFingerprintQ) ++ Seq(
     // Exact dedup: canonical-form fingerprint → hash-groupBy, keep the
     // minimum id (deterministic keeper). Input is documents ∪ a re-keyed
     // copy of every 10th doc, so the dup groups are non-trivial.
