@@ -480,13 +480,30 @@ object Multimodal {
       pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
       i += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    // Hand-rolled canonical 44-byte RIFF/WAVE header (PCM16 mono 8 kHz):
+    // AudioSystem.write's stream plumbing was ~half the mint cost at 50k
+    // payloads; the DECODE side still goes through the real
+    // javax.sound codec, which is the parity that matters
+    // (AudioFingerprintSpec checks decode == closed form).
+    riffWav(pcm, sampleRate = 8000, channels = 1)
+  }
+
+  /** Minimal RIFF/WAVE container around raw PCM16 little-endian data. */
+  private def riffWav(pcm: Array[Byte], sampleRate: Int,
+      channels: Int): Array[Byte] = {
+    val out = new Array[Byte](44 + pcm.length)
+    val bb = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val byteRate = sampleRate * channels * 2
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + pcm.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort) // PCM, channels
+      .putInt(sampleRate).putInt(byteRate)
+      .putShort((channels * 2).toShort).putShort(16) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(pcm.length)
+      .put(pcm)
+    out
   }
 
   /** REAL decode to the raw signed 16-bit sample stream (first channel
