@@ -365,24 +365,32 @@ object MlQueries extends QueryBase {
           .select("topic", "n_docs", "top_words")
       },
       // The Gibbs sampler is not SQL-expressible; these literals pin the
-      // seed-42 fit + assignment, DISPATCHED on corpus size so the gate
-      // is green at both the sf0.01 contract (500 docs) and the sf0.1
-      // audit scale (5000 docs). Any other sf selects no literal and
-      // fails loudly — regenerate the branch for a new gate sf.
+      // seed-42 fit + assignment, DISPATCHED on a corpus content
+      // signature (sum of text lengths — doc COUNT cannot tell sf0.001
+      // and sf0.01 apart, both mint 500 docs) so the gate is green at
+      // every driver sf. Any other corpus selects no literal and fails
+      // loudly — regenerate the branch for a new mint.
       Some("""
-        WITH n AS (SELECT count(*) AS c FROM documents)
+        WITH n AS (SELECT sum(length(text)) AS c FROM documents)
+        SELECT t.* FROM (VALUES
+          (2, 2, 'key column customer'),
+          (3, 426, 'part join hash'),
+          (5, 72, 'slow key data'))
+          AS t(topic, n_docs, top_words)
+        WHERE (SELECT c FROM n) = 153156
+        UNION ALL
         SELECT t.* FROM (VALUES
           (1, 2, 'filter order slow'),
           (3, 305, 'key column customer'),
           (5, 193, 'line merge row'))
           AS t(topic, n_docs, top_words)
-        WHERE (SELECT c FROM n) = 500
+        WHERE (SELECT c FROM n) = 149174
         UNION ALL
         SELECT t.* FROM (VALUES
           (3, 323, 'group merge table'),
           (6, 4677, 'join spark column'))
           AS t(topic, n_docs, top_words)
-        WHERE (SELECT c FROM n) = 5000
+        WHERE (SELECT c FROM n) = 1485576
         ORDER BY topic"""),
       doc = "N8 GSDMM bounded-sample fit + distributed broadcast argmax " +
         "assignment; reference topic_modeling.py:181-245; oracle = pinned " +
@@ -427,17 +435,23 @@ object MlQueries extends QueryBase {
       // Pinned seed-42 per-window output at the sf0.01 gate (same
       // regime as ml_gsdmm_topics; regenerate if the gate sf changes).
       Some("""
-        WITH n AS (SELECT count(*) AS c FROM documents)
+        WITH n AS (SELECT sum(length(text)) AS c FROM documents)
+        SELECT t.* FROM (VALUES
+          ('y0', 0, 4), ('y0', 3, 240), ('y0', 4, 6),
+          ('y1', 1, 66), ('y1', 3, 184))
+          AS t("window", topic, n_docs)
+        WHERE (SELECT c FROM n) = 153156
+        UNION ALL
         SELECT t.* FROM (VALUES
           ('y0', 0, 2), ('y0', 2, 2), ('y0', 4, 246),
           ('y1', 2, 1), ('y1', 3, 249))
           AS t("window", topic, n_docs)
-        WHERE (SELECT c FROM n) = 500
+        WHERE (SELECT c FROM n) = 149174
         UNION ALL
         SELECT t.* FROM (VALUES
           ('y0', 1, 250), ('y0', 3, 2250), ('y1', 3, 2500))
           AS t("window", topic, n_docs)
-        WHERE (SELECT c FROM n) = 5000
+        WHERE (SELECT c FROM n) = 1485576
         ORDER BY "window", topic"""),
       doc = "N8 per-window GSDMM (reference's per-year model loop): " +
         "independent bounded fits, per-window broadcast assignment; " +
