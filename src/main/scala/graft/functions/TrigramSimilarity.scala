@@ -117,25 +117,29 @@ object TrigramOps {
     out
   }
 
-  /** Packed (U << 32) | L pre-filter stats in ONE allocation-free scan.
-    * U = upper bound on |trigram set| = Σ over definite words (len + 1),
-    * with every char >= U+0080 adding 2 (it may lowercase into ascii
-    * alnum range and extend/split words — always an over-count, never
-    * under). L = lower bound = popcount(distinct definite alnum chars)
-    * + 1 when any definite word exists (each distinct word char is the
+  /** Packed (U << 32) | L pre-filter stats in ONE allocation-free scan
+    * DIRECTLY over the UTF8String's bytes (a String-decoding form cost a
+    * measurable ~10% per pair on non-pruning workloads).
+    * U = upper bound on |trigram set| = Σ over definite words (len + 1).
+    * L = lower bound = popcount(distinct definite ascii-alnum chars) + 1
+    * when any definite word exists (each distinct word char is the
     * middle of a distinct trigram; the "  c" lead gram of the first word
-    * has a space middle, so it is distinct from all of those). */
-  def stats(str: String): Long = {
+    * has a space middle, so it is distinct from all of those).
+    * ASCII bytes carry the exact char logic; every byte >= 0x80 (which includes UTF-8
+    * continuation bytes, so a multi-byte char counts once per byte) goes
+    * down the may-be-anything branch: +2 to U (over-count, sound for an
+    * upper bound), nothing to L (under-count, sound for a lower bound). */
+  def statsBytes(s: UTF8String): Long = {
     var total = 0
     var words = 0
     var extra = 0
     var inWord = false
     var bits = 0L
     var i = 0
-    val n = str.length
+    val n = s.numBytes()
     while (i < n) {
-      var c = str.charAt(i)
-      if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+      var c = s.getByte(i).toInt & 0xff
+      if (c >= 'A' && c <= 'Z') c += 32
       if (c >= 'a' && c <= 'z') {
         total += 1; bits |= 1L << (c - 'a')
         if (!inWord) { words += 1; inWord = true }
@@ -156,8 +160,8 @@ object TrigramOps {
     * sets nonempty (U > 0) and the cross size bounds U_x >= t · L_y
     * (relaxations of |A| >= t·|B| / |B| >= t·|A|). */
   def bound(a: UTF8String, b: UTF8String, t: Double): Boolean = {
-    val sa = stats(a.toString)
-    val sb = stats(b.toString)
+    val sa = statsBytes(a)
+    val sb = statsBytes(b)
     val ua = (sa >>> 32).toInt
     val la = sa.toInt
     val ub = (sb >>> 32).toInt
