@@ -444,8 +444,112 @@ object DedupQueries extends QueryBase {
       "4-gram shingles, w=4 winnowing minima), capped fingerprint join; " +
       "oracle replays PCM formula -> quantize -> shingle -> select -> cap")
 
+  /** Containment near-dup via bottom-k minhash — the ASYMMETRIC measure
+    * the Jaccard family can't express: a short fragment inside a long
+    * document has tiny Jaccard but containment ≈ 1 (Broder 1997's
+    * bottom-k containment estimate; the doc-inside-doc /
+    * decontamination shape).
+    *
+    * C(A,B) = |H(A) ∩ H(B)| / |H(A)| estimated from A's bottom-16
+    * shingle hashes: est = |bottom16(A) ∩ H(B)| / min(16, |H(A)|). Both
+    * engines compute the SAME md5-derived hashes, so the estimate is
+    * deterministic and the gate value-checks it exactly.
+    *
+    * Scale shape: bottom-k selection is a per-doc window over distinct
+    * hashes (k rows survive per fragment); candidates form ONLY via the
+    * hash equi-join with the standard per-hash posting cap 32 — a
+    * fragment is never compared against documents it shares no shingle
+    * with. Planted fragments (first half of every 10th doc, id+100000)
+    * must surface with containment 1.0 against their source. */
+  private val containmentQ = Q(
+    "dedup_containment_minhash",
+    (s, dir) => {
+      val d = th(s, dir, "documents").select(col("doc_id"), col("text"))
+      val frags = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          expr("array_join(slice(split(lower(text), ' '), 1, " +
+            "greatest(size(split(lower(text), ' ')) DIV 2, 5)), ' ')")
+            .as("text"))
+      def shingleHashes(df: DataFrame): DataFrame =
+        df.select(col("doc_id"), explode(shingles3).as("sg"))
+          .select(col("doc_id"), h64(col("sg")).as("h"))
+          .distinct()
+      val fragH = shingleHashes(frags)
+      val corpusH = shingleHashes(d)
+        .select(col("doc_id").as("src_id"), col("h"))
+      val nA = fragH.groupBy("doc_id")
+        .agg(least(count(lit(1)), lit(16L)).as("n_bottom"))
+      val wbot = Window.partitionBy("doc_id").orderBy("h")
+      val bottom = fragH.withColumn("rk", row_number().over(wbot))
+        .filter(col("rk") <= 16).select("doc_id", "h")
+      val wpost = Window.partitionBy("h").orderBy("src_id")
+      val posting = corpusH.withColumn("rk", row_number().over(wpost))
+        .filter(col("rk") <= 32).select("src_id", "h")
+      bottom.join(posting, Seq("h"))
+        .groupBy("doc_id", "src_id").agg(count(lit(1)).as("n_match"))
+        .join(nA, Seq("doc_id"))
+        .withColumn("containment", round(
+          col("n_match").cast("double") / col("n_bottom").cast("double"), 6))
+        .filter(col("containment") >= 0.8)
+        .select(col("doc_id").as("frag_id"), col("src_id"),
+          col("n_match"), col("containment"))
+        .orderBy("frag_id", "src_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, text FROM documents),
+      frags AS (
+        SELECT doc_id + 100000 AS doc_id,
+               array_to_string(toks[1 : greatest(len(toks)//2, 5)], ' ')
+                 AS text
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+              FROM d WHERE doc_id % 10 = 0)),
+      fragh AS (
+        SELECT DISTINCT doc_id,
+               CAST(concat('0x', substr(md5(sg), 1, 15)) AS BIGINT) AS h
+        FROM (SELECT doc_id,
+                     array_to_string(toks[i : i+2], ' ') AS sg
+              FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                    FROM frags),
+                   LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i)
+              WHERE len(toks) >= 3)),
+      corpush AS (
+        SELECT DISTINCT doc_id AS src_id,
+               CAST(concat('0x', substr(md5(sg), 1, 15)) AS BIGINT) AS h
+        FROM (SELECT doc_id,
+                     array_to_string(toks[i : i+2], ' ') AS sg
+              FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                    FROM d),
+                   LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i)
+              WHERE len(toks) >= 3)),
+      na AS (SELECT doc_id, least(count(*), 16) AS n_bottom
+             FROM fragh GROUP BY doc_id),
+      bottom AS (
+        SELECT doc_id, h FROM (
+          SELECT doc_id, h,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rk
+          FROM fragh)
+        WHERE rk <= 16),
+      posting AS (
+        SELECT src_id, h FROM (
+          SELECT src_id, h,
+                 row_number() OVER (PARTITION BY h ORDER BY src_id) AS rk
+          FROM corpush)
+        WHERE rk <= 32)
+      SELECT b.doc_id AS frag_id, p.src_id, count(*) AS n_match,
+             round(CAST(count(*) AS DOUBLE) / any_value(na.n_bottom), 6)
+               AS containment
+      FROM bottom b JOIN posting p ON b.h = p.h
+      JOIN na ON na.doc_id = b.doc_id
+      GROUP BY b.doc_id, p.src_id
+      HAVING round(CAST(count(*) AS DOUBLE) / any_value(na.n_bottom), 6)
+             >= 0.8
+      ORDER BY frag_id, src_id"""),
+    doc = "bottom-16 minhash CONTAINMENT estimate (Broder): asymmetric " +
+      "doc-inside-doc detection, hash-join blocking with posting cap 32; " +
+      "identical md5 hashes on both faces make the estimate exact")
+
   val all: Seq[Q] = Seq(incrementalBloomQ, paragraphDedupQ, winnowingQ,
-    imagePhashQ, audioFingerprintQ) ++ Seq(
+    imagePhashQ, audioFingerprintQ, containmentQ) ++ Seq(
     // Exact dedup: canonical-form fingerprint → hash-groupBy, keep the
     // minimum id (deterministic keeper). Input is documents ∪ a re-keyed
     // copy of every 10th doc, so the dup groups are non-trivial.

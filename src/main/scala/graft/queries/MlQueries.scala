@@ -108,7 +108,79 @@ object MlQueries extends QueryBase {
       FROM f1 CROSS JOIN sc)
   """
 
-  val all: Seq[Q] = Seq(
+  /** Jaccard link prediction over the customer–part bipartite graph —
+    * the classic common-neighbors recommender signal (Liben-Nowell &
+    * Kleinberg 2003): two customers are candidate links when they bought
+    * the same part, scored by Jaccard over their FULL part
+    * neighborhoods.
+    *
+    * Scale shape: candidate generation is blocked per part with the
+    * standard probe cap (32 customers per part, deterministic order), so
+    * pair volume is linear in parts; the exact intersection for the
+    * surviving pairs is one edges⋈edges join keyed by the pair, and
+    * degrees join in as two broadcast-sized aggregates. Nothing is
+    * quadratic in customers, nothing is collected. */
+  private val linkPredictionQ = Q(
+    "ml_link_prediction",
+    (s, dir) => {
+      val edges = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        .join(t(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+      val deg = edges.groupBy("c").agg(count(lit(1)).as("d"))
+      val wcap = Window.partitionBy("p").orderBy("c")
+      val capped = edges.withColumn("rk", row_number().over(wcap))
+        .filter(col("rk") <= 32).select("p", "c")
+      val cand = capped.as("x").join(capped.as("y"),
+          col("x.p") === col("y.p") && col("x.c") < col("y.c"))
+        .select(col("x.c").as("a"), col("y.c").as("b"))
+        .distinct()
+      val inter = cand
+        .join(edges.select(col("c").as("a"), col("p").as("pa")), Seq("a"))
+        .join(edges.select(col("c").as("b"), col("p").as("pb")), Seq("b"))
+        .filter(col("pa") === col("pb"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+      inter
+        .join(deg.select(col("c").as("a"), col("d").as("da")), Seq("a"))
+        .join(deg.select(col("c").as("b"), col("d").as("db")), Seq("b"))
+        .withColumn("jaccard", round(col("n_common").cast("double") /
+          (col("da") + col("db") - col("n_common")).cast("double"), 6))
+        .select("a", "b", "n_common", "jaccard")
+        .orderBy(col("jaccard").desc, col("n_common").desc, col("a"), col("b"))
+        .limit(25)
+    },
+    Some("""
+      WITH edges AS (
+        SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      deg AS (SELECT c, count(*) AS d FROM edges GROUP BY c),
+      capped AS (
+        SELECT p, c FROM (
+          SELECT p, c, row_number() OVER (PARTITION BY p ORDER BY c) AS rk
+          FROM edges)
+        WHERE rk <= 32),
+      cand AS (
+        SELECT DISTINCT x.c AS a, y.c AS b
+        FROM capped x JOIN capped y ON x.p = y.p AND x.c < y.c),
+      inter AS (
+        SELECT cand.a, cand.b, count(*) AS n_common
+        FROM cand
+        JOIN edges ea ON ea.c = cand.a
+        JOIN edges eb ON eb.c = cand.b AND eb.p = ea.p
+        GROUP BY cand.a, cand.b)
+      SELECT i.a, i.b, i.n_common,
+             round(CAST(i.n_common AS DOUBLE) /
+                   (da.d + db.d - i.n_common), 6) AS jaccard
+      FROM inter i
+      JOIN deg da ON da.c = i.a
+      JOIN deg db ON db.c = i.b
+      ORDER BY jaccard DESC, n_common DESC, a, b LIMIT 25"""),
+    doc = "Jaccard link prediction: per-part capped candidate blocking " +
+      "(linear in parts), exact intersection join for survivors, " +
+      "degree joins; Liben-Nowell & Kleinberg common-neighbors family")
+
+  val all: Seq[Q] = Seq(linkPredictionQ) ++ Seq(
     // N9 feature block: the full preprocessing frame, oracle-checked.
     Q(
       "ml_knn_features",
@@ -371,7 +443,7 @@ object MlQueries extends QueryBase {
       // every driver sf. Any other corpus selects no literal and fails
       // loudly — regenerate the branch for a new mint.
       Some("""
-        WITH n AS (SELECT sum(length(text)) AS c FROM documents)
+        WITH n AS (SELECT CAST(sum(length(text)) AS BIGINT) AS c FROM documents)
         SELECT t.* FROM (VALUES
           (2, 2, 'key column customer'),
           (3, 426, 'part join hash'),
@@ -435,7 +507,7 @@ object MlQueries extends QueryBase {
       // Pinned seed-42 per-window output at the sf0.01 gate (same
       // regime as ml_gsdmm_topics; regenerate if the gate sf changes).
       Some("""
-        WITH n AS (SELECT sum(length(text)) AS c FROM documents)
+        WITH n AS (SELECT CAST(sum(length(text)) AS BIGINT) AS c FROM documents)
         SELECT t.* FROM (VALUES
           ('y0', 0, 4), ('y0', 3, 240), ('y0', 4, 6),
           ('y1', 1, 66), ('y1', 3, 184))

@@ -18,7 +18,83 @@ object TextQueries extends QueryBase {
     * [[CurationDefs.toks]]). */
   private def toks = CurationDefs.toks
 
-  val all: Seq[Q] = Seq(
+  /** Flesch reading-ease scoring — the classic readability quality
+    * signal of a curation pipeline, computed entirely with per-doc
+    * expressions (no shuffle until the band rollup).
+    *
+    * This corpus has no sentence punctuation, so a sentence is defined
+    * as a 15-word span (`ceil(words/15)`, documented fixture
+    * convention); syllables are vowel-group runs `[aeiouy]+` with a
+    * 1-per-word floor — the standard cheap heuristic. The per-doc score
+    * `206.835 − 1.015·(w/s) − 84.6·(syll/w)` is a fixed-order double
+    * chain over exact integers, so it is bit-identical across engines;
+    * band averages aggregate integer MICRO-scores (score·1e6 rounded),
+    * keeping the rollup order-independent. */
+  private val readabilityQ = Q(
+    "text_readability_score",
+    (s, dir) => {
+      val d = th(s, dir, "documents")
+      val scored = d
+        .withColumn("tk", split(lower(col("text")), " "))
+        .withColumn("w", size(col("tk")).cast("long"))
+        .withColumn("sents", expr("(w + 14) DIV 15"))
+        .withColumn("syll", expr(
+          "aggregate(transform(tk, x -> " +
+            "greatest(CAST(regexp_count(x, '[aeiouy]+') AS BIGINT), 1L)), " +
+            "0L, (a, x) -> a + x)"))
+        .withColumn("score", lit(206.835) -
+          lit(1.015) * (col("w").cast("double") / col("sents").cast("double")) -
+          lit(84.6) * (col("syll").cast("double") / col("w").cast("double")))
+        .withColumn("score_micro",
+          round(col("score") * 1e6).cast("long"))
+      scored
+        .withColumn("band",
+          when(col("score") >= 90, "very_easy")
+            .when(col("score") >= 70, "easy")
+            .when(col("score") >= 50, "medium")
+            .when(col("score") >= 30, "hard")
+            .otherwise("very_hard"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_docs"),
+          round((sum(col("score_micro")).cast("double") /
+            count(lit(1)).cast("double")) / 1e6, 6).as("avg_score"),
+          min(col("score_micro")).as("min_micro"),
+          max(col("score_micro")).as("max_micro"))
+        .orderBy("band")
+    },
+    Some("""
+      WITH scored AS (
+        SELECT doc_id,
+               206.835
+                 - 1.015 * (CAST(w AS DOUBLE) / CAST((w + 14) // 15 AS DOUBLE))
+                 - 84.6 * (CAST(syll AS DOUBLE) / CAST(w AS DOUBLE)) AS score
+        FROM (
+          SELECT doc_id, CAST(len(toks) AS BIGINT) AS w,
+                 CAST(list_aggregate(list_transform(toks, x ->
+                   greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1)),
+                   'sum') AS BIGINT) AS syll
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                FROM documents))),
+      micro AS (
+        SELECT doc_id, score,
+               CAST(round(score * 1e6) AS BIGINT) AS score_micro,
+               CASE WHEN score >= 90 THEN 'very_easy'
+                    WHEN score >= 70 THEN 'easy'
+                    WHEN score >= 50 THEN 'medium'
+                    WHEN score >= 30 THEN 'hard'
+                    ELSE 'very_hard' END AS band
+        FROM scored)
+      SELECT band, count(*) AS n_docs,
+             round((CAST(sum(score_micro) AS DOUBLE) / count(*)) / 1e6, 6)
+               AS avg_score,
+             min(score_micro) AS min_micro,
+             max(score_micro) AS max_micro
+      FROM micro GROUP BY band ORDER BY band"""),
+    doc = "Flesch reading-ease bands (vowel-group syllables, 15-word " +
+      "pseudo-sentences): per-doc expression scoring, integer micro-score " +
+      "rollup — order-independent, bit-identical across engines")
+
+  val all: Seq[Q] = Seq(readabilityQ) ++ Seq(
     // N1/W5: tokenize + 1-based positional explode, global term counts.
     // reference src/absa/post_words.py:126-231.
     Q(
