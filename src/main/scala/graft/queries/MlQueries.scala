@@ -114,12 +114,16 @@ object MlQueries extends QueryBase {
     * the same part, scored by Jaccard over their FULL part
     * neighborhoods.
     *
-    * Scale shape: candidate generation is blocked per part with the
-    * standard probe cap (32 customers per part, deterministic order), so
-    * pair volume is linear in parts; the exact intersection for the
-    * surviving pairs is one edges⋈edges join keyed by the pair, and
-    * degrees join in as two broadcast-sized aggregates. Nothing is
-    * quadratic in customers, nothing is collected. */
+    * Scale shape: candidate generation AND common-neighbor counting are
+    * one per-part capped self-join (32 customers per part, deterministic
+    * order) → one (a,b) aggregate — pair volume is cap²-bounded per
+    * part, linear in parts. `n_common` therefore counts shared parts
+    * among capped postings (the standard blocking estimate, replayed by
+    * the oracle; a lower bound that is exact wherever the cap does not
+    * bind); degrees are exact full-neighborhood counts. An earlier form
+    * re-joined candidates against full edge lists for exact
+    * intersections — candidates × degree rows exploded to ~350M at
+    * sf0.1 (40 s); the capped count is the scalable shape. */
   private val linkPredictionQ = Q(
     "ml_link_prediction",
     (s, dir) => {
@@ -132,14 +136,9 @@ object MlQueries extends QueryBase {
       val wcap = Window.partitionBy("p").orderBy("c")
       val capped = edges.withColumn("rk", row_number().over(wcap))
         .filter(col("rk") <= 32).select("p", "c")
-      val cand = capped.as("x").join(capped.as("y"),
+      val inter = capped.as("x").join(capped.as("y"),
           col("x.p") === col("y.p") && col("x.c") < col("y.c"))
         .select(col("x.c").as("a"), col("y.c").as("b"))
-        .distinct()
-      val inter = cand
-        .join(edges.select(col("c").as("a"), col("p").as("pa")), Seq("a"))
-        .join(edges.select(col("c").as("b"), col("p").as("pb")), Seq("b"))
-        .filter(col("pa") === col("pb"))
         .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
       inter
         .join(deg.select(col("c").as("a"), col("d").as("da")), Seq("a"))
@@ -160,15 +159,10 @@ object MlQueries extends QueryBase {
           SELECT p, c, row_number() OVER (PARTITION BY p ORDER BY c) AS rk
           FROM edges)
         WHERE rk <= 32),
-      cand AS (
-        SELECT DISTINCT x.c AS a, y.c AS b
-        FROM capped x JOIN capped y ON x.p = y.p AND x.c < y.c),
       inter AS (
-        SELECT cand.a, cand.b, count(*) AS n_common
-        FROM cand
-        JOIN edges ea ON ea.c = cand.a
-        JOIN edges eb ON eb.c = cand.b AND eb.p = ea.p
-        GROUP BY cand.a, cand.b)
+        SELECT x.c AS a, y.c AS b, count(*) AS n_common
+        FROM capped x JOIN capped y ON x.p = y.p AND x.c < y.c
+        GROUP BY x.c, y.c)
       SELECT i.a, i.b, i.n_common,
              round(CAST(i.n_common AS DOUBLE) /
                    (da.d + db.d - i.n_common), 6) AS jaccard
@@ -176,9 +170,9 @@ object MlQueries extends QueryBase {
       JOIN deg da ON da.c = i.a
       JOIN deg db ON db.c = i.b
       ORDER BY jaccard DESC, n_common DESC, a, b LIMIT 25"""),
-    doc = "Jaccard link prediction: per-part capped candidate blocking " +
-      "(linear in parts), exact intersection join for survivors, " +
-      "degree joins; Liben-Nowell & Kleinberg common-neighbors family")
+    doc = "Jaccard link prediction: per-part capped blocking joins count " +
+      "shared parts in one cap-bounded aggregate (exact full degrees); " +
+      "Liben-Nowell & Kleinberg common-neighbors family")
 
   val all: Seq[Q] = Seq(linkPredictionQ) ++ Seq(
     // N9 feature block: the full preprocessing frame, oracle-checked.
