@@ -707,15 +707,24 @@ object CoreQueries extends QueryBase {
         val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
         val brands = broadcast(t(s, dir, "part")
           .select(col("p_partkey"), col("p_brand")))
-        val basket = li.join(brands, col("l_partkey") === col("p_partkey"))
-          .select(col("l_orderkey").as("oid"), col("p_brand").as("item"))
-          .distinct()
-        val nOrders = basket.agg(countDistinct("oid").as("n_orders"))
-        val itemN = basket.groupBy("item").agg(count(lit(1)).as("cnt"))
-        val pairs = basket.as("a")
-          .join(basket.as("b"), col("a.oid") === col("b.oid") &&
-            col("a.item") < col("b.item"))
-          .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+        // ONE oid shuffle builds the per-order item-set frame
+        // (collect_set dedups in the aggregate — no separate DISTINCT);
+        // everything downstream (order count, item counts, pair counts)
+        // derives from it with expressions and tiny aggregates. The
+        // earlier form re-derived the distinct basket four times and
+        // self-joined it on oid — 4 corpus shuffles instead of 1.
+        val items = li.join(brands, col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_orderkey").as("oid"))
+          .agg(sort_array(collect_set(col("p_brand"))).as("its"))
+        val nOrders = items.agg(count(lit(1)).as("n_orders"))
+        val itemN = items.select(explode(col("its")).as("item"))
+          .groupBy("item").agg(count(lit(1)).as("cnt"))
+        val pairs = items.filter(size(col("its")) >= 2)
+          .select(explode(expr(
+            "flatten(transform(sequence(0, size(its) - 2), " +
+              "i -> transform(sequence(i + 1, size(its) - 1), " +
+              "j -> struct(its[i] AS item_a, its[j] AS item_b))))")).as("p"))
+          .groupBy(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
           .agg(count(lit(1)).as("n_ab"))
         pairs
           .join(itemN.select(col("item").as("item_a"), col("cnt").as("n_a")),
