@@ -12,7 +12,88 @@ import org.apache.spark.sql.types.DecimalType
   */
 object CoreQueries extends QueryBase {
 
-  val all: Seq[Q] = Seq(
+  /** Count-min sketch point-frequency estimation (Cormode & Muthukrishnan
+    * 2005) — completes the sketch family (HLL distinct, GK quantiles,
+    * theta set ops, Misra–Gries heavy hitters) with the point-count
+    * estimator: d=4 hash rows × w=64 counters, estimate = min over rows,
+    * one-sided error (est ≥ exact always; est ≤ exact + e·N/w w.h.p.).
+    *
+    * The sketch build is one explode(×4) + a 256-group aggregate — the
+    * sketch SIZE is constant regardless of stream cardinality, which is
+    * the whole point at 100 TB: the shuffle carries (d, bucket) partial
+    * counts, never items. Hashes are md5-derived, so the DuckDB oracle
+    * rebuilds the identical sketch and the estimates are gate-exact; the
+    * output reports per-probe exact count, estimate, overshoot, and the
+    * deterministic halves of the contract (est ≥ exact must ALWAYS
+    * hold; the probabilistic e·N/w bound is reported as a flag). */
+  private val countMinQ = Q(
+    "agg_countmin_sketch",
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"))
+      val hcols = (0 until 4).map { d =>
+        struct(lit(d).as("d"),
+          pmod(expr(s"CAST(conv(substring(md5(concat('cm${d}_', " +
+            s"CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"),
+            lit(64L)).as("b"))
+      }
+      val cm = ev.select(explode(array(hcols: _*)).as("h"))
+        .groupBy(col("h.d").as("d"), col("h.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = ev.agg(count(lit(1)).as("n_total"))
+      val probes = ev.filter(col("user_id") < 8).distinct()
+      val probeBuckets = probes.select(col("user_id"),
+        explode(array(hcols: _*)).as("h"))
+        .select(col("user_id"), col("h.d").as("d"), col("h.b").as("b"))
+      val est = probeBuckets.join(cm, Seq("d", "b"))
+        .groupBy("user_id").agg(min(col("cnt")).as("est"))
+      val exact = ev.filter(col("user_id") < 8)
+        .groupBy("user_id").agg(count(lit(1)).as("exact"))
+      est.join(exact, Seq("user_id")).crossJoin(broadcast(tot))
+        .withColumn("overshoot", col("est") - col("exact"))
+        .withColumn("one_sided_ok", col("est") >= col("exact"))
+        .withColumn("within_eps_bound",
+          col("est") <= col("exact") +
+            ceil(lit(2.718281828) * col("n_total").cast("double") / 64d)
+              .cast("long"))
+        .select("user_id", "exact", "est", "overshoot", "one_sided_ok",
+          "within_eps_bound")
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH ev AS (SELECT user_id FROM events),
+      h AS (
+        SELECT user_id, d,
+               CAST(concat('0x', substr(md5(concat('cm', CAST(d AS VARCHAR),
+                 '_', CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 64
+                 AS b
+        FROM ev, (SELECT unnest(range(0, 4)) AS d)),
+      cm AS (SELECT d, b, count(*) AS cnt FROM h GROUP BY d, b),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM ev),
+      probes AS (SELECT DISTINCT user_id FROM ev WHERE user_id < 8),
+      pb AS (
+        SELECT p.user_id, d,
+               CAST(concat('0x', substr(md5(concat('cm', CAST(d AS VARCHAR),
+                 '_', CAST(p.user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 64
+                 AS b
+        FROM probes p, (SELECT unnest(range(0, 4)) AS d)),
+      est AS (
+        SELECT pb.user_id, min(cm.cnt) AS est
+        FROM pb JOIN cm ON cm.d = pb.d AND cm.b = pb.b
+        GROUP BY pb.user_id),
+      exact AS (
+        SELECT user_id, count(*) AS exact FROM ev WHERE user_id < 8
+        GROUP BY user_id)
+      SELECT e.user_id, x.exact, e.est, e.est - x.exact AS overshoot,
+             e.est >= x.exact AS one_sided_ok,
+             e.est <= x.exact + CAST(ceil(2.718281828 * n_total / 64)
+               AS BIGINT) AS within_eps_bound
+      FROM est e JOIN exact x ON x.user_id = e.user_id CROSS JOIN tot
+      ORDER BY e.user_id"""),
+    doc = "count-min sketch (d=4, w=64, md5 rows): constant-size sketch " +
+      "build, min-over-rows point estimates, one-sided error contract " +
+      "checked per probe; completes the sketch family")
+
+  val all: Seq[Q] = Seq(countMinQ) ++ Seq(
     // A1/A7-style multi-aggregate rollup (TPC-H Q1 shape). Decimal sums are
     // exact and shuffle-order-independent (oracle hash parity at any SF).
     Q(
