@@ -174,7 +174,117 @@ object MlQueries extends QueryBase {
       "shared parts in one cap-bounded aggregate (exact full degrees); " +
       "Liben-Nowell & Kleinberg common-neighbors family")
 
-  val all: Seq[Q] = Seq(linkPredictionQ) ++ Seq(
+  /** Multinomial Naive Bayes train + classify, fully distributed: the
+    * model is two bounded aggregates (per-(class, word) counts and class
+    * totals over the TRAIN half), broadcast against the TEST half —
+    * fitting never collects, classification is one broadcast join + one
+    * doc-keyed aggregate, the textbook NB-at-scale shape.
+    *
+    * Determinism: per-term log-likelihoods `ln((cnt+1)/(tot+V))`
+    * (Laplace α=1) are QUANTIZED to integer micro-units
+    * (`round(ln·1e6)`) before summing, so per-doc scores are exact
+    * integer sums — shuffle-order-independent and argmax-stable (the
+    * same integer-micro-unit discipline as ml_pagerank). Target label:
+    * whether the document contains the token "join" — derivable, so the
+    * oracle can recompute it, and learnable, so accuracy is meaningful
+    * (the target word itself remains a feature; this demonstrates the
+    * estimator, not a modeling best practice). Even doc_ids train, odd
+    * classify. */
+  private val naiveBayesQ = Q(
+    "ml_naive_bayes",
+    (s, dir) => {
+      val d = th(s, dir, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
+        .withColumn("label",
+          when(array_contains(col("tk"), "join"), 1).otherwise(0))
+      val train = d.filter(col("doc_id") % 2 === 0)
+      val test = d.filter(col("doc_id") % 2 =!= 0)
+      val tw = train.select(col("label"), explode(col("tk")).as("w"))
+      val wc = tw.groupBy("w").agg(
+        count(when(col("label") === 0, 1)).as("c0"),
+        count(when(col("label") === 1, 1)).as("c1"))
+      val stats = tw.agg(
+        count(when(col("label") === 0, 1)).as("tot0"),
+        count(when(col("label") === 1, 1)).as("tot1"),
+        countDistinct(col("w")).as("v"))
+      val nDocs = train.agg(
+        count(when(col("label") === 0, 1)).as("nd0"),
+        count(when(col("label") === 1, 1)).as("nd1"))
+      def termMicro(cnt: org.apache.spark.sql.Column,
+          tot: org.apache.spark.sql.Column) =
+        round(log((cnt + 1).cast("double") /
+          (tot + col("v")).cast("double")) * 1e6).cast("long")
+      val scoredTerms = test.select(col("doc_id"), col("label"),
+          explode(col("tk")).as("w"))
+        .join(broadcast(wc), Seq("w"), "left")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("label"),
+          termMicro(coalesce(col("c0"), lit(0L)), col("tot0")).as("t0"),
+          termMicro(coalesce(col("c1"), lit(0L)), col("tot1")).as("t1"))
+      val priors = nDocs.select(
+        round(log(col("nd0").cast("double") /
+          (col("nd0") + col("nd1")).cast("double")) * 1e6).cast("long").as("p0"),
+        round(log(col("nd1").cast("double") /
+          (col("nd0") + col("nd1")).cast("double")) * 1e6).cast("long").as("p1"))
+      scoredTerms.groupBy("doc_id", "label")
+        .agg(sum(col("t0")).as("s0"), sum(col("t1")).as("s1"))
+        .crossJoin(broadcast(priors))
+        .withColumn("pred",
+          when(col("p1") + col("s1") > col("p0") + col("s0"), 1).otherwise(0))
+        .groupBy("label", "pred")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("label", "pred")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS tk,
+               CASE WHEN list_contains(string_split(lower(text), ' '), 'join')
+                    THEN 1 ELSE 0 END AS label
+        FROM documents),
+      train AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+      test AS (SELECT * FROM d WHERE doc_id % 2 <> 0),
+      tw AS (SELECT label, unnest(tk) AS w FROM train),
+      wc AS (
+        SELECT w, count(*) FILTER (label = 0) AS c0,
+               count(*) FILTER (label = 1) AS c1
+        FROM tw GROUP BY w),
+      stats AS (
+        SELECT CAST(count(*) FILTER (label = 0) AS BIGINT) AS tot0,
+               CAST(count(*) FILTER (label = 1) AS BIGINT) AS tot1,
+               CAST(count(DISTINCT w) AS BIGINT) AS v
+        FROM tw),
+      nd AS (
+        SELECT CAST(count(*) FILTER (label = 0) AS BIGINT) AS nd0,
+               CAST(count(*) FILTER (label = 1) AS BIGINT) AS nd1
+        FROM train),
+      priors AS (
+        SELECT CAST(round(ln(CAST(nd0 AS DOUBLE) / (nd0 + nd1)) * 1e6)
+                 AS BIGINT) AS p0,
+               CAST(round(ln(CAST(nd1 AS DOUBLE) / (nd0 + nd1)) * 1e6)
+                 AS BIGINT) AS p1
+        FROM nd),
+      terms AS (
+        SELECT t.doc_id, t.label,
+               CAST(round(ln(CAST(coalesce(wc.c0, 0) + 1 AS DOUBLE) /
+                 (stats.tot0 + stats.v)) * 1e6) AS BIGINT) AS t0,
+               CAST(round(ln(CAST(coalesce(wc.c1, 0) + 1 AS DOUBLE) /
+                 (stats.tot1 + stats.v)) * 1e6) AS BIGINT) AS t1
+        FROM (SELECT doc_id, label, unnest(tk) AS w FROM test) t
+        LEFT JOIN wc ON wc.w = t.w
+        CROSS JOIN stats),
+      scored AS (
+        SELECT doc_id, label, sum(t0) AS s0, sum(t1) AS s1
+        FROM terms GROUP BY doc_id, label)
+      SELECT label,
+             CASE WHEN p1 + s1 > p0 + s0 THEN 1 ELSE 0 END AS pred,
+             count(*) AS n_docs
+      FROM scored CROSS JOIN priors
+      GROUP BY 1, 2 ORDER BY label, pred"""),
+    doc = "multinomial Naive Bayes (Laplace a=1): bounded broadcast " +
+      "model, integer micro-unit log-likelihood sums (order-independent " +
+      "argmax), confusion-matrix rollup; train/test by doc parity")
+
+  val all: Seq[Q] = Seq(linkPredictionQ, naiveBayesQ) ++ Seq(
     // N9 feature block: the full preprocessing frame, oracle-checked.
     Q(
       "ml_knn_features",
