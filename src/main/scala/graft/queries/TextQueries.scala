@@ -94,7 +94,89 @@ object TextQueries extends QueryBase {
       "pseudo-sentences): per-doc expression scoring, integer micro-score " +
       "rollup — order-independent, bit-identical across engines")
 
-  val all: Seq[Q] = Seq(readabilityQ) ++ Seq(
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    * maximal stopword-free token runs, word scores are degree/frequency
+    * over the candidate population, phrase score = Σ word scores — the
+    * classic unsupervised keyphrase baseline.
+    *
+    * This corpus has no natural function words, so the delimiter set is
+    * a fixed fixture stoplist drawn from its own highest-frequency
+    * tokens (documented convention, same spirit as the 15-word
+    * pseudo-sentences in [[readabilityQ]]). Shape: one doc-keyed shuffle
+    * reassembles phrases (cumulative stopword count = phrase group id),
+    * word stats are one vocabulary-sized aggregate, scoring is a
+    * broadcast join over distinct phrases. Scores are sums of small
+    * exact rationals rounded to 6; ordering uses the rounded value with
+    * a phrase tiebreak, so the top-k is deterministic. */
+  private val rakeQ = Q(
+    "text_keyword_rake",
+    (s, dir) => {
+      val stoplist = Seq("data", "row", "key", "join", "scan")
+      val d = th(s, dir, "documents")
+      val words = d.select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
+        .withColumn("is_stop", col("w").isInCollection(stoplist))
+      val wgrp = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val phrases = words
+        .withColumn("grp", sum(col("is_stop").cast("int")).over(wgrp))
+        .filter(!col("is_stop"))
+        .groupBy("doc_id", "grp")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, w))), " +
+          "t -> t.w)").as("ws"))
+        .filter(size(col("ws")).between(1, 4))
+        .select(array_join(col("ws"), " ").as("phrase"), col("ws"))
+      val wordStats = phrases
+        .select(explode(col("ws")).as("w"), size(col("ws")).as("len"))
+        .groupBy("w")
+        .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+      val phraseN = phrases.groupBy("phrase")
+        .agg(count(lit(1)).as("n_occ"), first(col("ws")).as("ws"))
+      phraseN.select(col("phrase"), col("n_occ"), explode(col("ws")).as("w"))
+        .join(broadcast(wordStats), Seq("w"))
+        .groupBy("phrase", "n_occ")
+        .agg(round(sum(col("deg").cast("double") / col("freq").cast("double")),
+          6).as("score"))
+        .orderBy(col("score").desc, col("phrase"))
+        .limit(25)
+    },
+    Some("""
+      WITH words AS (
+        SELECT doc_id, i AS pos, toks[i] AS w,
+               list_contains(['data','row','key','join','scan'], toks[i])
+                 AS is_stop
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+              FROM documents),
+             LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)),
+      grouped AS (
+        SELECT doc_id, pos, w, is_stop,
+               sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS grp
+        FROM words),
+      phrases AS (
+        SELECT array_to_string(ws, ' ') AS phrase, ws
+        FROM (SELECT doc_id, grp, list(w ORDER BY pos) AS ws
+              FROM grouped WHERE NOT is_stop GROUP BY doc_id, grp)
+        WHERE len(ws) BETWEEN 1 AND 4),
+      wordstats AS (
+        SELECT w, count(*) AS freq, CAST(sum(len) AS BIGINT) AS deg
+        FROM (SELECT unnest(ws) AS w, len(ws) AS len FROM phrases)
+        GROUP BY w),
+      phrasen AS (
+        SELECT phrase, count(*) AS n_occ, any_value(ws) AS ws
+        FROM phrases GROUP BY phrase)
+      SELECT p.phrase, p.n_occ,
+             round(sum(CAST(s.deg AS DOUBLE) / s.freq), 6) AS score
+      FROM (SELECT phrase, n_occ, unnest(ws) AS w FROM phrasen) p
+      JOIN wordstats s ON s.w = p.w
+      GROUP BY p.phrase, p.n_occ
+      ORDER BY score DESC, phrase LIMIT 25"""),
+    doc = "RAKE keyphrases: stopword-run phrase assembly (one doc " +
+      "shuffle), degree/frequency word scores, deterministic rounded " +
+      "top-k; Rose et al. 2010")
+
+  val all: Seq[Q] = Seq(readabilityQ, rakeQ) ++ Seq(
     // N1/W5: tokenize + 1-based positional explode, global term counts.
     // reference src/absa/post_words.py:126-231.
     Q(
