@@ -133,6 +133,60 @@ object JoinQueries extends QueryBase {
         ORDER BY p.event_id"""),
       doc = "as-of join via single window pass; DuckDB ASOF JOIN oracle"),
 
+    // J3 forward + tolerance variant — pandas merge_asof(direction=
+    // 'forward', tolerance=...): for each signup, the NEAREST FOLLOWING
+    // purchase by the same user, but only within 3 days (conversion-lag
+    // attribution). Same single-window-pass shape as join_asof, mirrored
+    // (first-following instead of last-preceding); the tolerance is a
+    // post-match predicate so "matched but too late" and "never matched"
+    // both surface as non-converted. Equal-ts purchases are visible to
+    // the signup (kind ordering) and dedup to the min event_id — the
+    // total order the oracle's deduped ASOF side encodes.
+    Q(
+      "join_asof_tolerance",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val kind = when(col("event_type") === "purchase", 1).otherwise(0)
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), kind, col("event_id"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        ev.withColumn("p_ts",
+            first(when(col("event_type") === "purchase", col("ts")),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "signup")
+          .withColumn("in_tol",
+            col("p_ts").isNotNull &&
+              col("p_ts") <= col("ts") + expr("INTERVAL 3 DAYS"))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("signup_ts"),
+            when(col("in_tol"),
+              date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss")).as("purchase_ts"),
+            col("in_tol").as("converted"),
+            when(col("in_tol"),
+              col("p_ts").cast("long") - col("ts").cast("long"))
+              .as("lag_seconds"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT s.event_id, s.user_id,
+               strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+               CASE WHEN p.ts <= s.ts + INTERVAL 3 DAY
+                    THEN strftime(p.ts, '%Y-%m-%d %H:%M:%S') END AS purchase_ts,
+               coalesce(p.ts <= s.ts + INTERVAL 3 DAY, FALSE) AS converted,
+               CASE WHEN p.ts <= s.ts + INTERVAL 3 DAY
+                    THEN CAST(floor(epoch(p.ts)) AS BIGINT)
+                         - CAST(floor(epoch(s.ts)) AS BIGINT)
+               END AS lag_seconds
+        FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase'
+                        QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                                   ORDER BY event_id ASC) = 1) p
+          ON s.user_id = p.user_id AND s.ts <= p.ts
+        ORDER BY s.event_id"""),
+      doc = "forward as-of with tolerance (merge_asof direction='forward', " +
+        "tolerance=3d): mirrored single window pass, conversion-lag " +
+        "attribution; DuckDB forward-ASOF oracle"),
+
     // J8/J13: interval join rewritten shuffle-linear — instead of
     // grid×facts BETWEEN (broadcast-nested-loop at scale), each fact
     // explodes to the bounded set of grid days it covers, then a plain
