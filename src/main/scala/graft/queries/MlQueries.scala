@@ -273,7 +273,8 @@ object MlQueries extends QueryBase {
         LEFT JOIN wc ON wc.w = t.w
         CROSS JOIN stats),
       scored AS (
-        SELECT doc_id, label, sum(t0) AS s0, sum(t1) AS s1
+        SELECT doc_id, label, CAST(sum(t0) AS BIGINT) AS s0,
+               CAST(sum(t1) AS BIGINT) AS s1
         FROM terms GROUP BY doc_id, label)
       SELECT label,
              CASE WHEN p1 + s1 > p0 + s0 THEN 1 ELSE 0 END AS pred,

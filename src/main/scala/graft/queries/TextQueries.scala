@@ -150,9 +150,9 @@ object TextQueries extends QueryBase {
              LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)),
       grouped AS (
         SELECT doc_id, pos, w, is_stop,
-               sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+               CAST(sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
                  OVER (PARTITION BY doc_id ORDER BY pos
-                       ROWS UNBOUNDED PRECEDING) AS grp
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp
         FROM words),
       phrases AS (
         SELECT array_to_string(ws, ' ') AS phrase, ws
