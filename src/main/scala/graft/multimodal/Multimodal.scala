@@ -240,6 +240,30 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Streaming-safe perceptual hashing: like [[imageDHash]] but carries
+    * the arrival timestamp through and packs the four bands into ONE
+    * 64-bit hash column — the shape a watermarked streaming dedup keys
+    * its state on. Stateless mapPartitions, so it composes with
+    * Structured Streaming directly. Input needs (media_id, payload,
+    * arrival). */
+  def imageDHashStamped(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("arrival", TimestampType, nullable = false),
+      StructField("h", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        dHashBands(r.getAs[Array[Byte]]("payload")).map { b =>
+          val h = (b(0).toLong & 0xffffL) | ((b(1).toLong & 0xffffL) << 16) |
+            ((b(2).toLong & 0xffffL) << 32) | ((b(3).toLong & 0xffffL) << 48)
+          Row(r.getAs[Long]("media_id"),
+            r.getAs[java.sql.Timestamp]("arrival"), h)
+        }
+      }
+    }(enc)
+  }
+
   /** Textured image-media fixture rows for the perceptual-hash stage:
     * one [[mintPngTextured]] PNG per id (`bump = 0`), minted
     * executor-side like [[asImageMedia]]. */

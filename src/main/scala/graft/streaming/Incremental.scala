@@ -56,6 +56,21 @@ object Incremental {
       .withWatermark(tsCol, late)
       .dropDuplicatesWithinWatermark(fingerprintCol)
 
+  /** Streaming multimodal near-dup gate — the ingest-time twin of the
+    * batch `dedup_image_phash` operator: arriving image payloads decode
+    * (REAL ImageIO, stateless mapPartitions) to the packed 64-bit dHash,
+    * and an arrival whose EXACT perceptual hash was already admitted
+    * inside the watermark horizon is dropped —
+    * `dropDuplicatesWithinWatermark` keys its bounded state on the hash,
+    * so state is O(distinct hashes per horizon), not O(stream). The
+    * Hamming-BALL pair search (near-but-not-identical) stays a
+    * batch/periodic job over the admitted set; the streaming gate
+    * removes the exact re-uploads that dominate real media ingest. */
+  def imagePhashDedupStream(media: DataFrame, late: String): DataFrame =
+    graft.multimodal.Multimodal.imageDHashStamped(media)
+      .withWatermark("arrival", late)
+      .dropDuplicatesWithinWatermark("h")
+
   /** Streaming heavy hitters — the continuous-ingest twin of the batch
     * `agg_heavy_hitters` query: per watermarked tumbling window, a
     * Misra–Gries summary ([[graft.functions.MisraGriesAgg]]) of the

@@ -115,6 +115,39 @@ class StreamingSpec extends SparkSpec {
     assert(batchDistinct === 100L)
   }
 
+  test("streaming image-phash dedup admits one row per perceptual hash") {
+    val tmp = Files.createTempDirectory("graft-stream-phash").toString
+    val mm = graft.multimodal.Multimodal
+    // Planted exact re-uploads: two mints from the SAME seed (identical
+    // PNG bytes → identical dHash) under different media ids.
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select("doc_id").limit(120)
+    val media = mm.asImageMediaTextured(docs)
+      .unionByName(mm.asImageMediaTextured(docs)
+        .withColumn("media_id", col("media_id") + 100000L))
+      .withColumn("arrival", timestamp_seconds(
+        unix_timestamp(lit("2024-01-01 00:00:00").cast("timestamp"))
+          + col("media_id") % 1000))
+    media.write.mode("overwrite").parquet(s"$tmp/src")
+    val src = Incremental.readStream(spark, s"$tmp/src",
+      spark.read.parquet(s"$tmp/src").schema)
+    val q = Incremental.runAvailableNow(
+      Incremental.imagePhashDedupStream(src, "10 minutes"),
+      s"$tmp/ckpt", s"$tmp/out")
+    q.awaitTermination()
+    val out = spark.read.parquet(s"$tmp/out")
+    val batch = mm.imageDHashStamped(spark.read.parquet(s"$tmp/src"))
+    val batchDistinct = batch.select("h").distinct().count()
+    // every re-upload collapsed; admitted set = the distinct hash set
+    assert(out.count() === batchDistinct)
+    assert(out.select("h").distinct().count() === batchDistinct)
+    // the planted duplicates actually collided (dedup had work to do);
+    // >= leaves room for an honest cross-seed hash collision
+    assert(batch.count() >= 2 * batchDistinct,
+      "every seed should appear at least twice via its identical re-upload")
+    assert(batchDistinct >= 100, "hashes should be diverse across seeds")
+  }
+
   test("streaming curation intake equals the batch transform row-for-row") {
     val tmp = Files.createTempDirectory("graft-stream-curate").toString
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
