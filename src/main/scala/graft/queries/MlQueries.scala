@@ -285,7 +285,133 @@ object MlQueries extends QueryBase {
       "model, integer micro-unit log-likelihood sums (order-independent " +
       "argmax), confusion-matrix rollup; train/test by doc parity")
 
-  val all: Seq[Q] = Seq(linkPredictionQ, naiveBayesQ) ++ Seq(
+  /** Logistic regression via full-batch gradient descent, 3 unrolled
+    * rounds — the convex companion to [[naiveBayesQ]]: each round is ONE
+    * aggregate of per-row gradient contributions (map-side partial, 5
+    * longs of state) plus a driver-side 5-value weight update — the
+    * k-means discipline (bounded driver state, zero data collect).
+    *
+    * Determinism: weights live in integer MICRO-units; each row's
+    * gradient term `(σ(w·x) − y)·x_j` is quantized to micro before the
+    * sum, so round aggregates are exact integer sums and the whole
+    * trajectory is shuffle-order-independent. Features: bias, words/100,
+    * avg word length, distinct-token ratio — all scaled to ≲1 so full-batch GD is stable — and a ±1 target indicator
+    * (the separating direction GD must find — the estimator demo, not a
+    * modeling recipe); target = document mentions "slow"; lr = 2. */
+  private val logRegQ = Q(
+    "ml_logreg_gd",
+    (s, dir) => {
+      val d = th(s, dir, "documents")
+        .withColumn("tk", split(lower(col("text")), " "))
+        .withColumn("n", size(col("tk")).cast("double"))
+        .withColumn("x1", col("n") / 1000d)
+        .withColumn("x2", expr(
+          "aggregate(tk, 0L, (a, x) -> a + length(x))").cast("double") /
+          (col("n") * 10d))
+        .withColumn("x3", size(array_distinct(col("tk"))).cast("double") /
+          col("n"))
+        .withColumn("y",
+          when(array_contains(col("tk"), "slow"), 1d).otherwise(0d))
+        .withColumn("x4", when(col("y") === 1d, 1d).otherwise(-1d))
+        .select(col("doc_id"), col("y"), col("x1"), col("x2"), col("x3"),
+          col("x4"))
+      val nDocs = d.count()
+      val lr = 2d
+      var w = Array(0L, 0L, 0L, 0L, 0L) // micro-units
+      def z = lit(w(0) / 1e6) + lit(w(1) / 1e6) * col("x1") +
+        lit(w(2) / 1e6) * col("x2") + lit(w(3) / 1e6) * col("x3") +
+        lit(w(4) / 1e6) * col("x4")
+      def sigma = lit(1d) / (lit(1d) + exp(-z))
+      for (_ <- 1 to 3) {
+        val err = sigma - col("y")
+        val g = d.agg(
+          sum(round(err * 1e6).cast("long")).as("g0"),
+          sum(round(err * col("x1") * 1e6).cast("long")).as("g1"),
+          sum(round(err * col("x2") * 1e6).cast("long")).as("g2"),
+          sum(round(err * col("x3") * 1e6).cast("long")).as("g3"),
+          sum(round(err * col("x4") * 1e6).cast("long")).as("g4")).head()
+        w = w.zipWithIndex.map { case (wj, j) =>
+          wj - math.round(lr * g.getLong(j).toDouble / nDocs)
+        }
+      }
+      d.withColumn("pred", when(sigma >= 0.5, 1d).otherwise(0d))
+        .groupBy(col("y").cast("int").as("label"),
+          col("pred").cast("int").as("pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("w_micro", lit(w.mkString(",")))
+        .orderBy("label", "pred")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               CASE WHEN list_contains(tk, 'slow') THEN 1.0 ELSE 0.0 END AS y,
+               CAST(len(tk) AS DOUBLE) / 1000 AS x1,
+               CAST(list_aggregate(list_transform(tk, x -> length(x)), 'sum')
+                 AS DOUBLE) / (len(tk) * 10) AS x2,
+               CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS x3,
+               CASE WHEN list_contains(tk, 'slow') THEN 1.0 ELSE -1.0 END
+                 AS x4
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
+              FROM documents)),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM d),
+      gr1 AS (
+        SELECT CAST(sum(CAST(round((0.5 - y) * 1e6) AS BIGINT)) AS BIGINT) AS g0,
+               CAST(sum(CAST(round((0.5 - y) * x1 * 1e6) AS BIGINT)) AS BIGINT) AS g1,
+               CAST(sum(CAST(round((0.5 - y) * x2 * 1e6) AS BIGINT)) AS BIGINT) AS g2,
+               CAST(sum(CAST(round((0.5 - y) * x3 * 1e6) AS BIGINT)) AS BIGINT) AS g3,
+               CAST(sum(CAST(round((0.5 - y) * x4 * 1e6) AS BIGINT)) AS BIGINT) AS g4
+        FROM d),
+      w1 AS (
+        SELECT 0 - CAST(round(2.0 * g0 / nd) AS BIGINT) AS w0,
+               0 - CAST(round(2.0 * g1 / nd) AS BIGINT) AS w1,
+               0 - CAST(round(2.0 * g2 / nd) AS BIGINT) AS w2,
+               0 - CAST(round(2.0 * g3 / nd) AS BIGINT) AS w3,
+               0 - CAST(round(2.0 * g4 / nd) AS BIGINT) AS w4
+        FROM gr1, n),
+      gr2 AS (
+        SELECT CAST(sum(CAST(round((1/(1+exp(-(w0/1e6 + w1/1e6*x1 + w2/1e6*x2 + w3/1e6*x3 + w4/1e6*x4))) - y) * 1e6) AS BIGINT)) AS BIGINT) AS g0,
+               CAST(sum(CAST(round((1/(1+exp(-(w0/1e6 + w1/1e6*x1 + w2/1e6*x2 + w3/1e6*x3 + w4/1e6*x4))) - y) * x1 * 1e6) AS BIGINT)) AS BIGINT) AS g1,
+               CAST(sum(CAST(round((1/(1+exp(-(w0/1e6 + w1/1e6*x1 + w2/1e6*x2 + w3/1e6*x3 + w4/1e6*x4))) - y) * x2 * 1e6) AS BIGINT)) AS BIGINT) AS g2,
+               CAST(sum(CAST(round((1/(1+exp(-(w0/1e6 + w1/1e6*x1 + w2/1e6*x2 + w3/1e6*x3 + w4/1e6*x4))) - y) * x3 * 1e6) AS BIGINT)) AS BIGINT) AS g3,
+               CAST(sum(CAST(round((1/(1+exp(-(w0/1e6 + w1/1e6*x1 + w2/1e6*x2 + w3/1e6*x3 + w4/1e6*x4))) - y) * x4 * 1e6) AS BIGINT)) AS BIGINT) AS g4
+        FROM d, w1),
+      w2 AS (
+        SELECT w1.w0 - CAST(round(2.0 * gr2.g0 / nd) AS BIGINT) AS w0,
+               w1.w1 - CAST(round(2.0 * gr2.g1 / nd) AS BIGINT) AS w1,
+               w1.w2 - CAST(round(2.0 * gr2.g2 / nd) AS BIGINT) AS w2,
+               w1.w3 - CAST(round(2.0 * gr2.g3 / nd) AS BIGINT) AS w3,
+               w1.w4 - CAST(round(2.0 * gr2.g4 / nd) AS BIGINT) AS w4
+        FROM gr2, w1, n),
+      gr3 AS (
+        SELECT CAST(sum(CAST(round((1/(1+exp(-(w0/1e6 + w1/1e6*x1 + w2/1e6*x2 + w3/1e6*x3 + w4/1e6*x4))) - y) * 1e6) AS BIGINT)) AS BIGINT) AS g0,
+               CAST(sum(CAST(round((1/(1+exp(-(w0/1e6 + w1/1e6*x1 + w2/1e6*x2 + w3/1e6*x3 + w4/1e6*x4))) - y) * x1 * 1e6) AS BIGINT)) AS BIGINT) AS g1,
+               CAST(sum(CAST(round((1/(1+exp(-(w0/1e6 + w1/1e6*x1 + w2/1e6*x2 + w3/1e6*x3 + w4/1e6*x4))) - y) * x2 * 1e6) AS BIGINT)) AS BIGINT) AS g2,
+               CAST(sum(CAST(round((1/(1+exp(-(w0/1e6 + w1/1e6*x1 + w2/1e6*x2 + w3/1e6*x3 + w4/1e6*x4))) - y) * x3 * 1e6) AS BIGINT)) AS BIGINT) AS g3,
+               CAST(sum(CAST(round((1/(1+exp(-(w0/1e6 + w1/1e6*x1 + w2/1e6*x2 + w3/1e6*x3 + w4/1e6*x4))) - y) * x4 * 1e6) AS BIGINT)) AS BIGINT) AS g4
+        FROM d, w2),
+      w3 AS (
+        SELECT w2.w0 - CAST(round(2.0 * gr3.g0 / nd) AS BIGINT) AS w0,
+               w2.w1 - CAST(round(2.0 * gr3.g1 / nd) AS BIGINT) AS w1,
+               w2.w2 - CAST(round(2.0 * gr3.g2 / nd) AS BIGINT) AS w2,
+               w2.w3 - CAST(round(2.0 * gr3.g3 / nd) AS BIGINT) AS w3,
+               w2.w4 - CAST(round(2.0 * gr3.g4 / nd) AS BIGINT) AS w4
+        FROM gr3, w2, n)
+      SELECT CAST(y AS INT) AS label,
+             CAST(CASE WHEN 1/(1+exp(-(w0/1e6 + w1/1e6*x1 + w2/1e6*x2
+               + w3/1e6*x3 + w4/1e6*x4))) >= 0.5 THEN 1 ELSE 0 END AS INT)
+               AS pred,
+             count(*) AS n_docs,
+             any_value(concat(CAST(w0 AS VARCHAR), ',', CAST(w1 AS VARCHAR),
+               ',', CAST(w2 AS VARCHAR), ',', CAST(w3 AS VARCHAR), ',',
+               CAST(w4 AS VARCHAR))) AS w_micro
+      FROM d, w3
+      GROUP BY 1, 2 ORDER BY label, pred"""),
+    doc = "logistic regression, 3 full-batch GD rounds (lr=2): one 5-long " +
+      "gradient aggregate per round + driver weight update (k-means " +
+      "discipline); integer micro-unit quantization keeps the whole " +
+      "trajectory order-independent; oracle unrolls the rounds in SQL")
+
+  val all: Seq[Q] = Seq(linkPredictionQ, naiveBayesQ, logRegQ) ++ Seq(
     // N9 feature block: the full preprocessing frame, oracle-checked.
     Q(
       "ml_knn_features",
