@@ -130,9 +130,13 @@ object TrigramOps {
     * down the may-be-anything branch: +2 to U (over-count, sound for an
     * upper bound), nothing to L (under-count, sound for a lower bound). */
   def statsBytes(s: UTF8String): Long = {
-    var total = 0
-    var words = 0
-    var extra = 0
+    // Long accumulators: a multi-GB multi-byte string would overflow Int
+    // counters (+2 per byte >= 0x80), turning U negative and silently
+    // pruning a pair the unguarded kernel would keep. Long keeps the
+    // upper bound sound; the packed U is clamped to Int.MaxValue below.
+    var total = 0L
+    var words = 0L
+    var extra = 0L
     var inWord = false
     var bits = 0L
     var i = 0
@@ -151,9 +155,9 @@ object TrigramOps {
       } else inWord = false
       i += 1
     }
-    val u = total + words + extra
+    val u = math.min(total + words + extra, Int.MaxValue.toLong)
     val l = if (words > 0) java.lang.Long.bitCount(bits) + 1 else 0
-    (u.toLong << 32) | l.toLong
+    (u << 32) | l.toLong
   }
 
   /** Cheap necessary condition for sim(a, b) >= t (t > 0): both trigram

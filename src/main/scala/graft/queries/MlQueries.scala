@@ -331,7 +331,11 @@ object MlQueries extends QueryBase {
           sum(round(err * col("x3") * 1e6).cast("long")).as("g3"),
           sum(round(err * col("x4") * 1e6).cast("long")).as("g4")).head()
         w = w.zipWithIndex.map { case (wj, j) =>
-          wj - math.round(lr * g.getLong(j).toDouble / nDocs)
+          // Half-away-from-zero to match DuckDB round() and Spark round
+          // (scala math.round is half-toward-+inf, which would diverge on
+          // an exact negative .5 step).
+          val step = lr * g.getLong(j).toDouble / nDocs
+          wj - math.signum(step).toLong * math.round(math.abs(step))
         }
       }
       d.withColumn("pred", when(sigma >= 0.5, 1d).otherwise(0d))
