@@ -13,9 +13,18 @@ object Bench {
   /** Co-tenancy signal: a second Spark JVM sharing these cores inflates
     * every number 1.5-2.5x (the r5 post-round artifact was polluted
     * exactly this way and had to be forensically discarded). Sampled at
-    * start and end of the timed region so a polluted artifact is
-    * machine-detectable from the JSON instead. Returns (1-min loadavg,
-    * other java JVMs, other SPARK/graft JVMs). */
+    * start and end of the timed region AND before every query (the r6
+    * start/end-only stamp could call a run clean while a transient
+    * co-tenant landed a 10x spike mid-run). Returns (1-min loadavg,
+    * other java JVMs, other SPARK/graft JVMs).
+    *
+    * JVMs are recognized by the `/proc/<pid>/exe` symlink (basename
+    * `java`), NOT by grepping the cmdline blob: any process whose
+    * argument text merely MENTIONS java/graft (an editor, a shell
+    * carrying a prompt, a log tailer) would otherwise count as a
+    * co-tenant Spark JVM — the r6 stamp had exactly that false
+    * positive. Spark classification then looks at the real argv tokens:
+    * a `graft.*` main class or a Spark jar/class path. */
   private def cotenancy(): (Double, Int, Int) = {
     val load =
       try new String(java.nio.file.Files.readAllBytes(
@@ -35,11 +44,16 @@ object Bench {
         .foreach { p =>
           try {
             if (p.getFileName.toString.toLong != self) {
-              val cmd = new String(
-                java.nio.file.Files.readAllBytes(p.resolve("cmdline")))
-              if (cmd.contains("java")) {
+              val exe =
+                try java.nio.file.Files.readSymbolicLink(p.resolve("exe"))
+                  .getFileName.toString
+                catch { case _: Throwable => "" }
+              if (exe == "java") {
                 javas += 1
-                if (cmd.contains("org.apache.spark") || cmd.contains("graft."))
+                val argv = new String(java.nio.file.Files.readAllBytes(
+                  p.resolve("cmdline"))).split('\u0000')
+                if (argv.exists(a => a.startsWith("graft.") ||
+                    a.contains("org.apache.spark") || a.contains("spark/jars")))
                   sparks += 1
               }
             }
@@ -117,6 +131,8 @@ object Bench {
     }
     val (loadStart, jvmStart, sparkStart) = cotenancy()
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    val contendedQueries = scala.collection.mutable.LinkedHashSet.empty[String]
+    val perQueryLoad = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def timeOne(name: String,
         fn: (org.apache.spark.sql.SparkSession, String) =>
           org.apache.spark.sql.DataFrame): Double = {
@@ -138,12 +154,22 @@ object Bench {
       // takes multi-second scheduler stalls at random moments, so a
       // suspicious warm repeat (>2 s) gets one extra execution and the
       // repeat-min is reported as warm.
+      // Per-query contention sample (verdict r6 item 3): the start/end
+      // stamp under-samples — a transient co-tenant can land a 10x spike
+      // mid-run and leave the artifact marked clean. One /proc walk per
+      // query (~1 ms) localizes which queries ran under load.
+      val (qLoad, _, qSparks) = cotenancy()
       val cold = timeOne(name, fn)
       val second = timeOne(name, fn)
       val repeats =
         if (second > 2.0) Seq(second, timeOne(name, fn)) else Seq(second)
       val warm = repeats.min
       val runs = cold +: repeats
+      val (qLoad2, _, qSparks2) = cotenancy()
+      val qContended = math.max(qSparks, qSparks2) > 0 ||
+        math.max(qLoad, qLoad2) >= cpus.toInt / 2.0
+      if (qContended) contendedQueries += name
+      perQueryLoad(name) = math.max(qLoad, qLoad2)
       // Untimed row count (plan re-executes column-pruned; not part of
       // the reported seconds) — lets the artifact distinguish "plan got
       // slower" from "plan produced different work".
@@ -158,7 +184,9 @@ object Bench {
     // make it the LAST line printed).
     val detail = results.map { case (name, _, _, runs, rows) =>
       val rs = runs.map(r => f"$r%.3f").mkString("[", ",", "]")
-      s""""$name":{"runs":$rs,"rows":$rows}"""
+      val ld = f"${perQueryLoad.getOrElse(name, -1.0)}%.1f"
+      val ct = contendedQueries.contains(name)
+      s""""$name":{"runs":$rs,"rows":$rows,"load":$ld,"contended":$ct}"""
     }.mkString("{", ",", "}")
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
@@ -180,8 +208,10 @@ object Bench {
     // before reading the seconds.
     val (loadEnd, jvmEnd, sparkEnd) = cotenancy()
     val contended = sparkStart > 0 || sparkEnd > 0 ||
-      loadStart >= cpus.toInt / 2.0
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","cold_total":$coldTotal%.2f,"errors":$errs,"load_start":$loadStart%.1f,"load_end":$loadEnd%.1f,"other_jvms":${math.max(jvmStart, jvmEnd)},"other_spark_jvms":${math.max(sparkStart, sparkEnd)},"contended":$contended,"queries":$qs,"cold":$cs,"sf":"$sfDir"}""")
+      loadStart >= cpus.toInt / 2.0 || contendedQueries.nonEmpty
+    val cq = contendedQueries.toSeq.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","cold_total":$coldTotal%.2f,"errors":$errs,"load_start":$loadStart%.1f,"load_end":$loadEnd%.1f,"other_jvms":${math.max(jvmStart, jvmEnd)},"other_spark_jvms":${math.max(sparkStart, sparkEnd)},"contended":$contended,"contended_queries":$cq,"queries":$qs,"cold":$cs,"sf":"$sfDir"}""")
     spark.stop()
     // A bench run with ANY erroring query must not look like a clean perf
     // gate (r4: window_sessionize failed with rows=-1 yet rc=0, so the

@@ -53,11 +53,15 @@ object DedupQueries extends QueryBase {
     val e = th(s, dir, "embeddings")
     val v = e.select(col("vec_id"), col("embedding").as("vv"))
     graft.functions.GraftFunctions.register(s)
-    val wCap = Window.partitionBy("bd", "bkey").orderBy("vec_id")
-    val buckets = v.select(col("vec_id"),
-        posexplode(expr("band_keys_f(vv)")).as(Seq("bd", "bkey")))
-      .withColumn("rk", row_number().over(wCap))
-      .filter(col("rk") <= 32)
+    // Probe cap via the TopKPerKey operator (r6 verdict item 1): the
+    // row_number window form sorts every bucket in full; the bounded
+    // heap keeps the same k-smallest vec_ids per (bd, bkey) — identical
+    // rows because the ordering is total — with a map-side partial cap
+    // instead of a per-bucket sort.
+    val buckets = graft.plans.TopK.perKey(
+        v.select(col("vec_id"),
+          posexplode(expr("band_keys_f(vv)")).as(Seq("bd", "bkey"))),
+        Seq("bd", "bkey"), Seq(("vec_id", true)), 32)
       .select(col("vec_id"), col("bd"), col("bkey"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = buckets.as("a").join(buckets.as("b"),
@@ -121,9 +125,11 @@ object DedupQueries extends QueryBase {
         "transform(sequence(0, (size(split(text, ' ')) - 1) DIV 10), " +
           "i -> array_join(slice(split(text, ' '), i * 10 + 1, 10), ' '))"))
         .as(Seq("idx", "seg")))
-      val w = Window.partitionBy("seg").orderBy(col("doc_id"), col("idx"))
-      val kept = segs.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
+      // Keep-first = top-1 per segment hash: TopKPerKey with k=1 (total
+      // order (doc_id, idx)) — a bounded single-slot heap per segment
+      // instead of sorting every duplicate group.
+      val kept = graft.plans.TopK.perKey(
+          segs, Seq("seg"), Seq(("doc_id", true), ("idx", true)), 1)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_kept"),
           array_join(expr(
@@ -193,9 +199,12 @@ object DedupQueries extends QueryBase {
         "array_distinct(transform(sequence(1, greatest(size(hs) - 3, 1)), " +
           "j -> array_min(slice(hs, j, 4))))")).as("h"))
         .distinct()
-      val wcap = Window.partitionBy("h").orderBy("doc_id")
-      val capped = fp.withColumn("rn", row_number().over(wcap))
-        .filter(col("rn") <= 32).select("doc_id", "h")
+      // Posting cap through TopKPerKey: same 32 smallest doc_ids per
+      // fingerprint (total order), bounded heap instead of the full
+      // per-fingerprint sort the row_number window pays.
+      val capped = graft.plans.TopK.perKey(
+          fp, Seq("h"), Seq(("doc_id", true)), 32)
+        .select("doc_id", "h")
       capped.as("a").join(capped.as("b"),
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -274,9 +283,11 @@ object DedupQueries extends QueryBase {
         col("b0"), col("b1"), col("b2"), col("b3"),
         posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
           .as(Seq("band", "bv")))
-      val wcap = Window.partitionBy("band", "bv").orderBy("media_id")
-      val capped = bands.withColumn("rn", row_number().over(wcap))
-        .filter(col("rn") <= 32).drop("rn")
+      // Per-bucket probe cap through TopKPerKey (same rows as the
+      // row_number form — (band, bv, media_id) is unique — minus the
+      // per-bucket sort).
+      val capped = graft.plans.TopK.perKey(
+        bands, Seq("band", "bv"), Seq(("media_id", true)), 32)
       capped.as("a").join(capped.as("b"),
           col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
             col("a.media_id") < col("b.media_id"))
@@ -394,9 +405,11 @@ object DedupQueries extends QueryBase {
             "transform(sequence(1, size(g) - 3), " +
             "j -> array_min(slice(g, j, 4))) " +
             "ELSE CAST(array() AS array<bigint>) END)")).as("h"))
-      val wcap = Window.partitionBy("h").orderBy("media_id")
-      val capped = fp.withColumn("rn", row_number().over(wcap))
-        .filter(col("rn") <= 32).select("media_id", "h")
+      // Fingerprint posting cap via TopKPerKey (bounded heap, no
+      // per-fingerprint sort; identical rows — total order).
+      val capped = graft.plans.TopK.perKey(
+          fp, Seq("h"), Seq(("media_id", true)), 32)
+        .select("media_id", "h")
       capped.as("a").join(capped.as("b"),
           col("a.h") === col("b.h") && col("a.media_id") < col("b.media_id"))
         .groupBy(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"))
@@ -479,12 +492,17 @@ object DedupQueries extends QueryBase {
         .select(col("doc_id").as("src_id"), col("h"))
       val nA = fragH.groupBy("doc_id")
         .agg(least(count(lit(1)), lit(16L)).as("n_bottom"))
-      val wbot = Window.partitionBy("doc_id").orderBy("h")
-      val bottom = fragH.withColumn("rk", row_number().over(wbot))
-        .filter(col("rk") <= 16).select("doc_id", "h")
-      val wpost = Window.partitionBy("h").orderBy("src_id")
-      val posting = corpusH.withColumn("rk", row_number().over(wpost))
-        .filter(col("rk") <= 32).select("src_id", "h")
+      // Both caps through TopKPerKey (r6 verdict item 1): the window
+      // form paid two corpus-shingle-sized sort passes (the query's
+      // whole cold cost); the bounded heaps keep the same rows —
+      // bottom-16 hashes per fragment, 32 smallest src_ids per hash —
+      // with map-side partial caps and no per-group sort.
+      val bottom = graft.plans.TopK.perKey(
+          fragH, Seq("doc_id"), Seq(("h", true)), 16)
+        .select("doc_id", "h")
+      val posting = graft.plans.TopK.perKey(
+          corpusH, Seq("h"), Seq(("src_id", true)), 32)
+        .select("src_id", "h")
       bottom.join(posting, Seq("h"))
         .groupBy("doc_id", "src_id").agg(count(lit(1)).as("n_match"))
         .join(nA, Seq("doc_id"))
@@ -597,18 +615,17 @@ object DedupQueries extends QueryBase {
         // Probe cap (see dedup_embedding_cosine): near-identical template
         // docs collide on whole signatures, so an uncapped bucket join
         // goes quadratic in the hottest bucket.
-        val wCap = Window.partitionBy("bd", "bkey").orderBy("doc_id")
-        val bands = shingled.withColumn("sig", expr("minhash_sig(sh, 12)"))
-          .select(col("doc_id"), explode(transform(sequence(lit(0), lit(3)),
-            b => struct(b.as("bd"), md5(concat_ws(",",
-              element_at(col("sig"), b * 3 + 1).cast("string"),
-              element_at(col("sig"), b * 3 + 2).cast("string"),
-              element_at(col("sig"), b * 3 + 3).cast("string"))).as("bkey"))))
-            .as("b"))
-          .select(col("doc_id"), col("b.bd").as("bd"), col("b.bkey").as("bkey"))
-          .withColumn("rk", row_number().over(wCap))
-          .filter(col("rk") <= 32)
-          .drop("rk")
+        val bands = graft.plans.TopK.perKey(
+          shingled.withColumn("sig", expr("minhash_sig(sh, 12)"))
+            .select(col("doc_id"), explode(transform(sequence(lit(0), lit(3)),
+              b => struct(b.as("bd"), md5(concat_ws(",",
+                element_at(col("sig"), b * 3 + 1).cast("string"),
+                element_at(col("sig"), b * 3 + 2).cast("string"),
+                element_at(col("sig"), b * 3 + 3).cast("string"))).as("bkey"))))
+              .as("b"))
+            .select(col("doc_id"), col("b.bd").as("bd"),
+              col("b.bkey").as("bkey")),
+          Seq("bd", "bkey"), Seq(("doc_id", true)), 32)
           // Materialized once: the self-join below would otherwise
           // recompute the signature UDF (the dominant map cost) for BOTH
           // sides — the documented persist point for shared subplans
@@ -724,13 +741,11 @@ object DedupQueries extends QueryBase {
           expr("char_trigrams(lower(text))").as("grams"))
         // Probe cap: at most 64 docs per length bucket meet pairwise, so
         // the quadratic verify stays bounded at any corpus size.
-        val wCap = Window.partitionBy("bucket").orderBy("doc_id")
-        val blocked = g.select(col("doc_id"), col("grams"),
+        val blocked = graft.plans.TopK.perKey(
+          g.select(col("doc_id"), col("grams"),
             explode(array((col("n_chars") / 25).cast("long"),
-              (col("n_chars") / 25).cast("long") + 1)).as("bucket"))
-          .withColumn("rk", row_number().over(wCap))
-          .filter(col("rk") <= 64)
-          .drop("rk")
+              (col("n_chars") / 25).cast("long") + 1)).as("bucket")),
+          Seq("bucket"), Seq(("doc_id", true)), 64)
         blocked.as("a").join(blocked.as("b"),
             col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"),

@@ -133,9 +133,13 @@ object MlQueries extends QueryBase {
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
         .distinct()
       val deg = edges.groupBy("c").agg(count(lit(1)).as("d"))
-      val wcap = Window.partitionBy("p").orderBy("c")
-      val capped = edges.withColumn("rk", row_number().over(wcap))
-        .filter(col("rk") <= 32).select("p", "c")
+      // Per-part posting cap via TopKPerKey: the 32 smallest custkeys
+      // per part (total order ⇒ same rows as the row_number form),
+      // bounded heap with map-side partial cap instead of sorting every
+      // part's posting list.
+      val capped = graft.plans.TopK.perKey(
+          edges, Seq("p"), Seq(("c", true)), 32)
+        .select("p", "c")
       val inter = capped.as("x").join(capped.as("y"),
           col("x.p") === col("y.p") && col("x.c") < col("y.c"))
         .select(col("x.c").as("a"), col("y.c").as("b"))

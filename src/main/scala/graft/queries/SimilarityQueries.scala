@@ -205,11 +205,10 @@ object SimilarityQueries extends QueryBase {
       (s, dir) => {
         val v = vv(th(s, dir, "embeddings"))
         graft.functions.GraftFunctions.register(s)
-        val wCap = Window.partitionBy("bd", "bkey").orderBy("vec_id")
-        val buckets = v.select(col("vec_id"),
-            posexplode(expr("band_keys_f(vv)")).as(Seq("bd", "bkey")))
-          .withColumn("rk", row_number().over(wCap))
-          .filter(col("rk") <= 64)
+        val buckets = graft.plans.TopK.perKey(
+            v.select(col("vec_id"),
+              posexplode(expr("band_keys_f(vv)")).as(Seq("bd", "bkey"))),
+            Seq("bd", "bkey"), Seq(("vec_id", true)), 64)
           .select("vec_id", "bd", "bkey")
         // Query ids are the lowest vec_ids, so the asc-ordered probe cap
         // can never evict them from their own buckets.
