@@ -10,6 +10,13 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// UTF-8 filesystem paths: the reference's own fixture files carry
+// umlauts in their NAMES (tests/test_data/gomus/events/"Öffentliches
+// Gespräch_in.csv"). sun.jnu.encoding is derived from the LOCALE at JVM
+// start (a -D is ignored), so the forked JVMs need a UTF-8 locale or
+// java.nio refuses to even construct the Path.
+Test / envVars ++= Map("LC_ALL" -> "C.utf8")
+run / envVars ++= Map("LC_ALL" -> "C.utf8")
 run / fork := true
 // Pass the forked program's stdout straight through: the bench/verify
 // drivers parse a bare JSON line, which sbt's logger would prefix with
@@ -30,6 +37,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  "-Dfile.encoding=UTF-8",
   // Fixed-size heap + ParallelGC. This host zeroes fresh pages
   // pathologically slowly (~100 MB/s serial), so ANY walk into uncommitted
   // heap (G1 growing, G1 recommitting regions it gave back) stalls

@@ -5,6 +5,9 @@
 # Env: SPARK_DRIVER_MEM (default 12g) sizes the fixed heap.
 set -euo pipefail
 cd "$(dirname "$0")/.."
+# UTF-8 locale: sun.jnu.encoding follows the locale; reference fixture
+# FILENAMES carry umlauts (see build.sbt's envVars note).
+export LC_ALL=C.utf8
 MAIN="$1"; shift
 MEM="${SPARK_DRIVER_MEM:-12g}"
 OPENS=""

@@ -166,9 +166,13 @@ object Bench {
       val warm = repeats.min
       val runs = cold +: repeats
       val (qLoad2, _, qSparks2) = cotenancy()
-      val qContended = math.max(qSparks, qSparks2) > 0 ||
-        math.max(qLoad, qLoad2) >= cpus.toInt / 2.0
-      if (qContended) contendedQueries += name
+      // Per-query contention = a CO-TENANT Spark JVM alive around this
+      // query's runs. Loadavg is recorded for forensics but NOT
+      // thresholded here: mid-run 1-min load includes the bench's OWN
+      // 32-thread work, so a load cut-off would false-flag every query
+      // of a sustained catalog run (the global flag still applies the
+      // idle-baseline load check before timing starts).
+      if (math.max(qSparks, qSparks2) > 0) contendedQueries += name
       perQueryLoad(name) = math.max(qLoad, qLoad2)
       // Untimed row count (plan re-executes column-pruned; not part of
       // the reported seconds) — lets the artifact distinguish "plan got

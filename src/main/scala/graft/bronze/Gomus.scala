@@ -25,6 +25,22 @@ object Gomus {
   private def privacyHash(innerSql: String): Column =
     expr(s"murmur3_seeded($innerSql, 666)")
 
+  /** Excel 1900-system serial → date with xlrd `xldate_as_datetime`
+    * parity (the reference's converter, src/gomus/events.py:108-109):
+    * serials 1..59 sit BEFORE Excel's phantom 1900-02-29, so their epoch
+    * is 1899-12-31; serials >= 61 use the standard 1899-12-30 epoch that
+    * absorbs the phantom day. Serial 60 (the phantom itself) and
+    * serials outside Python's datetime range (xlrd raises OverflowError,
+    * reference tests/gomus/test_gomus_transformations.py:182-186) map to
+    * null — the engine's uniform coerce contract for unrepresentable
+    * dates. */
+  private def xlDate(serial: Column): Column = {
+    val d = floor(serial.cast("double")).cast("int")
+    when(d.between(1, 59), date_add(to_date(lit("1899-12-31")), d))
+      .when(d.between(61, 2958465), date_add(to_date(lit("1899-12-30")), d))
+      .otherwise(lit(null).cast("date"))
+  }
+
   /** Booking-report normalizer. Reference behavior
     * (src/gomus/_utils/extract_bookings.py:35-108):
     *  - `Guide`: first name of the comma list, lowercased, de-spaced,
@@ -46,7 +62,8 @@ object Gomus {
         element_at(split(c, ":"), 2).cast("int")
     val span = minsOf(col("Uhrzeit bis")) - minsOf(col("Uhrzeit von"))
     raw.select(
-      col("Buchung").cast("int").as("booking_id"),
+      // double-hop cast: the report reads ids as floats ("10101.0")
+      col("Buchung").cast("double").cast("int").as("booking_id"),
       col("Angebotskategorie").as("category"),
       coalesce(col("Anzahl Teilnehmende").cast("double").cast("int"), lit(0))
         .as("participants"),
@@ -100,6 +117,20 @@ object Gomus {
       .filter(regDate.isNotNull)
   }
 
+  /** Gomus-id → privacy-hashed customer-id mapping (reference
+    * `ExtractGomusToCustomerMapping`, src/gomus/customers.py): the raw
+    * report id alongside the SAME hash-or-fallback id
+    * [[extractCustomers]] emits — the join key bridge between raw gomus
+    * reports and the hashed customer dimension. */
+  def gomusToCustomerMapping(raw: DataFrame): DataFrame = {
+    GraftFunctions.register(raw.sparkSession)
+    raw.select(
+      col("Nummer").cast("double").cast("int").as("gomus_id"),
+      when(col("E-Mail").isNotNull, privacyHash("`E-Mail`"))
+        .otherwise(col("Nummer").cast("double").cast("int"))
+        .as("customer_id"))
+  }
+
   /** Keep-last dedup by customer_id (reference A13 `keep='last'`): pandas
     * row order is implicit, so the caller supplies an explicit ordinal
     * column name — last ordinal per key wins. */
@@ -121,11 +152,12 @@ object Gomus {
     *    'bezahlt') — case-insensitive like the reference.
     */
   def extractOrders(raw: DataFrame, mapping: DataFrame): DataFrame = {
-    val serial = col("Erstellt").cast("double")
     val orders = raw.select(
-      col("Bestellnummer").cast("int").as("order_id"),
-      date_add(to_date(lit("1899-12-30")), floor(serial).cast("int"))
-        .as("order_date"),
+      col("Bestellnummer").cast("double").cast("int").as("order_id"),
+      // Missing-ness must be captured BEFORE the 0 fallback: a report id
+      // that is LITERALLY 0 still goes through the mapping lookup.
+      col("Kundennummer").isNull.as("__missing"),
+      xlDate(col("Erstellt")).as("order_date"),
       coalesce(col("Kundennummer").cast("double").cast("int"), lit(0))
         .as("gomus_id"),
       (lower(col("ist gültig?")) === "ja").as("valid"),
@@ -134,8 +166,14 @@ object Gomus {
     orders
       .join(broadcast(mapping.select(col("gomus_id"),
         col("customer_id"))), Seq("gomus_id"), "left")
-      .select("order_id", "order_date", "customer_id", "valid", "paid",
-        "origin")
+      // Reference parity (orders.py:90-102 query_customer_id): a MISSING
+      // report id short-circuits to literal 0 before any lookup; a
+      // present-but-unmapped id becomes NaN (null). The two cases are
+      // distinct in the fixture and must stay distinct here.
+      .select(col("order_id"), col("order_date"),
+        when(col("__missing"), lit(0)).otherwise(col("customer_id"))
+          .as("customer_id"),
+        col("valid"), col("paid"), col("origin"))
   }
 
   /** Daily-entries matrix unpivot (reference
@@ -216,9 +254,7 @@ object Gomus {
           col("`E-Mail`").cast("double").cast("int"), lit(0))
           .as("customer_id"),
         col("`Plätze`").cast("double").cast("int").as("reservation_count"),
-        date_add(to_date(lit("1899-12-30")),
-          floor(col("`gebucht am`").cast("double")).cast("int"))
-          .as("order_date"),
+        xlDate(col("`gebucht am`")).as("order_date"),
         when(col("cancelled"), "Storniert").otherwise("Gebucht").as("status"),
         col("category"),
         cleanseUmlauts(col("category")).as("path_key"))

@@ -65,6 +65,28 @@ object Scrape {
       update_date = date("dd[1]"))
   }
 
+  final case class QuotaIdPage(quotaIds: Seq[Int], nextUrl: Option[String])
+
+  /** One quota LISTING page → the quota ids it lists plus the rel=next
+    * pagination link (quotas.py:115-141, xpaths verbatim) — the payload
+    * half of FetchQuotaIds; the HTTP loop that follows `nextUrl` is the
+    * scoped-out live half. Ids come from the last path segment of each
+    * row's first-cell link, exactly like the reference's
+    * `href.split('/')[-1]`. */
+  def extractQuotaIdPage(src: String): QuotaIdPage = {
+    val dom = Html.parse(src)
+    val ids = Xpath.elems(dom,
+      "//body/div[2]/div[2]/div[3]/div/div[2]/div/div[2]/" +
+        "table/tbody/tr/td[1]/a")
+      .flatMap(_.attr("href"))
+      .map(h => h.split('/').last.toInt)
+    val next = Xpath.elems(dom,
+      "//body/div[2]/div[2]/div[3]/div/div[2]/div/div[2]/div/" +
+        "div[1]/ul/li/a[@rel=\"next\"]")
+      .headOption.flatMap(_.attr("href"))
+    QuotaIdPage(ids, next)
+  }
+
   /** Distributed ExtractQuotas: directory of quota pages → DataFrame. */
   def quotaDetails(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

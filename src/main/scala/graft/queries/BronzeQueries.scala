@@ -199,12 +199,12 @@ object BronzeQueries extends QueryBase {
           strftime(DATE '1899-12-30'
                    + CAST(floor(o_orderkey % 2000 + 40000 + 0.5) AS INT),
                    '%Y-%m-%d') AS order_day,
-          -- NaN gomus ids coalesce to 0 BEFORE the mapping join, and 0 is
-          -- itself a (mapped, even) customer key — faithful to the
-          -- reference's missing-id semantics.
-          CASE WHEN (CASE WHEN o_orderkey % 7 = 0 THEN 0 ELSE o_custkey END) % 2 = 0
-               THEN CAST((CASE WHEN o_orderkey % 7 = 0 THEN 0
-                               ELSE o_custkey END) * 2 + 1 AS INT)
+          -- Missing gomus ids SHORT-CIRCUIT to literal 0 with NO mapping
+          -- lookup (orders.py:90-91 'if np.isnan: return 0' — proven by
+          -- the golden fixture pair in GomusGoldenSpec); only present ids
+          -- go through the mapping, where odd keys are unmapped -> NULL.
+          CASE WHEN o_orderkey % 7 = 0 THEN 0
+               WHEN o_custkey % 2 = 0 THEN CAST(o_custkey * 2 + 1 AS INT)
           END AS customer_id,
           o_orderkey % 3 IN (0, 1) AS valid,
           o_orderkey % 4 IN (0, 1) AS paid,

@@ -680,19 +680,23 @@ object PipelineQueries extends QueryBase {
             DATE '1899-12-30'
               + CAST(floor(o_orderkey % 2000 + 40000 + 0.5) AS INT)
               AS order_date,
-            CASE WHEN (CASE WHEN o_orderkey % 7 = 0 THEN 0
-                            ELSE o_custkey END) % 2 = 0
-                 THEN CAST((CASE WHEN o_orderkey % 7 = 0 THEN 0
-                                 ELSE o_custkey END) * 2 + 1 AS INT)
+            -- Missing ids short-circuit to 0 with NO mapping lookup
+            -- (orders.py:90-91, pinned by GomusGoldenSpec); present even
+            -- ids map, odd ids are unmapped -> NULL.
+            CASE WHEN o_orderkey % 7 = 0 THEN 0
+                 WHEN o_custkey % 2 = 0 THEN CAST(o_custkey * 2 + 1 AS INT)
             END AS customer_id,
             o_orderkey % 4 IN (0, 1) AS paid,
             CASE WHEN o_orderkey % 2 = 0 THEN 'online' ELSE 'kasse' END
               AS origin
           FROM orders),
         filtered AS (
+          -- FK membership: the reference table holds ids 2k+1 for k%4=0;
+          -- the missing-id 0 is NOT a member and drops, NULLs escape.
           SELECT * FROM normalized
           WHERE customer_id IS NULL
-             OR (customer_id - 1) / 2 % 4 = 0),
+             OR (customer_id % 2 = 1
+                 AND ((customer_id - 1) // 2) % 4 = 0)),
         merged AS (
           SELECT order_id, order_date, customer_id, paid, 'legacy' AS origin
           FROM filtered

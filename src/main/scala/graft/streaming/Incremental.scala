@@ -71,6 +71,134 @@ object Incremental {
       .withWatermark("arrival", late)
       .dropDuplicatesWithinWatermark("h")
 
+  /** One (band, bucket) admission ledger for the streaming NEAR-dup
+    * gate: the media ids and full 64-bit hashes admitted in this bucket
+    * (parallel lists, capped), plus the newest arrival micros for
+    * watermark-horizon eviction. */
+  case class PhashBucketState(ids: List[Long], hs: List[Long],
+      maxArrivalUs: Long)
+
+  /** One exploded band arrival: a media's full hash plus the 16-bit
+    * band slice that keys its bucket. */
+  case class PhashArrival(media_id: Long, arrival: java.sql.Timestamp,
+      h: Long, band: Int, bv: Long)
+
+  /** A near-dup flagged AT ADMISSION: `media_id` arrived within Hamming
+    * radius <= 3 of the already-admitted `matched_with`. */
+  case class PhashNearDup(media_id: Long, matched_with: Long,
+      band: Int, hamming: Int, arrival: java.sql.Timestamp)
+
+  /** Shared admission core for the batch twin and the streaming gate:
+    * fold one bucket's arrivals (in (arrival, media_id) order — the
+    * admission order) into the ledger. An arrival within Hamming <= 3
+    * of an admitted hash is FLAGGED (against the closest admitted match,
+    * ties to the lowest id) and NOT admitted; otherwise it joins the
+    * ledger, subject to the same per-bucket cap the batch operator uses
+    * (a saturated bucket admits no more — the bounded-state contract). */
+  private def phashAdmit(arrivals: Seq[PhashArrival],
+      prior: PhashBucketState, cap: Int):
+      (Seq[PhashNearDup], PhashBucketState) = {
+    var ids = prior.ids // oldest-first; appends keep admission order
+    var hs = prior.hs
+    var n = ids.length
+    var maxUs = prior.maxArrivalUs
+    val flags = scala.collection.mutable.ArrayBuffer.empty[PhashNearDup]
+    arrivals.sortBy(a => (a.arrival.getTime, a.media_id)).foreach { a =>
+      val us = a.arrival.toInstant.getEpochSecond * 1000000L +
+        a.arrival.toInstant.getNano / 1000L
+      if (us > maxUs) maxUs = us
+      var bestHam = 4
+      var bestId = Long.MaxValue
+      var i = ids
+      var j = hs
+      while (i.nonEmpty) {
+        val ham = java.lang.Long.bitCount(a.h ^ j.head)
+        if (ham < bestHam || (ham == bestHam && i.head < bestId)) {
+          if (ham <= 3) { bestHam = ham; bestId = i.head }
+        }
+        i = i.tail; j = j.tail
+      }
+      if (bestHam <= 3)
+        flags += PhashNearDup(a.media_id, bestId, a.band, bestHam, a.arrival)
+      else if (n < cap) { ids = ids :+ a.media_id; hs = hs :+ a.h; n += 1 }
+    }
+    (flags.toSeq, PhashBucketState(ids, hs, maxUs))
+  }
+
+  /** Explode stamped hashes into their four 16-bit pigeonhole bands —
+    * by pigeonhole, two hashes within Hamming distance <= 3 agree
+    * EXACTLY on at least one band, so per-band equality buckets see
+    * every radius-3 pair. */
+  private def phashBands(stamped: DataFrame): DataFrame =
+    stamped.select(col("media_id"), col("arrival"), col("h"),
+      posexplode(array((0 to 3).map(b =>
+        shiftright(col("h"), 16 * b).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band", "bv")))
+
+  /** Streaming NEAR-dup admission gate (VERDICT r6 item 5) — upgrades
+    * [[imagePhashDedupStream]] from exact-hash to Hamming-radius-3
+    * matching IN-STREAM: arriving images decode to the 64-bit dHash,
+    * each hash lands in its four pigeonhole band buckets, and a
+    * `flatMapGroupsWithState` ledger per (band, value) flags any
+    * arrival within radius 3 of an already-admitted hash at admission
+    * time — the Hamming-ball search no longer waits for the periodic
+    * batch job.
+    *
+    * State posture: one state row per live (band, value) bucket holding
+    * at most `cap` (id, hash) entries — the SAME per-bucket probe cap
+    * the batch operator uses — and evicted by event-time timeout one
+    * watermark horizon after the bucket's newest arrival. Total state
+    * is O(live buckets × cap), bounded by the horizon at any stream
+    * length. Emits the flag stream (append mode); the admitted set
+    * remains [[imagePhashDedupStream]]'s output. */
+  def imageNearDupGateStream(media: DataFrame, late: String,
+      cap: Int = 32): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val horizonMs = {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+        .stringToInterval(
+          org.apache.spark.unsafe.types.UTF8String.fromString(late))
+      require(iv.months == 0, s"horizon '$late' must not use months")
+      iv.days * 86400000L + iv.microseconds / 1000L
+    }
+    phashBands(
+        graft.multimodal.Multimodal.imageDHashStamped(media)
+          .withWatermark("arrival", late))
+      .as[PhashArrival]
+      .groupByKey(a => (a.band, a.bv))
+      .flatMapGroupsWithState[PhashBucketState, PhashNearDup](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Long), it: Iterator[PhashArrival],
+            state: GroupState[PhashBucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prior = state.getOption
+              .getOrElse(PhashBucketState(Nil, Nil, 0L))
+            val (flags, next) = phashAdmit(it.toSeq, prior, cap)
+            state.update(next)
+            state.setTimeoutTimestamp(next.maxArrivalUs / 1000L + horizonMs)
+            flags.iterator
+          }
+      }
+      .toDF()
+  }
+
+  /** Batch twin of [[imageNearDupGateStream]]: the identical admission
+    * fold per (band, value) bucket with no state carry-over — the spec's
+    * stream-vs-batch parity surface. */
+  def imageNearDupFlagsBatch(media: DataFrame, cap: Int = 32): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    phashBands(graft.multimodal.Multimodal.imageDHashStamped(media))
+      .as[PhashArrival]
+      .groupByKey(a => (a.band, a.bv))
+      .flatMapGroups { (_: (Int, Long), it: Iterator[PhashArrival]) =>
+        phashAdmit(it.toSeq, PhashBucketState(Nil, Nil, 0L), cap)._1.iterator
+      }
+      .toDF()
+  }
+
   /** Streaming heavy hitters — the continuous-ingest twin of the batch
     * `agg_heavy_hitters` query: per watermarked tumbling window, a
     * Misra–Gries summary ([[graft.functions.MisraGriesAgg]]) of the

@@ -101,8 +101,10 @@ class BronzeSpec extends SparkSpec {
     // 43840 days after 1899-12-30 = 2020-01-10 (xldate epoch).
     assert(out(0) === Row(5001, Date.valueOf("2020-01-10"), 424242, true,
       true, "web"))
-    // Missing Kundennummer → gomus_id 0 → unmapped → null customer.
-    assert(out(1).getAs[Integer]("customer_id") === null)
+    // Missing Kundennummer short-circuits to literal 0 with NO mapping
+    // lookup (orders.py:90-91 — pinned by the GomusGoldenSpec fixture
+    // pair; a present-but-unmapped id is the null case instead).
+    assert(out(1).getAs[Integer]("customer_id") === 0)
     assert(out(1).getAs[Date]("order_date") === Date.valueOf("2020-06-18"))
     assert(out(1).getAs[Boolean]("valid") === false)
     assert(out(1).getAs[Boolean]("paid") === false)

@@ -56,6 +56,20 @@ class GomusScrapeSpec extends AnyFunSuite {
     }
   }
 
+  test("quota listing pages reproduce quota_ids.csv and chain via rel=next") {
+    assume(Files.isDirectory(refData))
+    val p1 = Scrape.extractQuotaIdPage(read("quotas/quotas/page=1.html"))
+    // page 1 advertises the next page; the live fetch loop is the
+    // scoped-out half — here we follow the link by name like the
+    // reference's mocked test (test_gomus_quotas.py:60-70).
+    assert(p1.nextUrl.isDefined, "page 1 must link its successor")
+    val p2 = Scrape.extractQuotaIdPage(read("quotas/quotas/page=2.html"))
+    assert(p2.nextUrl.isEmpty, "the last page must end the chain")
+    val expected = Files.readAllLines(refData.resolve("quotas/quota_ids.csv"))
+      .asScala.drop(1).map(_.trim.toInt).toVector
+    assert((p1.quotaIds ++ p2.quotaIds).toVector === expected)
+  }
+
   test("capacity error page raises like the reference ValueError") {
     assume(Files.isDirectory(refData))
     val err = intercept[IllegalStateException](Scrape.extractCapacities(

@@ -148,6 +148,48 @@ class SocialBronzeSpec extends SparkSpec {
       expectedCsv("instagram/total_profile_metrics_expected.csv"))
   }
 
+  test("fb insights reject the malformed edge-case payload like the reference") {
+    assume(Files.isDirectory(refData))
+    // post_insights_edgecases.json plants non-integer reaction counts
+    // (like: 3.3 as a json FLOAT, "anger": "4.4" as a STRING); the
+    // reference aborts with ValueError at "4.4" (test_facebook.py:193-211
+    // — python int() truncates the float but rejects the string). The
+    // engine's ANSI IntegerType cast rejects at the FIRST non-integral
+    // count ('3.3' — json numbers and strings are indistinguishable once
+    // in the string map). Same contract either way: a malformed insights
+    // payload is REFUSED, never silently mis-counted.
+    val batches = Seq(("1234567890", "987654321",
+      readText("facebook/post_insights_edgecases.json")))
+      .toDF("page_id", "post_id", "payload")
+    val e = intercept[Exception] {
+      Social.fbInsights(batches, "2020-01-01 00:00:05").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m =>
+      m.contains("CAST_INVALID_INPUT") &&
+        (m.contains("'3.3'") || m.contains("'4.4'"))),
+      s"rejection must name a malformed reaction literal, got: ${messages(e)}")
+  }
+
+  test("empty raw tweets extract to the empty-output contract") {
+    assume(Files.isDirectory(refData))
+    val raw = spark.read.option("header", "true")
+      .csv(path("twitter/empty_raw_tweets.csv"))
+    val got = Social.tweets(raw)
+    assert(got.count() === 0L)
+    assert(rows(got) === expectedCsv("twitter/empty_extracted_tweets.csv"))
+  }
+
+  test("empty raw tweets yield the empty performance contract") {
+    assume(Files.isDirectory(refData))
+    val raw = spark.read.option("header", "true")
+      .csv(path("twitter/empty_raw_tweets.csv"))
+    val got = Social.tweetPerformance(raw, "YYYY-MM-DD HH:mm:ss")
+    assert(got.count() === 0L)
+    assert(rows(got) === expectedCsv("twitter/empty_tweet_performance.csv"))
+  }
+
   test("tweets reproduce expected_extracted_tweets.csv") {
     assume(Files.isDirectory(refData))
     val raw = spark.read.option("header", "true")

@@ -148,6 +148,64 @@ class StreamingSpec extends SparkSpec {
     assert(batchDistinct >= 100, "hashes should be diverse across seeds")
   }
 
+  test("streaming near-dup gate flags radius-3 re-uploads at admission") {
+    val tmp = Files.createTempDirectory("graft-stream-neardup").toString
+    val mm = graft.multimodal.Multimodal
+    // Originals arrive first (arrival ordered by media_id), then the
+    // PERTURBED re-uploads: same mint seed with the red channel bumped
+    // one level — a <=3-bit dHash perturbation (the batch
+    // dedup_image_phash plant), NOT an exact hash match, so the old
+    // exact gate cannot catch it and the band-keyed ledger must.
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select("doc_id").limit(120)
+    val base = unix_timestamp(lit("2024-01-01 00:00:00").cast("timestamp"))
+    val media = mm.asImageMediaTextured(docs)
+      .withColumn("arrival", timestamp_seconds(base + col("media_id")))
+      .unionByName(mm.asImageMediaTexturedBumped(docs)
+        .withColumn("arrival",
+          timestamp_seconds(base + col("media_id") - 100000L + 500L)))
+    media.write.mode("overwrite").parquet(s"$tmp/src")
+    val src = Incremental.readStream(spark, s"$tmp/src",
+      spark.read.parquet(s"$tmp/src").schema)
+    val q = Incremental.runAvailableNow(
+      Incremental.imageNearDupGateStream(src, "10 minutes"),
+      s"$tmp/ckpt", s"$tmp/out")
+    q.awaitTermination()
+    val flags = spark.read.parquet(s"$tmp/out")
+    // Every planted perturbed re-upload is flagged IN-STREAM against its
+    // original (media_id - 100000), at a strictly positive Hamming
+    // distance for at least some pairs (it's a near-dup gate, not the
+    // exact gate).
+    val caught = flags
+      .filter(col("media_id") >= 100000L &&
+        col("matched_with") === col("media_id") - 100000L)
+      .select("media_id").distinct().count()
+    assert(caught === 120L,
+      s"all 120 perturbed re-uploads must be flagged at admission, got $caught")
+    assert(flags.filter(col("hamming") > 0).count() > 0,
+      "some planted pairs must match at nonzero Hamming distance")
+    // State is band-bucket ledgers, bounded: one state row per live
+    // (band, bv) bucket — never more than 4 x admitted hashes, and far
+    // fewer than total arrivals once buckets share values.
+    val stateRows = q.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsTotal).max
+    val admitted = mm.imageDHashStamped(spark.read.parquet(s"$tmp/src"))
+      .select("h").distinct().count()
+    assert(stateRows <= 4 * admitted,
+      s"state rows $stateRows must be bounded by live band buckets")
+    // Stream/batch parity: identical flag set to the batch twin running
+    // the same admission fold without state carry-over.
+    val streamedSet = flags
+      .select("media_id", "matched_with", "band", "hamming")
+      .collect().map(_.toSeq).toSet
+    val batchSet = Incremental
+      .imageNearDupFlagsBatch(spark.read.parquet(s"$tmp/src"))
+      .select("media_id", "matched_with", "band", "hamming")
+      .collect().map(_.toSeq).toSet
+    assert(streamedSet === batchSet,
+      "stream admission flags must equal the batch twin's")
+  }
+
   test("streaming curation intake equals the batch transform row-for-row") {
     val tmp = Files.createTempDirectory("graft-stream-curate").toString
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
