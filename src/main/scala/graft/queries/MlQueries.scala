@@ -419,7 +419,198 @@ object MlQueries extends QueryBase {
       "discipline); integer micro-unit quantization keeps the whole " +
       "trajectory order-independent; oracle unrolls the rounds in SQL")
 
-  val all: Seq[Q] = Seq(linkPredictionQ, naiveBayesQ, logRegQ) ++ Seq(
+  /** Decision stump via distributed HISTOGRAM split search — the GBDT
+    * building block (LightGBM's histogram trick, Ke et al. 2017): the
+    * only corpus pass builds per-(feature, bin) count/positive
+    * histograms as one tiny partial-aggregated shuffle (F×B ≤ 96 groups
+    * at ANY corpus size); every candidate split's left/right stats then
+    * come from a cumulative window over the histogram — O(F×B) post-agg
+    * work, no re-scan per threshold, no driver fit. Features and label
+    * mirror [[logRegQ]] (same frame, tree vs logistic on identical
+    * inputs); candidate thresholds are the occupied bin boundaries
+    * t = (bin+1)/32 with STRICT `x < t` splits, so the histogram
+    * assignment `floor(x·32)` is exact at boundaries. Best split per
+    * feature = weighted-Gini argmin, ties to the smaller threshold —
+    * selected with the repo's own TopKPerKey operator (k=1). */
+  private val stumpQ = Q(
+    "ml_decision_stump",
+    (s, dir) => {
+      val d = th(s, dir, "documents")
+        .withColumn("tk", split(lower(col("text")), " "))
+        .withColumn("n", size(col("tk")).cast("double"))
+        .withColumn("x1", col("n") / 1000d)
+        .withColumn("x2", expr(
+          "aggregate(tk, 0L, (a, x) -> a + length(x))").cast("double") /
+          (col("n") * 10d))
+        .withColumn("x3", size(array_distinct(col("tk"))).cast("double") /
+          col("n"))
+        .withColumn("y",
+          when(array_contains(col("tk"), "slow"), 1L).otherwise(0L))
+      val f = d.select(col("y"),
+        posexplode(array(col("x1"), col("x2"), col("x3")))
+          .as(Seq("fidx", "x")))
+      val hist = f
+        .withColumn("bin", least(lit(31), floor(col("x") * 32).cast("int")))
+        .groupBy("fidx", "bin")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      val w = Window.partitionBy("fidx").orderBy("bin")
+      val tot = Window.partitionBy("fidx")
+      def imp(n: org.apache.spark.sql.Column,
+          p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(n === 0, 0d).otherwise(
+          lit(1d) - (p.cast("double") / n.cast("double")) *
+            (p.cast("double") / n.cast("double")) -
+            ((n - p).cast("double") / n.cast("double")) *
+            ((n - p).cast("double") / n.cast("double")))
+      val splits = hist
+        .withColumn("cn", sum(col("n")).over(w))
+        .withColumn("cp", sum(col("pos")).over(w))
+        .withColumn("tn", sum(col("n")).over(tot))
+        .withColumn("tp", sum(col("pos")).over(tot))
+        .filter(col("bin") <= 30)
+        .select(col("fidx"),
+          ((col("bin") + 1).cast("double") / 32d).as("t"),
+          col("cn").as("nl"), col("cp").as("pl"),
+          (col("tn") - col("cn")).as("nr"), (col("tp") - col("cp")).as("pr"),
+          col("tn"))
+        .withColumn("gini",
+          (col("nl").cast("double") * imp(col("nl"), col("pl")) +
+            col("nr").cast("double") * imp(col("nr"), col("pr"))) /
+            col("tn").cast("double"))
+      graft.plans.TopK.perKey(splits, Seq("fidx"),
+          Seq(("gini", true), ("t", true)), 1)
+        .select(col("fidx").cast("int").as("fidx"),
+          element_at(array(lit("ntok_k"), lit("avg_len"), lit("uniq_ratio")),
+            col("fidx").cast("int") + 1).as("feature"),
+          round(col("t"), 6).as("t"),
+          round(col("gini"), 6).as("gini"),
+          col("nl"), col("pl"), col("nr"), col("pr"))
+        .orderBy("fidx")
+    },
+    Some("""
+      WITH d AS (
+        SELECT CASE WHEN list_contains(tk, 'slow') THEN 1 ELSE 0 END AS y,
+               CAST(len(tk) AS DOUBLE) / 1000 AS x1,
+               CAST(list_aggregate(list_transform(tk, x -> length(x)), 'sum')
+                 AS DOUBLE) / (len(tk) * 10) AS x2,
+               CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS x3
+        FROM (SELECT string_split(lower(text), ' ') AS tk FROM documents)),
+      f AS (
+        SELECT y, 0 AS fidx, x1 AS x FROM d
+        UNION ALL SELECT y, 1, x2 FROM d
+        UNION ALL SELECT y, 2, x3 FROM d),
+      hist AS (
+        SELECT fidx, least(31, CAST(floor(x * 32) AS INT)) AS bin,
+               count(*) AS n, CAST(sum(y) AS BIGINT) AS pos
+        FROM f GROUP BY 1, 2),
+      splits AS (
+        SELECT fidx, CAST(bin + 1 AS DOUBLE) / 32 AS t,
+               CAST(sum(n) OVER (PARTITION BY fidx ORDER BY bin) AS BIGINT) AS nl,
+               CAST(sum(pos) OVER (PARTITION BY fidx ORDER BY bin) AS BIGINT) AS pl,
+               CAST(sum(n) OVER (PARTITION BY fidx) AS BIGINT) AS tn,
+               CAST(sum(pos) OVER (PARTITION BY fidx) AS BIGINT) AS tp
+        FROM hist QUALIFY bin <= 30),
+      scored AS (
+        SELECT fidx, t, nl, pl, tn - nl AS nr, tp - pl AS pr,
+               (CAST(nl AS DOUBLE) *
+                  (CASE WHEN nl = 0 THEN 0 ELSE
+                    1 - (CAST(pl AS DOUBLE)/nl)*(CAST(pl AS DOUBLE)/nl)
+                      - (CAST(nl - pl AS DOUBLE)/nl)*(CAST(nl - pl AS DOUBLE)/nl) END)
+                + CAST(tn - nl AS DOUBLE) *
+                  (CASE WHEN tn - nl = 0 THEN 0 ELSE
+                    1 - (CAST(tp - pl AS DOUBLE)/(tn - nl))*(CAST(tp - pl AS DOUBLE)/(tn - nl))
+                      - (CAST((tn - nl) - (tp - pl) AS DOUBLE)/(tn - nl))*(CAST((tn - nl) - (tp - pl) AS DOUBLE)/(tn - nl)) END))
+               / CAST(tn AS DOUBLE) AS gini
+        FROM splits)
+      SELECT fidx, ['ntok_k', 'avg_len', 'uniq_ratio'][fidx + 1] AS feature,
+             round(t, 6) AS t, round(gini, 6) AS gini,
+             CAST(nl AS BIGINT) AS nl, pl,
+             CAST(nr AS BIGINT) AS nr, pr
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY fidx ORDER BY gini, t) = 1
+      ORDER BY fidx"""),
+    doc = "decision stump via the LightGBM histogram trick: one F×B " +
+      "histogram shuffle (96 groups at any scale), cumulative-window " +
+      "split stats, weighted-Gini argmin per feature through TopKPerKey")
+
+  /** Top principal direction of the embedding matrix via POWER
+    * ITERATION (the classic distributed PCA/SVD first factor, e.g.
+    * Halko et al. 2011's baseline): per round ONE aggregate computes
+    * w = Σ_docs (aᵀv)·a (64 longs — every per-doc contribution
+    * micro-quantized BEFORE the sum, so the reduction is
+    * order-independent, the [[logRegQ]] discipline), the driver
+    * normalizes the 64-vector (bounded state), and the next round's v
+    * ships back as literals. Two rounds unrolled; the oracle replays
+    * the identical trajectory in SQL via list comprehensions. σ =
+    * ‖w‖ / 1e6 after the last round estimates the top singular value of
+    * AᵀA's action. Scale shape: O(corpus × dim) map work per round, a
+    * 64-long aggregate as the only shuffle, driver state 64 longs. */
+  private val svdPowerQ = Q(
+    "ml_svd_power",
+    (s, dir) => {
+      val e = th(s, dir, "embeddings").select(col("embedding"))
+      def roundAway(x: Double): Long =
+        (math.signum(x) * math.round(math.abs(x))).toLong
+      var vm: Array[Long] = Array.fill(64)(125000L) // 1/8 in micro-units
+      var sigmaMicro = 0L
+      for (_ <- 1 to 2) {
+        val dot = (0 until 64).map(j =>
+          element_at(col("embedding"), j + 1).cast("double") *
+            lit(vm(j) / 1e6)).reduce(_ + _)
+        val aggs = (0 until 64).map(j =>
+          sum(round(col("__dot") *
+            element_at(col("embedding"), j + 1).cast("double") * 1e6)
+            .cast("long")).as(s"w$j"))
+        val row = e.withColumn("__dot", dot)
+          .agg(aggs.head, aggs.tail: _*).head()
+        val wq = (0 until 64).map(row.getLong).toArray
+        val nrm = math.sqrt(wq.map(x => x.toDouble * x.toDouble).sum)
+        vm = wq.map(x => roundAway(x / nrm * 1e6))
+        sigmaMicro = roundAway(nrm)
+      }
+      s.range(64).select(col("id").cast("int").as("dim"),
+        element_at(array(vm.map(lit(_)): _*),
+          col("id").cast("int") + 1).as("v_micro"),
+        lit(sigmaMicro).as("sigma_micro"))
+        .orderBy("dim")
+    },
+    Some("""
+      WITH e AS (
+        SELECT [CAST(x AS DOUBLE) FOR x IN embedding] AS a FROM embeddings),
+      js AS (SELECT unnest(range(1, 65)) AS j),
+      d1 AS (
+        SELECT a, list_sum([a[j] * 0.125 FOR j IN range(1, 65)]) AS dot
+        FROM e),
+      w1 AS (
+        SELECT j, CAST(sum(round(dot * a[j] * 1e6)) AS BIGINT) AS wq
+        FROM d1, js GROUP BY j),
+      n1 AS (
+        SELECT sqrt(sum(CAST(wq AS DOUBLE) * CAST(wq AS DOUBLE))) AS nrm
+        FROM w1),
+      v1 AS (
+        SELECT list(CAST(round(wq / nrm * 1e6) AS BIGINT) ORDER BY j) AS vm
+        FROM w1, n1),
+      d2 AS (
+        SELECT a, list_sum([a[j] * (vm[j] / 1e6) FOR j IN range(1, 65)])
+          AS dot
+        FROM e, v1),
+      w2 AS (
+        SELECT j, CAST(sum(round(dot * a[j] * 1e6)) AS BIGINT) AS wq
+        FROM d2, js GROUP BY j),
+      n2 AS (
+        SELECT sqrt(sum(CAST(wq AS DOUBLE) * CAST(wq AS DOUBLE))) AS nrm
+        FROM w2)
+      SELECT CAST(j - 1 AS INT) AS dim,
+             CAST(round(wq / nrm * 1e6) AS BIGINT) AS v_micro,
+             CAST(round(nrm) AS BIGINT) AS sigma_micro
+      FROM w2, n2 ORDER BY dim"""),
+    doc = "top principal direction via 2 unrolled power-iteration " +
+      "rounds: one 64-long micro-quantized aggregate per round, driver " +
+      "normalization (64 longs of state), oracle replays the exact " +
+      "trajectory with DuckDB list comprehensions")
+
+  val all: Seq[Q] = Seq(linkPredictionQ, naiveBayesQ, logRegQ, stumpQ,
+    svdPowerQ) ++ Seq(
     // N9 feature block: the full preprocessing frame, oracle-checked.
     Q(
       "ml_knn_features",

@@ -1,9 +1,8 @@
 package graft
 
-import org.scalatest.funsuite.AnyFunSuite
 import graft.ml.{Dbscan, Gsdmm}
 
-class MlSpec extends AnyFunSuite {
+class MlSpec extends SparkSpec {
 
   test("DBSCAN separates tight clusters and marks noise") {
     def v(a: Double, b: Double) = Array(a, b)
@@ -41,6 +40,44 @@ class MlSpec extends AnyFunSuite {
     assert(zA !== zB)
     // deterministic
     assert(Gsdmm.assign(model, Array("apple", "cherry")) === zA)
+  }
+
+  test("decision stump: histogram split beats the root and uses TopKPerKey") {
+    val sfDir = "/root/testdata/sf0.001"
+    val df = graft.SparkEntry.queries("ml_decision_stump")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length === 3, "one best split per feature")
+    rows.foreach { r =>
+      val nl = r.getAs[Long]("nl"); val pl = r.getAs[Long]("pl")
+      val nr = r.getAs[Long]("nr"); val pr = r.getAs[Long]("pr")
+      val n = nl + nr; val p = pl + pr
+      val rootGini = 1d - math.pow(p.toDouble / n, 2) -
+        math.pow((n - p).toDouble / n, 2)
+      assert(r.getAs[Double]("gini") <= rootGini + 1e-9,
+        s"split must not be worse than the root for ${r.getAs[String]("feature")}")
+      assert(nl > 0 || nr > 0)
+    }
+    // the argmin runs through the custom operator (AdaptiveSparkPlanExec
+    // hides children from collect(), so assert on the rendered plan)
+    assert(df.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      "best-split selection must use TopKPerKeyExec")
+  }
+
+  test("svd power iteration: unit direction, positive sigma, deterministic") {
+    val sfDir = "/root/testdata/sf0.001"
+    val q = graft.SparkEntry.queries("ml_svd_power")
+    val rows = q(spark, sfDir).collect()
+    assert(rows.length === 64)
+    val v = rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Long]("v_micro"))
+    val norm2 = v.map(x => (x / 1e6) * (x / 1e6)).sum
+    assert(math.abs(norm2 - 1d) < 1e-3,
+      s"direction must be unit-norm in micro-units, got $norm2")
+    assert(rows.head.getAs[Long]("sigma_micro") > 0L)
+    // order-independent micro-quantized trajectory: re-running yields
+    // identical longs
+    val again = q(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("dim")).map(_.getAs[Long]("v_micro"))
+    assert(again.toSeq === v.toSeq)
   }
 
   test("GSDMM groups disjoint-vocabulary docs and is seed-deterministic") {
