@@ -83,6 +83,136 @@ object SimilarityQueries extends QueryBase {
           FROM v CROSS JOIN r1)"""
 
   val all: Seq[Q] = Seq(
+    // Product quantization ANN (Jégou et al. 2011 — the remaining FAISS
+    // memory-path classic next to SQ8/IVF): the 64-dim space splits
+    // into M=8 subspaces; each subspace gets a K=4 codebook (seeded
+    // from the 4 md5-hash-ranked corpus vectors, refined by ONE
+    // distributed Lloyd round with micro-quantized means), and every
+    // vector stores just 8 two-bit codes — 2 bytes instead of 256.
+    // Search is ASYMMETRIC DISTANCE over the codes alone: the query
+    // precomputes its 8×4 subspace-distance lookup (a 160-row broadcast
+    // for 5 queries), the candidate scan joins the CODE table against
+    // it and sums — the raw floats are never touched at query time,
+    // which is the whole point at 100 TB (the index fits in RAM).
+    // Per-subspace distances micro-quantize before the ADC sum, so the
+    // 8-way reduction is order-independent; both argmin stages run
+    // through TopKPerKey (k=1), and the oracle replays seed → Lloyd →
+    // encode → lookup → ADC end-to-end.
+    Q(
+      "sim_ann_pq",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val v = vv(th(s, dir, "embeddings")).select("vec_id", "vv")
+        val hsort = expr(
+          "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+        val seeds = v.withColumn("h", hsort)
+          .orderBy("h", "vec_id").limit(4)
+          .withColumn("k",
+            row_number().over(Window.orderBy("h", "vec_id")) - 1)
+        val init = seeds
+          .select(col("k"), explode(sequence(lit(0), lit(7))).as("m"),
+            col("vv"))
+          .select(col("m"), col("k"), expr("slice(vv, m*8+1, 8)").as("c"))
+        // fixed-order 8-term squared distance between the row's `sub`
+        // slice and the joined codebook row's `c`
+        val subDist =
+          expr("aggregate(zip_with(sub, c, (x, y) -> (x-y)*(x-y)), " +
+            "0D, (acc, t) -> acc + t)")
+        val ve = v.select(col("vec_id"),
+            explode(sequence(lit(0), lit(7))).as("m"), col("vv"))
+          .select(col("vec_id"), col("m"),
+            expr("slice(vv, m*8+1, 8)").as("sub"))
+        def assignTo(cent: DataFrame): DataFrame =
+          graft.plans.TopK.perKey(
+            ve.join(broadcast(cent), Seq("m"))
+              .withColumn("dist", subDist),
+            Seq("vec_id", "m"), Seq(("dist", true), ("k", true)), 1)
+        val cent1 = assignTo(init)
+          .select(col("m"), col("k"), posexplode(col("sub")).as(Seq("j", "x")))
+          .groupBy("m", "k", "j")
+          .agg((round(sum(round(col("x") * 1e6).cast("long"))
+            .cast("double") / count(lit(1))).cast("long") / 1e6).as("cj"))
+          .groupBy("m", "k")
+          .agg(transform(array_sort(collect_list(struct(col("j"), col("cj")))),
+            t => t.getField("cj")).as("c"))
+        val codes = assignTo(cent1).select("vec_id", "m", "k")
+        val qd = ve.filter(col("vec_id") < 5)
+          .withColumnRenamed("vec_id", "qid")
+          .join(cent1, Seq("m"))
+          .withColumn("dmicro",
+            round(subDist * 1e6).cast("long"))
+          .select("qid", "m", "k", "dmicro")
+        val w = Window.partitionBy("qid")
+          .orderBy(col("adc_micro").asc, col("vec_id").asc)
+        codes.join(broadcast(qd), Seq("m", "k"))
+          .filter(col("vec_id") =!= col("qid"))
+          .groupBy("qid", "vec_id")
+          .agg(sum(col("dmicro")).as("adc_micro"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("rank"), col("vec_id"),
+            round(col("adc_micro") / 1e6, 6).as("adc"))
+          .orderBy("qid", "rank")
+      },
+      Some("""
+        WITH v AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS vv
+          FROM embeddings),
+        hs AS (
+          SELECT vec_id, vv,
+                 CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) AS h
+          FROM v),
+        seeds AS (
+          SELECT vec_id, vv, row_number() OVER (ORDER BY h, vec_id) - 1 AS k
+          FROM hs QUALIFY row_number() OVER (ORDER BY h, vec_id) <= 4),
+        ms AS (SELECT unnest(range(0, 8)) AS m),
+        init AS (SELECT m, k, vv[m*8+1 : m*8+8] AS c FROM seeds, ms),
+        asg AS (
+          SELECT vec_id, m, k, sub FROM (
+            SELECT e.vec_id, i.m, i.k, e.vv[i.m*8+1 : i.m*8+8] AS sub,
+                   list_sum([(e.vv[i.m*8+j] - i.c[j]) * (e.vv[i.m*8+j] - i.c[j])
+                             FOR j IN range(1, 9)]) AS dist
+            FROM v e, init i)
+          QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY dist, k) = 1),
+        cent AS (
+          SELECT m, k, list(cj ORDER BY j) AS c FROM (
+            SELECT m, k, j,
+                   CAST(round(CAST(sum(round(sub[j] * 1e6)) AS DOUBLE)
+                     / count(*)) AS BIGINT) / 1e6 AS cj
+            FROM asg, (SELECT unnest(range(1, 9)) AS j) js
+            GROUP BY m, k, j)
+          GROUP BY m, k),
+        codes AS (
+          SELECT vec_id, m, k FROM (
+            SELECT e.vec_id, c.m, c.k,
+                   list_sum([(e.vv[c.m*8+j] - c.c[j]) * (e.vv[c.m*8+j] - c.c[j])
+                             FOR j IN range(1, 9)]) AS dist
+            FROM v e, cent c)
+          QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY dist, k) = 1),
+        qd AS (
+          SELECT q.vec_id AS qid, c.m, c.k,
+                 CAST(round(list_sum([(q.vv[c.m*8+j] - c.c[j])
+                        * (q.vv[c.m*8+j] - c.c[j]) FOR j IN range(1, 9)])
+                      * 1e6) AS BIGINT) AS dmicro
+          FROM v q, cent c WHERE q.vec_id < 5),
+        adc AS (
+          SELECT qid, vec_id, CAST(sum(dmicro) AS BIGINT) AS adc_micro
+          FROM codes JOIN qd USING (m, k)
+          WHERE vec_id <> qid GROUP BY qid, vec_id)
+        SELECT qid, rank, vec_id, round(adc_micro / 1e6, 6) AS adc FROM (
+          SELECT qid, vec_id, adc_micro,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY adc_micro, vec_id) AS rank
+          FROM adc)
+        WHERE rank <= 5 ORDER BY qid, rank"""),
+      doc = "product-quantization ANN (M=8 subspaces, K=4 codebooks, one " +
+        "distributed Lloyd round, micro-quantized means): 2-byte codes, " +
+        "asymmetric-distance search over the code table + a broadcast " +
+        "query lookup — raw vectors untouched at query time"),
+
     // Brute-force cosine top-k: 5 query vectors broadcast against the
     // corpus; exact answer, the recall baseline for the ANN variants.
     Q(

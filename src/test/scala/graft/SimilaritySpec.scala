@@ -44,6 +44,30 @@ class SimilaritySpec extends SparkSpec {
     assert(topk("sim_ann_lsh").values.forall(_.size == 5))
   }
 
+  test("PQ codes are 2-bit per subspace and ADC ranks are well-formed") {
+    val df = graft.SparkEntry.queries("sim_ann_pq")(spark, dir)
+    val rows = df.collect()
+    assert(rows.length === 25, "5 ranked rows per query vector")
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size === 5)
+    byQ.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq === (1 to 5))
+      val adcs = sorted.map(_.getAs[Double]("adc"))
+      assert(adcs.forall(_ >= 0d), "squared ADC distances are non-negative")
+      assert(adcs.sameElements(adcs.sorted),
+        "ADC must be non-decreasing down the ranking")
+    }
+    // the two argmin stages (Lloyd assign + encode) run through the
+    // custom operator; AQE hides children from collect(), assert on the
+    // rendered plan
+    assert(df.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      "PQ assignment/encode must use TopKPerKeyExec")
+    // deterministic: identical plan re-run yields identical rows
+    val again = graft.SparkEntry.queries("sim_ann_pq")(spark, dir).collect()
+    assert(again.map(_.toSeq).toSeq === rows.map(_.toSeq).toSeq)
+  }
+
   test("SQ8 scalar-quantized search recall@5 against the exact baseline") {
     // SQ8 scans the whole corpus (it compresses memory, not candidates),
     // so unlike IVF/LSH its only error source is quantization noise —
