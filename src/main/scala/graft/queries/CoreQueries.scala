@@ -354,6 +354,74 @@ object CoreQueries extends QueryBase {
         "binning; global range is a 1-row broadcast, aggregate is " +
         "O(groups x bins)"),
 
+    // Subsampling confidence interval for the mean order value — the
+    // hash-bucketed deterministic cousin of the Poisson bootstrap
+    // (Chamandy et al. 2012, "Estimating Uncertainty for Massive Data
+    // Streams": resample membership decided per (row, replicate) by a
+    // hash, so the whole bootstrap is ONE map-side-combinable pass).
+    // B=32 half-sample replicates: row r joins replicate b iff the
+    // md5-derived bit of (o_orderkey, b) is 0 — deterministic on both
+    // faces via the established md5→BIGINT idiom. Replicate means come
+    // from exact centi-unit long sums; the CI is the 2nd/31st order
+    // statistic of the 32 means (a ~94% subsampling interval). Scale
+    // shape: explode ×32 is map-only work feeding a 32-group partial
+    // aggregate — bounded state, no shuffle of the fact beyond 32 rows.
+    Q(
+      "agg_bootstrap_ci",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val reps = o.select(col("o_orderkey"), col("cents"),
+            explode(sequence(lit(0), lit(31))).as("b"))
+          .filter(expr(
+            "CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), " +
+              "'_', CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2 = 0"))
+          .groupBy("b")
+          .agg((sum(col("cents")).cast("double") / count(lit(1)) / 100d)
+            .as("m"))
+        val ranked = reps.withColumn("r",
+          row_number().over(Window.orderBy(col("m").asc, col("b").asc)))
+        val full = o.agg((sum(col("cents")).cast("double") /
+          count(lit(1)) / 100d).as("mean_full"),
+          count(lit(1)).as("n_rows"))
+        ranked.groupBy(lit(1).as("g"))
+          .agg(count(lit(1)).as("n_reps"),
+            max(when(col("r") === 2, col("m"))).as("lo"),
+            max(when(col("r") === 31, col("m"))).as("hi"))
+          .crossJoin(broadcast(full))
+          .select(col("n_reps"), col("n_rows"),
+            round(col("mean_full"), 4).as("mean_full"),
+            round(col("lo"), 4).as("ci_lo"),
+            round(col("hi"), 4).as("ci_hi"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
+            AS cents
+          FROM orders),
+        reps AS (
+          SELECT b, CAST(sum(cents) AS DOUBLE) / count(*) / 100 AS m
+          FROM o, (SELECT unnest(range(0, 32)) AS b) bs
+          WHERE CAST(concat('0x', substr(md5(concat(
+                  CAST(o_orderkey AS VARCHAR), '_', CAST(b AS VARCHAR))),
+                  1, 15)) AS BIGINT) % 2 = 0
+          GROUP BY b),
+        ranked AS (
+          SELECT m, row_number() OVER (ORDER BY m ASC, b ASC) AS r
+          FROM reps),
+        fullm AS (
+          SELECT CAST(sum(cents) AS DOUBLE) / count(*) / 100 AS mean_full,
+                 count(*) AS n_rows
+          FROM o)
+        SELECT count(*) AS n_reps, any_value(n_rows) AS n_rows,
+               round(any_value(mean_full), 4) AS mean_full,
+               round(max(CASE WHEN r = 2 THEN m END), 4) AS ci_lo,
+               round(max(CASE WHEN r = 31 THEN m END), 4) AS ci_hi
+        FROM ranked, fullm"""),
+      doc = "deterministic hash-bucketed bootstrap CI (Poisson-bootstrap " +
+        "family): 32 md5-selected half-sample replicates in one " +
+        "map-combinable pass, order-statistic interval from the 32 means"),
+
     // Welch's t-test per experiment cell (A/B analysis: variant =
     // user_id parity). ONE conditional-aggregation pass computes both
     // variants' n / Σx / Σx² as EXACT integers (scaled cents through the

@@ -13,6 +13,96 @@ import org.apache.spark.sql.functions._
 object WindowQueries extends QueryBase {
 
   val all: Seq[Q] = Seq(
+    // Offline changepoint detection via BINARY SEGMENTATION (Scott &
+    // Knott 1974's split step — the classic first stage of offline
+    // changepoint methods): for every candidate split of the ordered
+    // daily series, the variance-reduction gain SSE_total − (SSE_left +
+    // SSE_right) comes closed-form from cumulative sums of x and x²
+    // (SSE = Σx² − (Σx)²/n), so scoring all N−1 splits is one window
+    // pass over the ALREADY-AGGREGATED daily frame (tens of rows by
+    // construction; the corpus-sized work is the daily rollup's ordinary
+    // partial-agg shuffle). Centi-unit exact sums keep every cumulative
+    // value an integer-exact double, so both engines score splits
+    // identically. Complements `window_cusum_shift` (sequential/online)
+    // with the offline argmax estimator; top-3 splits reported.
+    Q(
+      "window_changepoint",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val daily = ev.groupBy(
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(wsum(round(col("value") * 100).cast("long"))
+            .cast("double").as("x"))
+        val w = Window.orderBy("day")
+        // x² sums accumulate in exact DECIMAL (x² alone is ~3e14 and the
+        // centi-unit total brushes 2^53 at sf0.1 — a double sum would go
+        // order-dependent at the very next scale-up), then widen to
+        // double ONCE from the exact total on both faces.
+        val x2 = (col("x") * col("x")).cast("decimal(38,0)")
+        val cum = daily
+          .withColumn("i", row_number().over(w).cast("double"))
+          .withColumn("s1", sum(col("x")).over(w))
+          .withColumn("s2", sum(x2).over(w).cast("double"))
+        val tot = daily.agg(count(lit(1)).cast("double").as("n"),
+          sum(col("x")).as("t1"), sum(x2).cast("double").as("t2"))
+        val scored = cum.crossJoin(broadcast(tot))
+          .filter(col("i") < col("n"))
+          .withColumn("sse_tot",
+            col("t2") - col("t1") * col("t1") / col("n"))
+          .withColumn("sse_l",
+            col("s2") - col("s1") * col("s1") / col("i"))
+          .withColumn("sse_r",
+            (col("t2") - col("s2")) -
+              (col("t1") - col("s1")) * (col("t1") - col("s1")) /
+              (col("n") - col("i")))
+          .withColumn("gain", col("sse_tot") - col("sse_l") - col("sse_r"))
+        scored
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("gain").desc, col("day").asc)))
+          .filter(col("rank") <= 3)
+          .select(col("rank"), col("day").as("split_day"),
+            round(col("s1") / col("i") / 100d, 4).as("mean_left"),
+            round((col("t1") - col("s1")) / (col("n") - col("i")) / 100d, 4)
+              .as("mean_right"),
+            round(col("gain") / 10000d, 4).as("gain"))
+          .orderBy("rank")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day,
+                 CAST(CAST(sum(CAST(round(value * 100) AS BIGINT))
+                   AS BIGINT) AS DOUBLE) AS x
+          FROM events GROUP BY 1),
+        cum AS (
+          SELECT day, x,
+                 CAST(row_number() OVER (ORDER BY day) AS DOUBLE) AS i,
+                 sum(x) OVER (ORDER BY day) AS s1,
+                 CAST(sum(CAST(x * x AS HUGEINT)) OVER (ORDER BY day)
+                   AS DOUBLE) AS s2
+          FROM daily),
+        tot AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(x) AS DOUBLE) AS t1,
+                 CAST(sum(CAST(x * x AS HUGEINT)) AS DOUBLE) AS t2
+          FROM daily),
+        scored AS (
+          SELECT day, i, s1, n, t1,
+                 (t2 - t1 * t1 / n)
+                   - (s2 - s1 * s1 / i)
+                   - ((t2 - s2) - (t1 - s1) * (t1 - s1) / (n - i)) AS gain
+          FROM cum, tot WHERE i < n)
+        SELECT rank, day AS split_day,
+               round(s1 / i / 100, 4) AS mean_left,
+               round((t1 - s1) / (n - i) / 100, 4) AS mean_right,
+               round(gain / 10000, 4) AS gain
+        FROM (SELECT *, row_number() OVER (ORDER BY gain DESC, day ASC)
+                AS rank
+              FROM scored)
+        WHERE rank <= 3 ORDER BY rank"""),
+      doc = "offline changepoint via binary segmentation: closed-form " +
+        "SSE gain from cumulative sums over the daily frame, top-3 " +
+        "splits; the offline complement of window_cusum_shift"),
+
     // W1: lag feature columns for the prediction input.
     // reference src/visitor_prediction/predict.py:163-164 (entries.shift(i)).
     Q(
