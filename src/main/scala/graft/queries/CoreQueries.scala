@@ -359,23 +359,27 @@ object CoreQueries extends QueryBase {
     // (Chamandy et al. 2012, "Estimating Uncertainty for Massive Data
     // Streams": resample membership decided per (row, replicate) by a
     // hash, so the whole bootstrap is ONE map-side-combinable pass).
-    // B=32 half-sample replicates: row r joins replicate b iff the
-    // md5-derived bit of (o_orderkey, b) is 0 — deterministic on both
-    // faces via the established md5→BIGINT idiom. Replicate means come
-    // from exact centi-unit long sums; the CI is the 2nd/31st order
-    // statistic of the 32 means (a ~94% subsampling interval). Scale
-    // shape: explode ×32 is map-only work feeding a 32-group partial
-    // aggregate — bounded state, no shuffle of the fact beyond 32 rows.
+    // B=32 half-sample replicates: row r joins replicate b iff BIT b of
+    // the row's single md5 digest is 0 — ONE hash per row (not per
+    // row×replicate; the digest's first 8 nibbles carry all 32
+    // membership bits), deterministic on both faces. Replicate means
+    // come from exact centi-unit long sums; the CI is the 2nd/31st
+    // order statistic of the 32 means (a ~94% subsampling interval).
+    // Scale shape: one hash + explode ×32 is map-only work feeding a
+    // 32-group partial aggregate — bounded state, no shuffle of the
+    // fact beyond 32 rows.
     Q(
       "agg_bootstrap_ci",
       (s, dir) => {
         val o = t(s, dir, "orders").select(col("o_orderkey"),
           round(col("o_totalprice") * 100).cast("long").as("cents"))
-        val reps = o.select(col("o_orderkey"), col("cents"),
+        val reps = o
+          .withColumn("h", md5(col("o_orderkey").cast("string")))
+          .select(col("h"), col("cents"),
             explode(sequence(lit(0), lit(31))).as("b"))
           .filter(expr(
-            "CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), " +
-              "'_', CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2 = 0"))
+            "(shiftright(CAST(conv(substring(h, CAST(b DIV 4 AS INT) + 1, 1), " +
+              "16, 10) AS INT), CAST(b % 4 AS INT)) & 1) = 0"))
           .groupBy("b")
           .agg((sum(col("cents")).cast("double") / count(lit(1)) / 100d)
             .as("m"))
@@ -401,10 +405,10 @@ object CoreQueries extends QueryBase {
           FROM orders),
         reps AS (
           SELECT b, CAST(sum(cents) AS DOUBLE) / count(*) / 100 AS m
-          FROM o, (SELECT unnest(range(0, 32)) AS b) bs
-          WHERE CAST(concat('0x', substr(md5(concat(
-                  CAST(o_orderkey AS VARCHAR), '_', CAST(b AS VARCHAR))),
-                  1, 15)) AS BIGINT) % 2 = 0
+          FROM (SELECT md5(CAST(o_orderkey AS VARCHAR)) AS h, cents FROM o),
+               (SELECT unnest(range(0, 32)) AS b) bs
+          WHERE ((CAST(concat('0x', substr(h, CAST(b // 4 AS INT) + 1, 1))
+                    AS INT) >> CAST(b % 4 AS INT)) & 1) = 0
           GROUP BY b),
         ranked AS (
           SELECT m, row_number() OVER (ORDER BY m ASC, b ASC) AS r
