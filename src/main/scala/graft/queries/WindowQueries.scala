@@ -76,7 +76,7 @@ object WindowQueries extends QueryBase {
         cum AS (
           SELECT day, x,
                  CAST(row_number() OVER (ORDER BY day) AS DOUBLE) AS i,
-                 sum(x) OVER (ORDER BY day) AS s1,
+                 CAST(sum(x) OVER (ORDER BY day) AS DOUBLE) AS s1,
                  CAST(sum(CAST(x * x AS HUGEINT)) OVER (ORDER BY day)
                    AS DOUBLE) AS s2
           FROM daily),
