@@ -44,6 +44,7 @@ object GraftFunctions {
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "trigram_sim" -> (exprs => TrigramSimilarity(exprs(0), exprs(1))),
+    "jaro_winkler" -> (exprs => JaroWinklerSim(exprs(0), exprs(1))),
     "murmur3_seeded" -> (exprs => Murmur3Seeded(exprs(0), seedOf(exprs(1)))),
     "simhash32" -> (exprs => SimHash32(exprs(0))),
     "minhash_sig" -> (exprs => MinhashSig(exprs(0), seedOf(exprs(1)))),

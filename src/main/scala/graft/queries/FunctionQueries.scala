@@ -63,6 +63,96 @@ object FunctionQueries extends QueryBase {
         ORDER BY probe, matched"""),
       doc = "J6/N11 trigram-similarity fuzzy match via custom Catalyst expression; reference post_aspects.py:120-150"),
 
+    // Jaro–Winkler value parity, dense: every distinct corpus token ×
+    // every probe, similarity projected with NO threshold — the oracle
+    // is DuckDB's own built-in `jaro_winkler_similarity`, so the custom
+    // expression ([[graft.functions.JaroWinklerSim]]) is value-checked
+    // pairwise against an independent engine's implementation across
+    // the whole vocabulary (thousands of pairs), not just on the pairs
+    // a threshold would keep. round(.,6) on both faces; a 6-decimal tie
+    // is impossible (see the expression's Scaladoc), so ulp-level
+    // evaluation-order differences between engines cannot flip a hash.
+    Q(
+      "func_jaro_winkler",
+      (s, dir) => {
+        GraftFunctions.register(s)
+        val d = t(s, dir, "documents")
+        val probes = s.createDataFrame(Seq(
+          Tuple1("bacth"), Tuple1("jion"), Tuple1("hashh"), Tuple1("windoww"),
+          Tuple1("streem"), Tuple1("scna"))).toDF("probe")
+        val vocab = d.select(explode(split(lower(col("text")), " ")).as("word"))
+          .filter(length(col("word")) > 0).distinct()
+        vocab.crossJoin(broadcast(probes))
+          .select(col("word"), col("probe"),
+            round(expr("jaro_winkler(word, probe)"), 6).as("jw"))
+          .orderBy("word", "probe")
+      },
+      Some("""
+        WITH vocab AS (
+          SELECT DISTINCT w AS word FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+          WHERE length(w) > 0),
+        probes AS (SELECT unnest(['bacth','jion','hashh','windoww','streem','scna']) AS probe)
+        SELECT word, probe,
+               round(jaro_winkler_similarity(word, probe), 6) AS jw
+        FROM vocab CROSS JOIN probes
+        ORDER BY word, probe"""),
+      doc = "Jaro-Winkler custom codegen expression value-checked densely " +
+        "against DuckDB's independent built-in across the full corpus " +
+        "vocabulary x probe cross product"),
+
+    // J6, Jaro–Winkler threshold form: typo probes fuzzy-joined against
+    // the corpus vocabulary at jw >= 0.9, with the sound LENGTH PRUNE
+    // applied before the kernel: jw = jaro + p·0.1·(1−jaro) ≤
+    // 0.6·jaro + 0.4 and jaro ≤ (2 + min/max)/3 (m ≤ min(|a|,|b|)),
+    // so jw ≥ 0.9 forces min·2 ≥ max — pairs failing that cannot match
+    // and are pruned by an O(1) predicate that at scale also bounds the
+    // blocking fan-out (the same necessary-bound discipline as
+    // LevenshteinBoundRule/TrigramBoundRule). The oracle replays the
+    // identical prune, so both faces score the same candidate set.
+    Q(
+      "join_fuzzy_jaro",
+      (s, dir) => {
+        GraftFunctions.register(s)
+        val d = t(s, dir, "documents")
+        val probes = s.createDataFrame(Seq(
+          Tuple1("bacth"), Tuple1("jion"), Tuple1("hashh"), Tuple1("windoww"),
+          Tuple1("streem"), Tuple1("scna"))).toDF("probe")
+        val vocab = d.select(explode(split(lower(col("text")), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+          .groupBy("word").agg(count(lit(1)).as("n_occ"))
+        vocab.crossJoin(broadcast(probes))
+          .filter(least(length(col("word")), length(col("probe"))) * 2 >=
+            greatest(length(col("word")), length(col("probe"))))
+          .withColumn("jw", round(expr("jaro_winkler(word, probe)"), 6))
+          .filter(col("jw") >= 0.9)
+          .select(col("probe"), col("word").as("matched"), col("jw"),
+            col("n_occ"))
+          .orderBy("probe", "matched")
+      },
+      Some("""
+        WITH vocab AS (
+          SELECT w AS word, count(*) AS n_occ FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+          WHERE length(w) > 0 GROUP BY 1),
+        probes AS (SELECT unnest(['bacth','jion','hashh','windoww','streem','scna']) AS probe),
+        cand AS (
+          SELECT word, probe, n_occ
+          FROM vocab CROSS JOIN probes
+          WHERE least(length(word), length(probe)) * 2 >=
+                greatest(length(word), length(probe))),
+        scored AS (
+          SELECT probe, word AS matched,
+                 round(jaro_winkler_similarity(word, probe), 6) AS jw,
+                 CAST(n_occ AS BIGINT) AS n_occ
+          FROM cand)
+        SELECT probe, matched, jw, n_occ FROM scored
+        WHERE jw >= 0.9
+        ORDER BY probe, matched"""),
+      doc = "J6 Jaro-Winkler fuzzy threshold join with the sound " +
+        "2*min>=max length prune derived from the Winkler bound " +
+        "(necessary for jw>=0.9), replayed identically in the oracle"),
+
     // J6 threshold form, written the way the reference's postgres SQL
     // writes it: `similarity(a, b) >= t` as a bare theta-join predicate
     // (post_aspects.py:120-150, threshold 0.65 there; 0.35 here for this

@@ -609,8 +609,149 @@ object MlQueries extends QueryBase {
       "normalization (64 longs of state), oracle replays the exact " +
       "trajectory with DuckDB list comprehensions")
 
+  /** HITS hubs & authorities (Kleinberg 1999) over the bipartite
+    * user→entity interaction graph — the link-analysis complement to
+    * [[graft.ml.PageRank]]: PageRank ranks within one homogeneous node
+    * set; HITS separates "users who touch the important entities"
+    * (hubs) from "entities the important users touch" (authorities),
+    * the shape the reference's engagement analyses ask of posts vs
+    * accounts. Integer micro-unit scores, exact DECIMAL sums, one
+    * truncating division per normalization ([[graft.ml.Hits]]); the
+    * oracle unrolls both iterations as CTEs with HUGEINT arithmetic
+    * and scalar-subquery normalizers, hash-matching bit-for-bit. */
+  private val hitsQ = Q(
+    "ml_hits",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val edges = ev.select(col("user_id").as("src"), entityKey.as("dst"))
+        .filter(col("dst").isNotNull)
+      val scores = graft.ml.Hits.run(edges, 2)
+      graft.plans.TopK.perKey(scores, Seq("kind"),
+          Seq(("score", false), ("id", true)), 15)
+        .orderBy(col("kind"), col("score").desc, col("id"))
+    },
+    Some("""
+      WITH edges AS (
+        SELECT DISTINCT user_id AS src,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL),
+      h0 AS (SELECT DISTINCT src AS id, CAST(1000000 AS HUGEINT) AS h FROM edges),
+      a1r AS (SELECT e.dst AS id, CAST(sum(h0.h) AS HUGEINT) AS ar
+              FROM edges e JOIN h0 ON h0.id = e.src GROUP BY 1),
+      a1 AS (SELECT id, CAST((ar * 1000000) // (SELECT sum(ar) FROM a1r) AS HUGEINT) AS a FROM a1r),
+      h1r AS (SELECT e.src AS id, CAST(sum(a1.a) AS HUGEINT) AS hr
+              FROM edges e JOIN a1 ON a1.id = e.dst GROUP BY 1),
+      h1 AS (SELECT id, CAST((hr * 1000000) // (SELECT sum(hr) FROM h1r) AS HUGEINT) AS h FROM h1r),
+      a2r AS (SELECT e.dst AS id, CAST(sum(h1.h) AS HUGEINT) AS ar
+              FROM edges e JOIN h1 ON h1.id = e.src GROUP BY 1),
+      a2 AS (SELECT id, CAST((ar * 1000000) // (SELECT sum(ar) FROM a2r) AS HUGEINT) AS a FROM a2r),
+      h2r AS (SELECT e.src AS id, CAST(sum(a2.a) AS HUGEINT) AS hr
+              FROM edges e JOIN a2 ON a2.id = e.dst GROUP BY 1),
+      h2 AS (SELECT id, CAST((hr * 1000000) // (SELECT sum(hr) FROM h2r) AS HUGEINT) AS h FROM h2r),
+      auth AS (SELECT 'auth' AS kind, id, CAST(a AS BIGINT) AS score
+               FROM a2 ORDER BY score DESC, id LIMIT 15),
+      hub AS (SELECT 'hub' AS kind, id, CAST(h AS BIGINT) AS score
+              FROM h2 ORDER BY score DESC, id LIMIT 15)
+      SELECT kind, id, score FROM (
+        SELECT * FROM auth UNION ALL SELECT * FROM hub)
+      ORDER BY kind, score DESC, id"""),
+    doc = "integer-exact HITS hubs/authorities (2 unrolled iterations, " +
+      "micro-unit scores, sum-normalized via one truncating division, " +
+      "DECIMAL(38) headroom) over the bipartite user->entity graph; " +
+      "one edge shuffle per half-iteration, top-15 per kind via TopKPerKey")
+
+  /** Rank-1 alternating least squares (the Koren/Bell/Volinsky 2009
+    * matrix-factorization recommender, single latent factor) over the
+    * implicit user→entity rating matrix mined from event values. The
+    * rank-1 normal equations are closed-form per side — q_i = Σ p·r /
+    * Σ p², p_u = Σ q·r / Σ q² — so each half-step is ONE grouped
+    * aggregate over the ratings frame (edge-sized shuffle), no gradient
+    * loop, no driver state. Three half-steps unrolled (q ← p₀, p ← q,
+    * q ← p). Determinism: ratings centi-quantized, factors micro-unit
+    * longs, every Σ exact in DECIMAL(38,0)/HUGEINT, one truncating
+    * division per factor — the oracle replays the identical trajectory.
+    * Scale posture: each half-step shuffles the ratings frame once on
+    * its grouping key and carries O(users+items) factor state. */
+  private val alsQ = Q(
+    "ml_als_rank1",
+    (s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val ev = t(s, dir, "events")
+      // Zero-valued events are non-signals, not ratings; dropping them
+      // also makes every factor strictly positive (q ≥ 1e4 micro when
+      // all ratings ≥ 1 centi), so no normal-equation denominator can
+      // be zero at any sf.
+      val r = ev.select(col("user_id").as("u"), entityKey.as("i"),
+          round(col("value") * 100).cast("long").as("rc"))
+        .filter(col("i").isNotNull && col("rc") > 0)
+        .groupBy("u", "i").agg(wsum(col("rc")).as("rs"))
+        .localCheckpoint()
+      val p0 = r.select(col("u")).distinct().withColumn("p", lit(1000000L))
+      def itemStep(p: DataFrame): DataFrame =
+        r.join(p, "u").groupBy("i")
+          .agg(sum(col("p").cast(dec) * col("rs")).as("num"),
+            sum(col("p").cast(dec) * col("p").cast(dec)).as("den"),
+            count(lit(1)).as("n"))
+          .select(col("i"),
+            expr("CAST(num * 10000000000 AS DECIMAL(38,0)) div den").as("q"),
+            col("n"))
+      def userStep(q: DataFrame): DataFrame =
+        r.join(q.select("i", "q"), "i").groupBy("u")
+          .agg(sum(col("q").cast(dec) * col("rs")).as("num"),
+            sum(col("q").cast(dec) * col("q").cast(dec)).as("den"),
+            count(lit(1)).as("n"))
+          .select(col("u"),
+            expr("CAST(num * 10000000000 AS DECIMAL(38,0)) div den").as("p"),
+            col("n"))
+      val q1 = itemStep(p0).localCheckpoint()
+      val p1 = userStep(q1).localCheckpoint()
+      val q2 = itemStep(p1.select(col("u"), col("p")))
+      val items = q2.select(lit("item").as("kind"), col("i").as("id"),
+        col("q").as("factor"), col("n"))
+      val users = p1.select(lit("user").as("kind"), col("u").as("id"),
+        col("p").as("factor"), col("n"))
+      graft.plans.TopK.perKey(items.union(users), Seq("kind"),
+          Seq(("factor", false), ("id", true)), 15)
+        .orderBy(col("kind"), col("factor").desc, col("id"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT user_id AS u,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS i,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS rs
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+          AND round(value * 100) > 0
+        GROUP BY 1, 2),
+      p0 AS (SELECT DISTINCT u, CAST(1000000 AS HUGEINT) AS p FROM r),
+      q1 AS (SELECT r.i, CAST((sum(p0.p * r.rs) * 10000000000) // sum(p0.p * p0.p) AS HUGEINT) AS q
+             FROM r JOIN p0 ON p0.u = r.u GROUP BY 1),
+      p1 AS (SELECT r.u, CAST((sum(q1.q * r.rs) * 10000000000) // sum(q1.q * q1.q) AS HUGEINT) AS p,
+                    count(*) AS n
+             FROM r JOIN q1 ON q1.i = r.i GROUP BY 1),
+      q2 AS (SELECT r.i, CAST((sum(p1.p * r.rs) * 10000000000) // sum(p1.p * p1.p) AS HUGEINT) AS q,
+                    count(*) AS n
+             FROM r JOIN p1 ON p1.u = r.u GROUP BY 1),
+      tops AS (
+        SELECT kind, id, factor, n FROM (
+          SELECT 'item' AS kind, i AS id, CAST(q AS BIGINT) AS factor,
+                 CAST(n AS BIGINT) AS n
+          FROM q2 ORDER BY factor DESC, id LIMIT 15)
+        UNION ALL
+        SELECT kind, id, factor, n FROM (
+          SELECT 'user' AS kind, u AS id, CAST(p AS BIGINT) AS factor,
+                 CAST(n AS BIGINT) AS n
+          FROM p1 ORDER BY factor DESC, id LIMIT 15))
+      SELECT kind, id, factor, n FROM tops
+      ORDER BY kind, factor DESC, id"""),
+    doc = "rank-1 ALS recommender: closed-form normal equations per " +
+      "side, 3 unrolled half-steps, one ratings-frame shuffle each, " +
+      "centi-quantized ratings / micro-unit factors with exact DECIMAL " +
+      "sums and truncating division; top-15 factors per side via TopKPerKey")
+
   val all: Seq[Q] = Seq(linkPredictionQ, naiveBayesQ, logRegQ, stumpQ,
-    svdPowerQ) ++ Seq(
+    svdPowerQ, hitsQ, alsQ) ++ Seq(
     // N9 feature block: the full preprocessing frame, oracle-checked.
     Q(
       "ml_knn_features",
