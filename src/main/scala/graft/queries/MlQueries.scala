@@ -750,8 +750,148 @@ object MlQueries extends QueryBase {
       "centi-quantized ratings / micro-unit factors with exact DECIMAL " +
       "sums and truncating division; top-15 factors per side via TopKPerKey")
 
+  /** Gradient-boosted stumps (Friedman 2001, squared loss): two
+    * boosting rounds on top of [[stumpQ]]'s histogram machinery — the
+    * full GBDT recurrence, not just one tree. Each round is ONE F×B
+    * histogram shuffle (n, Σresidual per bin), cumulative-window split
+    * stats, SSE-gain argmax (maximize S_L²/n_L + S_R²/n_R — the
+    * variance-reduction form needing only the two sufficient
+    * statistics), leaf values γ = S/n, learning rate ½ applied as a
+    * truncating `div 2`. Residuals live in centi-units with every sum
+    * exact (wsum/HUGEINT) and one truncating division per leaf, so the
+    * boosting trajectory is bit-reproducible on any engine — the
+    * oracle replays both rounds as CTE chains. Gain headroom: S² div n
+    * ≈ n·mean² centi² must fit int64 → sound to ~2·10⁸ rows per fit at
+    * these magnitudes; past that the same plan carries deci-units
+    * (documented contract, same discipline as [[logRegQ]]). */
+  private val gbtQ = Q(
+    "ml_gbt_stumps",
+    (s, dir) => {
+      val dec38 = "DECIMAL(38,0)"
+      val d0 = th(s, dir, "documents")
+        .withColumn("tk", split(lower(col("text")), " "))
+        .withColumn("ntok", size(col("tk")))
+        .withColumn("y", (length(col("text")) * 100).cast("long"))
+        .withColumn("x1", col("ntok").cast("double") / 1000d)
+        .withColumn("x2", size(array_distinct(col("tk"))).cast("double") /
+          col("ntok").cast("double"))
+        .withColumn("x3",
+          expr("aggregate(tk, 0L, (a, x) -> a + length(x))").cast("double") /
+            (col("ntok").cast("double") * 10d))
+        .select(col("doc_id"), col("y"), col("x1"), col("x2"), col("x3"))
+      val f0 = d0.agg(wsum(col("y")).as("sy"), count(lit(1)).as("n"))
+        .select(expr(s"sy div CAST(n AS $dec38)").as("f0"))
+      val r1 = d0.crossJoin(broadcast(f0))
+        .withColumn("e", col("y") - col("f0"))
+      def fit(dd: DataFrame): DataFrame = {
+        val f = dd.select(col("e"),
+          posexplode(array(col("x1"), col("x2"), col("x3")))
+            .as(Seq("fidx", "x")))
+        val hist = f
+          .withColumn("bin", least(lit(31), floor(col("x") * 32).cast("int")))
+          .groupBy("fidx", "bin")
+          .agg(count(lit(1)).as("n"), wsum(col("e")).as("se"))
+        val w = Window.partitionBy("fidx").orderBy("bin")
+        val tw = Window.partitionBy("fidx")
+        hist
+          .withColumn("cn", sum(col("n")).over(w))
+          .withColumn("cse", sum(col("se")).over(w))
+          .withColumn("tn", sum(col("n")).over(tw))
+          .withColumn("tse", sum(col("se")).over(tw))
+          .filter(col("cn") < col("tn"))
+          .select(col("fidx"), ((col("bin") + 1).cast("double") / 32d).as("t"),
+            col("cn").as("nl"), (col("tn") - col("cn")).as("nr"),
+            col("cse"), (col("tse") - col("cse")).as("rse"))
+          .selectExpr("fidx", "t", "nl", "nr",
+            s"cse div CAST(nl AS $dec38) AS gl",
+            s"rse div CAST(nr AS $dec38) AS gr",
+            s"(cse * cse) div CAST(nl AS $dec38) + " +
+              s"(rse * rse) div CAST(nr AS $dec38) AS gain")
+          .orderBy(col("gain").desc, col("fidx"), col("t")).limit(1)
+      }
+      def applyStump(dd: DataFrame, best: DataFrame): DataFrame =
+        dd.crossJoin(broadcast(best.select(col("fidx").as("bf"),
+            col("t").as("bt"), col("gl").as("bgl"), col("gr").as("bgr"))))
+          .withColumn("e", col("e") - expr(
+            "(CASE WHEN element_at(array(x1, x2, x3), bf + 1) < bt " +
+              "THEN bgl ELSE bgr END) div 2"))
+          .drop("bf", "bt", "bgl", "bgr")
+      val best1 = fit(r1).localCheckpoint()
+      val best2 = fit(applyStump(r1, best1))
+      best1.withColumn("rnd", lit(1))
+        .union(best2.withColumn("rnd", lit(2)))
+        .select(col("rnd"), col("fidx"),
+          element_at(array(lit("ntok_k"), lit("uniq_ratio"), lit("avglen_d")),
+            col("fidx") + 1).as("feature"),
+          round(col("t"), 6).as("t"), col("nl"), col("nr"),
+          col("gl"), col("gr"), col("gain"))
+        .orderBy("rnd")
+    },
+    Some("""
+      WITH d0 AS (
+        SELECT doc_id, CAST(length(text) * 100 AS BIGINT) AS y,
+               CAST(len(tk) AS DOUBLE) / 1000 AS x1,
+               CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS x2,
+               CAST(list_aggregate(list_transform(tk, x -> length(x)), 'sum')
+                 AS DOUBLE) / (len(tk) * 10) AS x3
+        FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS tk
+              FROM documents)),
+      f0 AS (SELECT CAST(sum(y) AS HUGEINT) // count(*) AS f0 FROM d0),
+      r1 AS (SELECT doc_id, x1, x2, x3, CAST(y - f0 AS HUGEINT) AS e
+             FROM d0, f0),
+      h1 AS (SELECT fidx, bin, count(*) AS n, CAST(sum(e) AS HUGEINT) AS se
+             FROM (SELECT least(31, CAST(floor(x * 32) AS INT)) AS bin, fidx, e
+                   FROM (SELECT e, 0 AS fidx, x1 AS x FROM r1
+                         UNION ALL SELECT e, 1, x2 FROM r1
+                         UNION ALL SELECT e, 2, x3 FROM r1))
+             GROUP BY 1, 2),
+      s1 AS (SELECT fidx, CAST(bin + 1 AS DOUBLE) / 32 AS t,
+                    CAST(sum(n) OVER (PARTITION BY fidx ORDER BY bin) AS BIGINT) AS nl,
+                    CAST(sum(se) OVER (PARTITION BY fidx ORDER BY bin) AS HUGEINT) AS cse,
+                    CAST(sum(n) OVER (PARTITION BY fidx) AS BIGINT) AS tn,
+                    CAST(sum(se) OVER (PARTITION BY fidx) AS HUGEINT) AS tse
+             FROM h1),
+      b1 AS (SELECT fidx, t, nl, tn - nl AS nr,
+                    CAST(cse // nl AS BIGINT) AS gl,
+                    CAST((tse - cse) // (tn - nl) AS BIGINT) AS gr,
+                    CAST((cse * cse) // nl + ((tse - cse) * (tse - cse)) // (tn - nl) AS BIGINT) AS gain
+             FROM s1 WHERE nl < tn
+             ORDER BY gain DESC, fidx, t LIMIT 1),
+      r2 AS (SELECT r1.doc_id, r1.x1, r1.x2, r1.x3,
+                    CAST(e - (CASE WHEN [x1, x2, x3][b1.fidx + 1] < b1.t
+                              THEN b1.gl ELSE b1.gr END) // 2 AS HUGEINT) AS e
+             FROM r1, b1),
+      h2 AS (SELECT fidx, bin, count(*) AS n, CAST(sum(e) AS HUGEINT) AS se
+             FROM (SELECT least(31, CAST(floor(x * 32) AS INT)) AS bin, fidx, e
+                   FROM (SELECT e, 0 AS fidx, x1 AS x FROM r2
+                         UNION ALL SELECT e, 1, x2 FROM r2
+                         UNION ALL SELECT e, 2, x3 FROM r2))
+             GROUP BY 1, 2),
+      s2 AS (SELECT fidx, CAST(bin + 1 AS DOUBLE) / 32 AS t,
+                    CAST(sum(n) OVER (PARTITION BY fidx ORDER BY bin) AS BIGINT) AS nl,
+                    CAST(sum(se) OVER (PARTITION BY fidx ORDER BY bin) AS HUGEINT) AS cse,
+                    CAST(sum(n) OVER (PARTITION BY fidx) AS BIGINT) AS tn,
+                    CAST(sum(se) OVER (PARTITION BY fidx) AS HUGEINT) AS tse
+             FROM h2),
+      b2 AS (SELECT fidx, t, nl, tn - nl AS nr,
+                    CAST(cse // nl AS BIGINT) AS gl,
+                    CAST((tse - cse) // (tn - nl) AS BIGINT) AS gr,
+                    CAST((cse * cse) // nl + ((tse - cse) * (tse - cse)) // (tn - nl) AS BIGINT) AS gain
+             FROM s2 WHERE nl < tn
+             ORDER BY gain DESC, fidx, t LIMIT 1)
+      SELECT rnd, fidx, ['ntok_k', 'uniq_ratio', 'avglen_d'][fidx + 1] AS feature,
+             round(t, 6) AS t, nl, nr, gl, gr, gain
+      FROM (SELECT 1 AS rnd, fidx, t, nl, nr, gl, gr, gain FROM b1
+            UNION ALL
+            SELECT 2 AS rnd, fidx, t, nl, nr, gl, gr, gain FROM b2)
+      ORDER BY rnd"""),
+    doc = "gradient-boosted stumps (2 rounds, squared loss, lr 1/2 as " +
+      "truncating div): one FxB residual histogram shuffle per round, " +
+      "cumulative-window SSE-gain argmax, centi-unit exact-sum " +
+      "residual trajectory replayed bit-for-bit by the oracle")
+
   val all: Seq[Q] = Seq(linkPredictionQ, naiveBayesQ, logRegQ, stumpQ,
-    svdPowerQ, hitsQ, alsQ) ++ Seq(
+    svdPowerQ, hitsQ, alsQ, gbtQ) ++ Seq(
     // N9 feature block: the full preprocessing frame, oracle-checked.
     Q(
       "ml_knn_features",
