@@ -890,8 +890,95 @@ object MlQueries extends QueryBase {
       "cumulative-window SSE-gain argmax, centi-unit exact-sum " +
       "residual trajectory replayed bit-for-bit by the oracle")
 
+  /** Viterbi decoding (Viterbi 1967 / Rabiner 1989) of per-user event
+    * sequences under a fixed 2-state HMM ("browse" favors click/view,
+    * "transact" favors purchase/signup) — the classic sequence-model
+    * scoring pass (session intent segmentation). Model parameters are
+    * checked-in integer micro-nat log-probs (the reference's analog is
+    * its checked-in literal model configs), so the whole DP is integer
+    * max-plus arithmetic: bit-exact on any engine, no float order
+    * hazards. Contract: π is the state distribution BEFORE the first
+    * emission (a transition precedes every emission, first included).
+    *
+    * Spark face: one groupBy collects each user's (ts, event_id,
+    * event_type) sequence (bounded by per-user activity — the same
+    * per-entity-fits-in-memory contract as sessionization), sort_array
+    * gives the total order, and the DP runs as a single codegen'd
+    * `aggregate` fold with a 2-long struct accumulator — no driver
+    * state, no iteration, one shuffle total. The oracle replays the
+    * identical recurrence as a recursive CTE joined step-by-step. */
+  private val viterbiQ = Q(
+    "ml_hmm_viterbi",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val ordered = ev.groupBy("user_id")
+        .agg(sort_array(collect_list(
+          struct(col("ts"), col("event_id"), col("event_type")))).as("seq"))
+      val folded = ordered.withColumn("acc", expr("""
+        aggregate(seq,
+          named_struct('a0', CAST(-510826 AS BIGINT),
+                       'a1', CAST(-916291 AS BIGINT)),
+          (acc, x) -> named_struct(
+            'a0', greatest(acc.a0 + -223144L, acc.a1 + -1203973L) +
+              CASE x.event_type
+                WHEN 'click' THEN -1049822L WHEN 'view' THEN -1049822L
+                ELSE -2302585L END,
+            'a1', greatest(acc.a0 + -1609438L, acc.a1 + -356675L) +
+              CASE x.event_type
+                WHEN 'purchase' THEN -1049822L WHEN 'signup' THEN -1386294L
+                WHEN 'error' THEN -1609438L ELSE -2302585L END))"""))
+      folded.select(col("user_id"),
+          size(col("seq")).cast("long").as("n_events"),
+          when(col("acc.a0") >= col("acc.a1"), "browse")
+            .otherwise("transact").as("best_state"),
+          greatest(col("acc.a0"), col("acc.a1")).as("vscore"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH RECURSIVE seq AS (
+        SELECT user_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS t,
+               event_type
+        FROM events),
+      n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+            FROM seq GROUP BY 1),
+      v AS (
+        SELECT s.user_id, s.t,
+               GREATEST(CAST(-510826 AS BIGINT) + -223144,
+                        CAST(-916291 AS BIGINT) + -1203973) +
+                 CASE s.event_type
+                   WHEN 'click' THEN -1049822 WHEN 'view' THEN -1049822
+                   ELSE -2302585 END AS a0,
+               GREATEST(CAST(-510826 AS BIGINT) + -1609438,
+                        CAST(-916291 AS BIGINT) + -356675) +
+                 CASE s.event_type
+                   WHEN 'purchase' THEN -1049822 WHEN 'signup' THEN -1386294
+                   WHEN 'error' THEN -1609438 ELSE -2302585 END AS a1
+        FROM seq s WHERE s.t = 1
+        UNION ALL
+        SELECT s.user_id, s.t,
+               GREATEST(v.a0 + -223144, v.a1 + -1203973) +
+                 CASE s.event_type
+                   WHEN 'click' THEN -1049822 WHEN 'view' THEN -1049822
+                   ELSE -2302585 END,
+               GREATEST(v.a0 + -1609438, v.a1 + -356675) +
+                 CASE s.event_type
+                   WHEN 'purchase' THEN -1049822 WHEN 'signup' THEN -1386294
+                   WHEN 'error' THEN -1609438 ELSE -2302585 END
+        FROM v JOIN seq s ON s.user_id = v.user_id AND s.t = v.t + 1)
+      SELECT v.user_id, n.n_events,
+             CASE WHEN v.a0 >= v.a1 THEN 'browse' ELSE 'transact' END AS best_state,
+             CAST(GREATEST(v.a0, v.a1) AS BIGINT) AS vscore
+      FROM v JOIN n ON n.user_id = v.user_id AND v.t = n.n_events
+      ORDER BY v.user_id"""),
+    doc = "Viterbi decoding of per-user event sequences under a fixed " +
+      "2-state HMM: integer micro-nat max-plus DP as one codegen'd " +
+      "aggregate fold (single shuffle, no driver state); oracle " +
+      "replays the recurrence as a recursive CTE")
+
   val all: Seq[Q] = Seq(linkPredictionQ, naiveBayesQ, logRegQ, stumpQ,
-    svdPowerQ, hitsQ, alsQ, gbtQ) ++ Seq(
+    svdPowerQ, hitsQ, alsQ, gbtQ, viterbiQ) ++ Seq(
     // N9 feature block: the full preprocessing frame, oracle-checked.
     Q(
       "ml_knn_features",

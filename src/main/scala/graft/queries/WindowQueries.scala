@@ -1126,5 +1126,135 @@ object WindowQueries extends QueryBase {
         ORDER BY day"""),
       doc = "sweep-line interval concurrency (+1/-1 deltas, day " +
         "pre-aggregation, running sum + running peak): O(days) state, " +
-        "no interval x day explosion"))
+        "no interval x day explosion"),
+
+    // Theil–Sen robust trend (Theil 1950 / Sen 1968): per event_type,
+    // the median of all pairwise slopes of the daily series — the
+    // outlier-robust complement of ml_ols_trend's least-squares slope
+    // (breakdown point 29% vs 0%). Pair generation is per-series
+    // O(days²) — bounded by the time horizon, NOT the corpus (the daily
+    // pre-aggregation is the only corpus-sized pass; a 100 TB events
+    // table still yields ~days² ≈ thousands of pairs per series; for
+    // multi-year horizons the documented fallback is ml_ols_trend).
+    // Determinism: y is an exact centi-unit long, slopes are one IEEE
+    // division of exact ints (bit-identical cross-engine), the median
+    // is the LOWER median — a selected element, never an average of
+    // two — so ties and float averaging cannot diverge.
+    Q(
+      "window_theil_sen",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val daily = ev.groupBy(col("event_type"),
+            datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+              .cast("long").as("x"))
+          .agg(wsum(round(col("value") * 100).cast("long"))
+            .cast("long").as("yc"))
+        val slopes = daily.as("a").join(daily.as("b"),
+            col("a.event_type") === col("b.event_type") &&
+              col("a.x") < col("b.x"))
+          .select(col("a.event_type").as("event_type"),
+            ((col("b.yc") - col("a.yc")).cast("double") /
+              (col("b.x") - col("a.x")).cast("double")).as("slope"))
+        val w = Window.partitionBy("event_type").orderBy("slope")
+        val ranked = slopes
+          .withColumn("rk", row_number().over(w))
+          .withColumn("np", count(lit(1)).over(
+            Window.partitionBy("event_type")))
+        ranked.filter(col("rk") === expr("(np + 1) div 2"))
+          .select(col("event_type"), col("np").as("n_pairs"),
+            round(col("slope") / 100.0, 6).as("slope_per_day"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type,
+                 datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS yc
+          FROM events GROUP BY 1, 2),
+        slopes AS (
+          SELECT a.event_type,
+                 CAST(b.yc - a.yc AS DOUBLE) / (b.x - a.x) AS slope
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type AND a.x < b.x),
+        ranked AS (
+          SELECT event_type, slope,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY slope) AS rk,
+                 CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS np
+          FROM slopes)
+        SELECT event_type, np AS n_pairs,
+               round(slope / 100.0, 6) AS slope_per_day
+        FROM ranked WHERE rk = (np + 1) // 2
+        ORDER BY event_type"""),
+      doc = "Theil-Sen robust trend: median-of-pairwise-slopes per " +
+        "series, lower-median selection (no averaging), exact centi " +
+        "daily sums; pair fan-out bounded by the time horizon"),
+
+    // Lag-1 autocorrelation per daily series — the seasonality/
+    // persistence diagnostic next to window_ewma_smooth and
+    // window_seasonal_decompose. Pearson r over (yₜ, yₜ₊₁) computed
+    // from five EXACT integer moments (n, Σx, Σy, Σx², Σy², Σxy in
+    // DECIMAL — centi² terms pass 2^53 at sf0.1, a double sum would go
+    // order-dependent), widened to double once; sqrt/division are
+    // single correctly-rounded IEEE ops, so both faces agree bitwise
+    // before the final round(.,6).
+    Q(
+      "window_autocorr",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val daily = ev.groupBy(col("event_type"),
+            to_date(col("ts")).as("day"))
+          .agg(wsum(round(col("value") * 100).cast("long"))
+            .cast("long").as("yc"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        val pairs = daily
+          .withColumn("ynext", lead(col("yc"), 1).over(w))
+          .filter(col("ynext").isNotNull)
+        val m = pairs.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(col("yc").cast(dec)).as("sx"),
+          sum(col("ynext").cast(dec)).as("sy"),
+          sum((col("yc").cast(dec) * col("yc").cast(dec))).as("sxx"),
+          sum((col("ynext").cast(dec) * col("ynext").cast(dec))).as("syy"),
+          sum((col("yc").cast(dec) * col("ynext").cast(dec))).as("sxy"))
+        m.filter(col("n").cast(dec) * col("sxx") - col("sx") * col("sx") > 0 &&
+            col("n").cast(dec) * col("syy") - col("sy") * col("sy") > 0)
+          .select(col("event_type"), col("n"),
+            round(
+              ((col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
+                .cast("double")) /
+              sqrt(((col("n").cast(dec) * col("sxx") - col("sx") * col("sx"))
+                .cast("double")) *
+                ((col("n").cast(dec) * col("syy") - col("sy") * col("sy"))
+                  .cast("double"))), 6).as("r_lag1"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS yc
+          FROM events GROUP BY 1, 2),
+        pairs AS (
+          SELECT event_type, yc,
+                 lead(yc) OVER (PARTITION BY event_type ORDER BY day) AS ynext
+          FROM daily),
+        m AS (
+          SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(yc) AS HUGEINT) AS sx,
+                 CAST(sum(ynext) AS HUGEINT) AS sy,
+                 CAST(sum(yc * yc) AS HUGEINT) AS sxx,
+                 CAST(sum(ynext * ynext) AS HUGEINT) AS syy,
+                 CAST(sum(yc * ynext) AS HUGEINT) AS sxy
+          FROM pairs WHERE ynext IS NOT NULL GROUP BY 1)
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                     sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                          CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r_lag1
+        FROM m
+        WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        ORDER BY event_type"""),
+      doc = "lag-1 autocorrelation per daily series from five exact " +
+        "DECIMAL moments widened to double once; single-pass lead " +
+        "window + one tiny aggregate"))
 }
