@@ -69,7 +69,8 @@ object GraftFunctions {
     // append-duplicate).
     val rules: Seq[org.apache.spark.sql.catalyst.rules.Rule[
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
-      Seq(graft.plans.LevenshteinBoundRule, graft.plans.TrigramBoundRule)
+      Seq(graft.plans.LevenshteinBoundRule, graft.plans.TrigramBoundRule,
+        graft.plans.JaroWinklerBoundRule)
     spark.experimental.extraOptimizations =
       (spark.experimental.extraOptimizations.filterNot(rules.contains) ++ rules)
     val strategies = Seq(graft.plans.TopKStrategy)
@@ -89,6 +90,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinBoundRule)
     ext.injectOptimizerRule(_ => graft.plans.TrigramBoundRule)
+    ext.injectOptimizerRule(_ => graft.plans.JaroWinklerBoundRule)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -60,7 +60,79 @@ case class JaroWinklerSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Guarded Jaro–Winkler threshold comparison — the rewrite target of
+  * [[graft.plans.JaroWinklerBoundRule]], completing the fuzzy-kernel
+  * bound-rule family ([[graft.plans.LevenshteinBoundRule]],
+  * [[graft.plans.TrigramBoundRule]]).
+  *
+  * `jaro_winkler(a, b) >= t` pays the O(|a|·|b|) matching window for
+  * EVERY pair. This fused form runs an O(1)-arithmetic length bound
+  * first (lengths only — no content scan): from m ≤ min(|a|,|b|) the
+  * Jaro score obeys jaro ≤ (2 + min/max)/3, and the Winkler boost
+  * obeys jw ≤ 0.6·jaro + 0.4 whenever the boost applies (boost =
+  * p·0.1·(1−jaro), p ≤ 4), jw = jaro otherwise. Hence jw ≥ t forces
+  * jaro ≥ jmin where jmin = (t − 0.4)/0.6 for t > 0.7 and jmin = t
+  * otherwise, which forces min ≥ (3·jmin − 2)·max — pairs failing that
+  * cannot reach the threshold. An ε = 1e-9 slack absorbs the float
+  * rounding in the bound arithmetic, keeping it strictly NECESSARY;
+  * null semantics match the unguarded comparison exactly (null iff an
+  * input is null). Fused as one expression, so the optimizer fixpoint
+  * cannot re-match its own output. */
+case class JaroGuardedCmp(left: Expression, right: Expression,
+    threshold: Double, strict: Boolean) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, string), got (${left.dataType}, ${right.dataType})")
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String =
+    if (strict) "jaro_winkler_gt_bounded" else "jaro_winkler_ge_bounded"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaroOps.cmpBounded(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String], threshold, strict)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.JaroOps.cmpBounded($a, $b, $threshold, $strict)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroGuardedCmp =
+    copy(left = newLeft, right = newRight)
+}
+
 object JaroOps {
+
+  /** Bounded threshold compare (see [[JaroGuardedCmp]]). The length
+    * bound needs code-point counts: numChars is an allocation-free
+    * byte scan, still far below the O(|a|·|b|) matching window. */
+  def cmpBounded(a: UTF8String, b: UTF8String, t: Double,
+      strict: Boolean): Boolean = {
+    val la = a.numChars()
+    val lb = b.numChars()
+    if (la == 0 || lb == 0) {
+      // sim = 0 exactly; compare without the kernel.
+      return if (strict) 0.0 > t else 0.0 >= t
+    }
+    if (!lengthBound(la, lb, t)) return false
+    val s = simStr(a.toString, b.toString)
+    if (strict) s > t else s >= t
+  }
+
+  /** The O(1) necessary length condition for jw ≥ t (t > 0): from
+    * m ≤ min, jaro ≤ (2 + min/max)/3 and jw ≤ max(jaro, 0.6·jaro+0.4),
+    * so jw ≥ t forces min ≥ (3·jmin − 2)·max with jmin as below; ε
+    * slack keeps necessity under float rounding. Exposed for the
+    * soundness property test. */
+  def lengthBound(la: Int, lb: Int, t: Double): Boolean = {
+    val jmin = if (t > 0.7) (t - 0.4) / 0.6 else t
+    val lo = math.min(la, lb).toDouble
+    val hi = math.max(la, lb).toDouble
+    lo >= (3.0 * jmin - 2.0) * hi - 1e-9
+  }
 
   /** Entry point for codegen'd calls (UTF8String → JVM String is a
     * copy; the corpus tokens this runs on are short, so the copy is

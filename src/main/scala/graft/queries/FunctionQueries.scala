@@ -153,6 +153,51 @@ object FunctionQueries extends QueryBase {
         "2*min>=max length prune derived from the Winkler bound " +
         "(necessary for jw>=0.9), replayed identically in the oracle"),
 
+    // The threshold form written the way users write it: a bare
+    // `jaro_winkler(a, b) >= 0.9` theta-filter, no manual prune. The
+    // session-registered JaroWinklerBoundRule rewrites the comparison
+    // into the fused jaro_winkler_ge_bounded expression, whose O(1)
+    // length bound (soundness on JaroGuardedCmp) prunes non-candidates
+    // before the O(|a|·|b|) matching window — the third member of the
+    // bound-rule family (levenshtein banded DP, trigram GIN-prune).
+    // The oracle runs the UNBOUNDED comparison; the raw (unrounded)
+    // double threshold is cross-engine-safe here because jw values are
+    // rationals with denominator ≤ 10·3·|a|·|b|·m, putting every
+    // attainable value ≥ 4e-8 away from 0.9 — far beyond ulp drift.
+    // JaroRuleSpec asserts the rewrite lands in this query's optimized
+    // plan and that values are unchanged with the rule off.
+    Q(
+      "join_jaro_prefilter",
+      (s, dir) => {
+        GraftFunctions.register(s)
+        val d = t(s, dir, "documents")
+        val probes = s.createDataFrame(Seq(
+          Tuple1("bacth"), Tuple1("jion"), Tuple1("hashh"), Tuple1("windoww"),
+          Tuple1("streem"), Tuple1("scna"))).toDF("probe")
+        val vocab = d.select(explode(split(lower(col("text")), " ")).as("word"))
+          .filter(length(col("word")) > 0).distinct()
+        vocab.crossJoin(broadcast(probes))
+          .filter(expr("jaro_winkler(word, probe) >= 0.9"))
+          .groupBy("probe")
+          .agg(count(lit(1)).as("n_matches"),
+            min(col("word")).as("first_match"))
+          .orderBy("probe")
+      },
+      Some("""
+        WITH vocab AS (
+          SELECT DISTINCT w AS word FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+          WHERE length(w) > 0)
+        SELECT probe, CAST(count(*) AS BIGINT) AS n_matches,
+               min(word) AS first_match
+        FROM vocab CROSS JOIN (SELECT unnest(
+          ['bacth','jion','hashh','windoww','streem','scna']) AS probe)
+        WHERE jaro_winkler_similarity(word, probe) >= 0.9
+        GROUP BY probe ORDER BY probe"""),
+      doc = "bare jaro_winkler >= t filter auto-rewritten to the fused " +
+        "O(1)-length-guarded form by JaroWinklerBoundRule (unbounded " +
+        "oracle, identical semantics)"),
+
     // J6 threshold form, written the way the reference's postgres SQL
     // writes it: `similarity(a, b) >= t` as a bare theta-join predicate
     // (post_aspects.py:120-150, threshold 0.65 there; 0.35 here for this
