@@ -310,6 +310,59 @@ object Incremental {
       .toDF("user_id", "t1", "t2", "t3")
   }
 
+  /** Streaming Viterbi intent gate — the in-stream twin of the catalog's
+    * `ml_hmm_viterbi` (same fixed 2-state HMM, same integer micro-nat
+    * max-plus recurrence; the literals here and in the batch query/SQL
+    * oracle are pinned to each other by StreamingSpec's parity test).
+    * State per user is exactly three longs (a0, a1, n) — bounded at any
+    * horizon, no event buffering. Each micro-batch folds its arrivals
+    * in (event-time, event_id) order, so results equal the batch DP
+    * whenever a user's events arrive in event-time order ACROSS batches
+    * (within a batch, order never matters — we sort): the same
+    * streaming contract as [[funnelStages]]. Append output emits the
+    * user's current decoded intent per batch; readers keep the last
+    * row per user. */
+  def intentStream(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val typed = events.select(col("user_id").cast("long").as("user_id"),
+      col("ts").cast("timestamp").as("ts"),
+      col("event_id").cast("long").as("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, java.sql.Timestamp, Long, String)],
+            state: GroupState[(Long, Long, Long)]) =>
+          var (a0, a1, n) = state.getOption.getOrElse((-510826L, -916291L, 0L))
+          it.toSeq
+            .map { case (_, ts, id, tpe) =>
+              val inst = ts.toInstant
+              (inst.getEpochSecond * 1000000L + inst.getNano / 1000L, id, tpe)
+            }
+            .sortBy(x => (x._1, x._2))
+            .foreach { case (_, _, tpe) =>
+              val e0 = tpe match {
+                case "click" | "view" => -1049822L
+                case _ => -2302585L
+              }
+              val e1 = tpe match {
+                case "purchase" => -1049822L
+                case "signup" => -1386294L
+                case "error" => -1609438L
+                case _ => -2302585L
+              }
+              val na0 = math.max(a0 - 223144L, a1 - 1203973L) + e0
+              val na1 = math.max(a0 - 1609438L, a1 - 356675L) + e1
+              a0 = na0; a1 = na1; n += 1
+            }
+          state.update((a0, a1, n))
+          Iterator.single((user, n,
+            if (a0 >= a1) "browse" else "transact", math.max(a0, a1)))
+      }
+      .toDF("user_id", "n_events", "best_state", "vscore")
+  }
+
   /** Run a streaming transform over everything currently unprocessed, then
     * stop (the FillDbHourly cadence). Restart with the same checkpoint to
     * pick up only new files. */

@@ -423,4 +423,45 @@ class StreamingSpec extends SparkSpec {
         }
     }
   }
+
+  test("streaming Viterbi intent gate equals the batch DP across micro-batches") {
+    val tmp = Files.createTempDirectory("graft-stream-intent").toString
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "ts", "event_type")
+    // Two files split at the median event time, processed one per
+    // trigger (maxFilesPerTrigger=1) -> TWO micro-batches with the
+    // early half first: state must carry the DP across the batch
+    // boundary, the in-order-across-batches streaming contract.
+    val cut = ev.selectExpr("percentile_approx(unix_micros(ts), 0.5)")
+      .head().getLong(0)
+    ev.filter(unix_micros(col("ts")) < cut)
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/src")
+    Thread.sleep(1100) // file-source ordering is by modification time
+    ev.filter(unix_micros(col("ts")) >= cut)
+      .coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    val src = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/src").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/src")
+    val q = Incremental.runAvailableNow(Incremental.intentStream(src),
+      s"$tmp/ckpt", s"$tmp/out")
+    q.awaitTermination()
+    // Append emits one row per (user, batch); keep the last = the row
+    // with the largest n_events per user.
+    val outRows = spark.read.parquet(s"$tmp/out")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2), r.getLong(3))))
+    val streamed = outRows.groupBy(_._1).map { case (u, rs) =>
+      u -> rs.map(_._2).maxBy(_._1)
+    }
+    // Batch twin: the catalog DP (the aggregate-fold query itself).
+    val batch = graft.queries.Catalog.byName("ml_hmm_viterbi")
+      .spark(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getString(2), r.getLong(3))))
+      .toMap
+    assert(batch.nonEmpty)
+    assert(outRows.groupBy(_._1).values.exists(_.length == 2),
+      "expected at least one user spanning both micro-batches")
+    assert(streamed == batch,
+      "streaming Viterbi state must equal the batch max-plus DP")
+  }
 }
