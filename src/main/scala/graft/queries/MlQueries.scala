@@ -977,8 +977,91 @@ object MlQueries extends QueryBase {
       "aggregate fold (single shuffle, no driver state); oracle " +
       "replays the recurrence as a recursive CTE")
 
+  /** Closed-form ridge regression (Hoerl–Kennard 1970): y = b0 + b1·x1
+    * + b2·x2 with λ on the slopes, solved by Cramer's rule on the 3×3
+    * normal equations — "distributed ML as moments" like [[ml_ols_trend]]:
+    * the ONLY corpus pass is one aggregate of nine exact integer moments
+    * (micro-quantized features, wsum/HUGEINT — order-independent at any
+    * partitioning); the solve is O(1) arithmetic on one row. The entire
+    * double-precision solve is a SINGLE SQL string evaluated verbatim by
+    * BOTH engines (same literals, same parenthesization → identical
+    * IEEE operation order → bit-identical doubles before round(.,6)). */
+  private val ridgeSolveSql: String = {
+    // Moment columns (exact ints) → real-unit doubles; λ = 0.1 on slopes.
+    val prep =
+      "nn, CAST(nn AS DOUBLE) AS an, " +
+        "CAST(s1 AS DOUBLE) / 1e6 AS ab, CAST(s2 AS DOUBLE) / 1e6 AS ac, " +
+        "CAST(s11 AS DOUBLE) / 1e12 + 0.1 AS ae, " +
+        "CAST(s12 AS DOUBLE) / 1e12 AS af, " +
+        "CAST(s22 AS DOUBLE) / 1e12 + 0.1 AS ai, " +
+        "CAST(sy AS DOUBLE) AS r0, " +
+        "CAST(s1y AS DOUBLE) / 1e6 AS r1, CAST(s2y AS DOUBLE) / 1e6 AS r2"
+    // ad = ab, ag = ac, ah = af (symmetric matrix).
+    val det = "(an*(ae*ai - af*af) - ab*(ab*ai - af*ac) + ac*(ab*af - ae*ac))"
+    val det0 = "(r0*(ae*ai - af*af) - ab*(r1*ai - af*r2) + ac*(r1*af - ae*r2))"
+    val det1 = "(an*(r1*ai - af*r2) - r0*(ab*ai - af*ac) + ac*(ab*r2 - r1*ac))"
+    val det2 = "(an*(ae*r2 - r1*af) - ab*(ab*r2 - r1*ac) + r0*(ab*af - ae*ac))"
+    s"SELECT CAST(nn AS BIGINT) AS n, " +
+      s"round($det0 / $det, 6) AS b0, " +
+      s"round($det1 / $det, 6) AS b1, " +
+      s"round($det2 / $det, 6) AS b2 " +
+      s"FROM (SELECT $prep FROM moments)"
+  }
+
+  private val ridgeQ = Q(
+    "ml_ridge_closed",
+    (s, dir) => {
+      val d = th(s, dir, "documents")
+        .withColumn("tk", split(lower(col("text")), " "))
+        .withColumn("ntok", size(col("tk")))
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("y"),
+          (col("ntok") * 1000).cast("long").as("q1"),
+          round(size(array_distinct(col("tk"))).cast("double") /
+            col("ntok").cast("double") * 1e6).cast("long").as("q2"))
+      val m = d.agg(
+        count(lit(1)).as("nn"),
+        wsum(col("q1")).as("s1"), wsum(col("q2")).as("s2"),
+        sum(col("q1").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+          col("q1")).as("s11"),
+        sum(col("q1").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+          col("q2")).as("s12"),
+        sum(col("q2").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+          col("q2")).as("s22"),
+        wsum(col("y")).as("sy"),
+        sum(col("q1").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+          col("y")).as("s1y"),
+        sum(col("q2").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+          col("y")).as("s2y"))
+      m.createOrReplaceTempView("moments")
+      s.sql(ridgeSolveSql)
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT CAST(length(text) AS BIGINT) AS y,
+               CAST(len(tk) * 1000 AS BIGINT) AS q1,
+               CAST(round(CAST(len(list_distinct(tk)) AS DOUBLE) /
+                 len(tk) * 1e6) AS BIGINT) AS q2
+        FROM (SELECT text, string_split(lower(text), ' ') AS tk
+              FROM documents)),
+      moments AS (
+        SELECT count(*) AS nn,
+               CAST(sum(q1) AS HUGEINT) AS s1, CAST(sum(q2) AS HUGEINT) AS s2,
+               CAST(sum(q1 * q1) AS HUGEINT) AS s11,
+               CAST(sum(q1 * q2) AS HUGEINT) AS s12,
+               CAST(sum(q2 * q2) AS HUGEINT) AS s22,
+               CAST(sum(y) AS HUGEINT) AS sy,
+               CAST(sum(q1 * y) AS HUGEINT) AS s1y,
+               CAST(sum(q2 * y) AS HUGEINT) AS s2y
+        FROM d)
+      $ridgeSolveSql"""),
+    doc = "closed-form ridge regression via Cramer's rule on the 3x3 " +
+      "normal equations: one nine-moment exact-integer aggregate is the " +
+      "only corpus pass; the double-precision solve is the SAME SQL " +
+      "string evaluated by both engines (identical IEEE op order)")
+
   val all: Seq[Q] = Seq(linkPredictionQ, naiveBayesQ, logRegQ, stumpQ,
-    svdPowerQ, hitsQ, alsQ, gbtQ, viterbiQ) ++ Seq(
+    svdPowerQ, hitsQ, alsQ, gbtQ, viterbiQ, ridgeQ) ++ Seq(
     // N9 feature block: the full preprocessing frame, oracle-checked.
     Q(
       "ml_knn_features",
