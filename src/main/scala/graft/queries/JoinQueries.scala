@@ -518,5 +518,120 @@ object JoinQueries extends QueryBase {
         FROM nearest GROUP BY s_suppkey ORDER BY s_suppkey"""),
       doc = "grid-bucketed spatial nearest-neighbor join (3x3 neighbor " +
         "cells, store side exploded x9, integer-exact squared L2, " +
-        "bounded search radius) — candidate volume O(points x density)"))
+        "bounded search radius) — candidate volume O(points x density)"),
+
+    // J6, phonetic form: soundex BLOCKING join — the classic
+    // entity-resolution pattern that turns a fuzzy match into an
+    // EQUI-join (hash-joinable, fully scalable: candidates are pairs
+    // sharing a 4-char phonetic block key, verified by levenshtein
+    // <= 2 only within blocks). Spark's built-in soundex() is the
+    // block key; the oracle re-implements American Soundex from
+    // scratch in DuckDB SQL (char coding, h/w-bridged collapse,
+    // vowel resets, first-letter collapse, 0-padding — semantics
+    // pinned against Spark's implementation on the census edge cases:
+    // ashcraft→A261, pfister→P236, honeyman→H555, tymczak→T522),
+    // so the engine's phonetic coder is value-checked by an
+    // independent implementation. Alphabetic-only vocabulary on both
+    // faces (non-letter handling is out of the phonetic contract).
+    Q(
+      "join_phonetic_soundex",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val probes = s.createDataFrame(Seq(
+          Tuple1("joyn"), Tuple1("skan"), Tuple1("hach"), Tuple1("merj"),
+          Tuple1("windo"))).toDF("probe")
+          .withColumn("psx", soundex(col("probe")))
+        val vocab = d.select(explode(split(lower(col("text")), " ")).as("word"))
+          .filter(col("word").rlike("^[a-z]+$")).distinct()
+          .withColumn("sx", soundex(col("word")))
+        vocab.join(broadcast(probes), col("sx") === col("psx"))
+          .withColumn("dist", levenshtein(col("word"), col("probe")))
+          .filter(col("dist") <= 2)
+          .select(col("probe"), col("word").as("matched"),
+            col("sx").as("block_key"), col("dist"))
+          .orderBy("probe", "matched")
+      },
+      Some(soundexCtes + """
+        SELECT p.word AS probe, v.word AS matched, s1.sx AS block_key,
+               CAST(levenshtein(v.word, p.word) AS INT) AS dist
+        FROM vocab v
+        JOIN sx s1 ON s1.word = v.word
+        CROSS JOIN probes p
+        JOIN sx s2 ON s2.word = p.word
+        WHERE s1.sx = s2.sx AND levenshtein(v.word, p.word) <= 2
+        ORDER BY probe, matched"""),
+      doc = "J6 phonetic soundex blocking join: fuzzy match as a " +
+        "hash-joinable equi-join on the 4-char phonetic key with " +
+        "in-block levenshtein verify; oracle re-implements American " +
+        "Soundex independently in SQL"),
+
+    // Dense parity for the phonetic coder: EVERY alphabetic corpus
+    // word's soundex, Spark built-in vs the oracle's from-scratch SQL
+    // implementation — the full-vocabulary value check behind
+    // join_phonetic_soundex's block keys.
+    Q(
+      "func_soundex_blocks",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        d.select(explode(split(lower(col("text")), " ")).as("word"))
+          .filter(col("word").rlike("^[a-z]+$")).distinct()
+          .withColumn("sx", soundex(col("word")))
+          .orderBy("word")
+      },
+      Some(soundexCtes + """
+        SELECT v.word, s1.sx
+        FROM vocab v JOIN sx s1 ON s1.word = v.word
+        ORDER BY v.word"""),
+      doc = "dense soundex parity: every alphabetic corpus word coded " +
+        "by Spark's built-in vs the oracle's independent SQL soundex"))
+
+  /** DuckDB face of American Soundex over the corpus vocabulary plus
+    * the probe set — `vocab(word)`, `probes(word, probe)`, `sx(word,
+    * sx)` CTEs. Encoding chain: per-char digit classes (bfpv=1,
+    * cgjkqsxz=2, dt=3, l=4, mn=5, r=6), h/w marked '-' and REMOVED
+    * from the chain (so consonants they separate collapse — the
+    * ashcraft→A261 rule) while vowels stay as '0' separators (the
+    * honeyman→H555 rule), adjacent equal codes collapse (first letter
+    * participates: pfister→P236), then the first three digits after
+    * the first letter, zero-padded. */
+  private def soundexCtes: String = """
+      WITH vocab AS (
+        SELECT DISTINCT w AS word FROM (
+          SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        WHERE regexp_matches(w, '^[a-z]+$')),
+      probes AS (SELECT word, word AS probe FROM (SELECT unnest(
+        ['joyn','skan','hach','merj','windo']) AS word)),
+      allw AS (SELECT word FROM vocab UNION SELECT word FROM probes),
+      chars AS (
+        SELECT word, unnest(range(1, length(word) + 1)) AS i FROM allw),
+      coded AS (
+        SELECT word, i, substr(word, i, 1) AS ch,
+               CASE WHEN substr(word, i, 1) IN ('b','f','p','v') THEN '1'
+                    WHEN substr(word, i, 1) IN ('c','g','j','k','q','s','x','z') THEN '2'
+                    WHEN substr(word, i, 1) IN ('d','t') THEN '3'
+                    WHEN substr(word, i, 1) = 'l' THEN '4'
+                    WHEN substr(word, i, 1) IN ('m','n') THEN '5'
+                    WHEN substr(word, i, 1) = 'r' THEN '6'
+                    WHEN substr(word, i, 1) IN ('h','w') THEN '-'
+                    ELSE '0' END AS c
+        FROM chars),
+      keep AS (SELECT word, i, c FROM coded WHERE c <> '-' OR i = 1),
+      coll AS (
+        SELECT word, i, c FROM (
+          SELECT word, i, c,
+                 lag(c) OVER (PARTITION BY word ORDER BY i) AS pc
+          FROM keep)
+        WHERE pc IS NULL OR c <> pc),
+      dig AS (
+        SELECT word, i, c,
+               row_number() OVER (PARTITION BY word ORDER BY i) AS rk
+        FROM coll WHERE i > 1 AND c >= '1' AND c <= '6'),
+      sx AS (
+        SELECT a.word,
+               upper(substr(a.word, 1, 1)) ||
+                 rpad(coalesce(string_agg(d.c, '' ORDER BY d.i), ''),
+                   3, '0') AS sx
+        FROM allw a LEFT JOIN (SELECT word, i, c FROM dig WHERE rk <= 3) d
+          ON d.word = a.word
+        GROUP BY a.word)"""
 }
