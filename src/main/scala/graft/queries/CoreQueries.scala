@@ -1364,5 +1364,112 @@ object CoreQueries extends QueryBase {
         ORDER BY cohort_week, week_offset"""),
       doc = "cumulative LTV per signup cohort: one (user, week) exact " +
         "rollup, cohort-x-offset running integer cumulative, per-user " +
-        "LTV as a single division over exact values"))
+        "LTV as a single division over exact values"),
+
+    // Mergeable log₂-bin quantile sketch with a checked error contract
+    // — the quantile member of the sketch family (HLL / theta /
+    // Misra–Gries / count-min): the sketch is ~41 bin counts per group
+    // (b = ⌊log₂ v⌋), mergeable by plain addition, answering any
+    // quantile with the guarantee est ≤ exact < 2·est (the bin
+    // bracket). Bins come from `length(bin(v)) - 1` — EXACT integer
+    // log₂ on both engines (no float log at power-of-2 boundaries).
+    // Quantile ranks use ceil in pure integer form; the exact k-th
+    // order statistics (the contract's verifier — the one corpus sort,
+    // the part the sketch REPLACES at scale) are selected by
+    // row_number, well-defined under ties. Zero/negative values are
+    // outside the log-sketch domain and filtered on both faces.
+    Q(
+      "agg_quantile_logbin",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val v = ev.select(col("event_type"),
+            round(col("value") * 100).cast("long").as("v"))
+          .filter(col("v") >= 1)
+        val hist = v
+          .withColumn("b", (length(expr("bin(v)")) - 1).cast("int"))
+          .groupBy("event_type", "b").agg(count(lit(1)).as("nb"))
+        val wc = Window.partitionBy("event_type").orderBy("b")
+        val wt = Window.partitionBy("event_type")
+        val cum = hist
+          .withColumn("cum", sum(col("nb")).over(wc))
+          .withColumn("n", sum(col("nb")).over(wt))
+          .withColumn("k50", expr("(n + 1) div 2"))
+          .withColumn("k90", expr("(9 * n + 9) div 10"))
+          .withColumn("k99", expr("(99 * n + 99) div 100"))
+        val est = cum.groupBy("event_type").agg(
+          max(col("n")).as("n"),
+          min(when(col("cum") >= col("k50"), col("b"))).as("b50"),
+          min(when(col("cum") >= col("k90"), col("b"))).as("b90"),
+          min(when(col("cum") >= col("k99"), col("b"))).as("b99"))
+        val rn = v.withColumn("rn",
+          row_number().over(Window.partitionBy("event_type").orderBy("v")))
+        val exact = rn
+          .join(est.select(col("event_type"), col("n").as("nn")),
+            "event_type")
+          .withColumn("k50", expr("(nn + 1) div 2"))
+          .withColumn("k90", expr("(9 * nn + 9) div 10"))
+          .withColumn("k99", expr("(99 * nn + 99) div 100"))
+          .groupBy("event_type").agg(
+            min(when(col("rn") === col("k50"), col("v"))).as("x50"),
+            min(when(col("rn") === col("k90"), col("v"))).as("x90"),
+            min(when(col("rn") === col("k99"), col("v"))).as("x99"))
+        est.join(exact, "event_type")
+          .select(col("event_type"), col("n"),
+            expr("shiftleft(1L, b50)").as("est50"), col("x50"),
+            (col("x50") >= expr("shiftleft(1L, b50)") &&
+              col("x50") < expr("shiftleft(1L, b50 + 1)")).as("ok50"),
+            expr("shiftleft(1L, b90)").as("est90"), col("x90"),
+            (col("x90") >= expr("shiftleft(1L, b90)") &&
+              col("x90") < expr("shiftleft(1L, b90 + 1)")).as("ok90"),
+            expr("shiftleft(1L, b99)").as("est99"), col("x99"),
+            (col("x99") >= expr("shiftleft(1L, b99)") &&
+              col("x99") < expr("shiftleft(1L, b99 + 1)")).as("ok99"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH v AS (
+          SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+          FROM events WHERE round(value * 100) >= 1),
+        hist AS (
+          SELECT event_type, CAST(length(bin(v)) - 1 AS INT) AS b,
+                 count(*) AS nb
+          FROM v GROUP BY 1, 2),
+        cum AS (
+          SELECT event_type, b,
+                 CAST(sum(nb) OVER (PARTITION BY event_type ORDER BY b) AS BIGINT) AS cum,
+                 CAST(sum(nb) OVER (PARTITION BY event_type) AS BIGINT) AS n
+          FROM hist),
+        est AS (
+          SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+                 min(CASE WHEN cum >= (n + 1) // 2 THEN b END) AS b50,
+                 min(CASE WHEN cum >= (9 * n + 9) // 10 THEN b END) AS b90,
+                 min(CASE WHEN cum >= (99 * n + 99) // 100 THEN b END) AS b99
+          FROM cum GROUP BY 1),
+        rn AS (
+          SELECT event_type, v,
+                 row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+          FROM v),
+        exact AS (
+          SELECT r.event_type,
+                 CAST(min(CASE WHEN rn = (e.n + 1) // 2 THEN v END) AS BIGINT) AS x50,
+                 CAST(min(CASE WHEN rn = (9 * e.n + 9) // 10 THEN v END) AS BIGINT) AS x90,
+                 CAST(min(CASE WHEN rn = (99 * e.n + 99) // 100 THEN v END) AS BIGINT) AS x99
+          FROM rn r JOIN est e ON e.event_type = r.event_type
+          GROUP BY 1)
+        SELECT e.event_type, e.n,
+               CAST(1 AS BIGINT) << b50 AS est50, x50,
+               x50 >= (CAST(1 AS BIGINT) << b50) AND
+                 x50 < (CAST(1 AS BIGINT) << (b50 + 1)) AS ok50,
+               CAST(1 AS BIGINT) << b90 AS est90, x90,
+               x90 >= (CAST(1 AS BIGINT) << b90) AND
+                 x90 < (CAST(1 AS BIGINT) << (b90 + 1)) AS ok90,
+               CAST(1 AS BIGINT) << b99 AS est99, x99,
+               x99 >= (CAST(1 AS BIGINT) << b99) AND
+                 x99 < (CAST(1 AS BIGINT) << (b99 + 1)) AS ok99
+        FROM est e JOIN exact x ON x.event_type = e.event_type
+        ORDER BY e.event_type"""),
+      doc = "mergeable log2-bin quantile sketch (41 addable counts per " +
+        "group) with the est<=exact<2est bracket CHECKED against exact " +
+        "order statistics; exact integer log2 via binary-string length " +
+        "on both engines"))
 }

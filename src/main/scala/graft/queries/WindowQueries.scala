@@ -1256,5 +1256,91 @@ object WindowQueries extends QueryBase {
         ORDER BY event_type"""),
       doc = "lag-1 autocorrelation per daily series from five exact " +
         "DECIMAL moments widened to double once; single-pass lead " +
-        "window + one tiny aggregate"))
+        "window + one tiny aggregate"),
+
+    // Additive Holt–Winters (Winters 1960): level + trend + weekly
+    // seasonality (m=7) — the seasonal extension of window_holt_trend.
+    // α=1/2, β=γ=3/10 as EXACT rational updates on centi-unit longs
+    // with truncating division, so the whole recursion is integer
+    // arithmetic — bit-reproducible on any engine (the double-typed
+    // Holt query relies on power-of-two constants; the integer form
+    // frees the smoothing weights from that restriction). One fold per
+    // series (O(n), state = level + trend + 7 seasonal slots + counter
+    // — bounded), vs the oracle's recursive-CTE scalar walk with the
+    // seasonal ring as 7 columns. First observation initializes the
+    // level; observation t (0-based) reads/updates seasonal slot t%7.
+    Q(
+      "window_holt_winters",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val daily = ev.groupBy(col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(wsum(round(col("value") * 100).cast("long"))
+            .cast("long").as("yc"))
+        val lexpr = "((e.yc - element_at(acc.s, CAST(acc.i % 7 AS INT) + 1))" +
+          " * 5 + (acc.l + acc.b) * 5) div 10"
+        daily.groupBy("event_type")
+          .agg(array_sort(collect_list(struct(col("day"), col("yc"))))
+            .as("ds"))
+          .withColumn("st", expr(s"""
+            aggregate(ds,
+              named_struct('l', 0L, 'b', 0L,
+                's', array(0L, 0L, 0L, 0L, 0L, 0L, 0L), 'i', 0L),
+              (acc, e) -> CASE WHEN acc.i = 0L THEN
+                named_struct('l', e.yc, 'b', 0L, 's', acc.s, 'i', 1L)
+              ELSE named_struct(
+                'l', $lexpr,
+                'b', ((($lexpr) - acc.l) * 3 + acc.b * 7) div 10,
+                's', transform(acc.s, (v, j) ->
+                  CASE WHEN j = CAST(acc.i % 7 AS INT)
+                    THEN ((e.yc - acc.l - acc.b) * 3 + v * 7) div 10
+                    ELSE v END),
+                'i', acc.i + 1L) END)"""))
+          .select(col("event_type"), col("st.i").as("n"),
+            col("st.l").as("level_c"), col("st.b").as("trend_c"),
+            (col("st.l") + col("st.b") + expr(
+              "element_at(st.s, CAST(st.i % 7 AS INT) + 1)"))
+              .as("forecast_c"))
+          .orderBy("event_type")
+      },
+      Some {
+        val sm = "CASE j % 7 WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2" +
+          " WHEN 3 THEN s3 WHEN 4 THEN s4 WHEN 5 THEN s5 ELSE s6 END"
+        val lp = s"((ys[j + 1] - ($sm)) * 5 + (l + b) * 5) // 10"
+        val sUpd = (0 to 6).map(k =>
+          s"CASE WHEN j % 7 = $k THEN ((ys[j + 1] - l - b) * 3 + s$k * 7)" +
+            s" // 10 ELSE s$k END").mkString(",\n                 ")
+        s"""
+        WITH RECURSIVE daily AS (
+          SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS yc
+          FROM events GROUP BY 1, 2),
+        series AS (
+          SELECT event_type, list(yc ORDER BY day) AS ys,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM daily GROUP BY 1),
+        f AS (
+          SELECT event_type, ys, n, CAST(1 AS BIGINT) AS j,
+                 CAST(ys[1] AS BIGINT) AS l, CAST(0 AS BIGINT) AS b,
+                 CAST(0 AS BIGINT) AS s0, CAST(0 AS BIGINT) AS s1,
+                 CAST(0 AS BIGINT) AS s2, CAST(0 AS BIGINT) AS s3,
+                 CAST(0 AS BIGINT) AS s4, CAST(0 AS BIGINT) AS s5,
+                 CAST(0 AS BIGINT) AS s6
+          FROM series
+          UNION ALL
+          SELECT event_type, ys, n, j + 1,
+                 $lp,
+                 ((($lp) - l) * 3 + b * 7) // 10,
+                 $sUpd
+          FROM f WHERE j < n)
+        SELECT event_type, n, l AS level_c, b AS trend_c,
+               l + b + ($sm) AS forecast_c
+        FROM (SELECT *, j AS jj FROM f WHERE j = n)
+        ORDER BY event_type"""
+      },
+      doc = "additive Holt-Winters with weekly seasonality: exact " +
+        "rational smoothing (alpha=1/2, beta=gamma=3/10) on centi-unit " +
+        "longs with truncating division — one O(n) fold per series, " +
+        "bounded state (level+trend+7 slots); recursive-CTE oracle " +
+        "walks the identical integer recursion"))
 }
