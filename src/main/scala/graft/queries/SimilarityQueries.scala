@@ -611,5 +611,116 @@ object SimilarityQueries extends QueryBase {
         WHERE rank <= 5 ORDER BY qid, rank"""),
       doc = "two-stage retrieval: wide SQ8-quantized candidate scan " +
         "(top-20, 4x-compressed) + full-precision rerank of 20 rows " +
-        "per query (top-5); retrieval_rank exposes rerank disagreement"))
+        "per query (top-5); retrieval_rank exposes rerank disagreement"),
+
+    // ANN EVAL HARNESS: recall@5 of the LSH index against the exact
+    // brute-force ground truth, measured IN-ENGINE as one query — the
+    // standard ANN quality metric (Aumüller et al., ann-benchmarks),
+    // and the missing piece that turns the index family into a tunable
+    // system: re-run with different band/cap settings and read recall
+    // directly. Both pipelines are the catalog's own (`sim_ann_lsh`
+    // candidates, `sim_ann_bruteforce` truth); ties broken vec_id-asc
+    // on both faces so top-5 SETS are deterministic and recall is an
+    // exact small rational. Scale: ground truth is the expensive side
+    // (full scan per query) — the eval runs on a query SAMPLE, exactly
+    // how recall is measured on production corpora.
+    Q(
+      "sim_ann_recall_eval",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val v = vv(th(s, dir, "embeddings"))
+        val q = broadcast(v.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("vv").as("qv")))
+        val w = Window.partitionBy("qid")
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+        val bf = v.crossJoin(q)
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("cosine", cosine("qv", "vv"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5).select("qid", "vec_id")
+        val buckets = graft.plans.TopK.perKey(
+            v.select(col("vec_id"),
+              posexplode(expr("band_keys_f(vv)")).as(Seq("bd", "bkey"))),
+            Seq("bd", "bkey"), Seq(("vec_id", true)), 64)
+          .select("vec_id", "bd", "bkey")
+        val qb = buckets.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("bd"), col("bkey"))
+        val lsh = broadcast(qb).join(buckets, Seq("bd", "bkey"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select("qid", "vec_id").distinct()
+          .join(v.select(col("vec_id").as("qid"), col("vv").as("qv")),
+            Seq("qid"))
+          .join(v.select(col("vec_id"), col("vv")), Seq("vec_id"))
+          .withColumn("cosine", cosine("qv", "vv"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5).select("qid", "vec_id")
+        val hits = bf.join(lsh, Seq("qid", "vec_id"), "left_semi")
+          .groupBy("qid").agg(count(lit(1)).as("hits"))
+        q.select("qid").distinct()
+          .join(hits, Seq("qid"), "left")
+          .select(col("qid"),
+            coalesce(col("hits"), lit(0L)).as("hits"),
+            (coalesce(col("hits"), lit(0L)).cast("double") / 5.0)
+              .as("recall_at_5"))
+          .orderBy("qid")
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS vv FROM embeddings),
+        q AS (SELECT vec_id AS qid, vv AS qv FROM v WHERE vec_id < 5),
+        bfscored AS (
+          SELECT qid, vec_id,
+                 list_sum([qv[i+1] * vv[i+1] FOR i IN range(0, $dims)]) /
+                 (sqrt(list_sum([qv[i+1] * qv[i+1] FOR i IN range(0, $dims)])) *
+                  sqrt(list_sum([vv[i+1] * vv[i+1] FOR i IN range(0, $dims)]))) AS cosine
+          FROM v CROSS JOIN q WHERE vec_id <> qid),
+        bftop AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                     ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM bfscored)
+          WHERE rank <= 5),
+        buckets AS (
+          SELECT vec_id, bd, bkey FROM (
+            SELECT vec_id, bd,
+                   CAST(list_sum([CASE WHEN list_sum([vv[d+1] *
+                       CAST((CAST(concat('0x', substr(md5(CAST(bd*4+j AS VARCHAR) || '_' ||
+                         CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % 2001) - 1000 AS DOUBLE)
+                       FOR d IN range(0, $dims)]) > 0
+                     THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END FOR j IN range(0, 4)]) AS BIGINT) AS bkey
+            FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS bd) t)
+          QUALIFY row_number() OVER (PARTITION BY bd, bkey ORDER BY vec_id) <= 64),
+        cand AS (
+          SELECT DISTINCT bq.vec_id AS qid, b.vec_id AS vec_id
+          FROM buckets bq JOIN buckets b
+            ON bq.bd = b.bd AND bq.bkey = b.bkey AND bq.vec_id <> b.vec_id
+          WHERE bq.vec_id < 5),
+        lshscored AS (
+          SELECT qid, cand.vec_id AS vec_id,
+                 list_sum([qv.vv[i+1] * cv.vv[i+1] FOR i IN range(0, $dims)]) /
+                 (sqrt(list_sum([qv.vv[i+1] * qv.vv[i+1] FOR i IN range(0, $dims)])) *
+                  sqrt(list_sum([cv.vv[i+1] * cv.vv[i+1] FOR i IN range(0, $dims)]))) AS cosine
+          FROM cand JOIN v qv ON cand.qid = qv.vec_id
+                    JOIN v cv ON cand.vec_id = cv.vec_id),
+        lshtop AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                     ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM lshscored)
+          WHERE rank <= 5),
+        hits AS (
+          SELECT b.qid, CAST(count(*) AS BIGINT) AS hits
+          FROM bftop b JOIN lshtop l
+            ON l.qid = b.qid AND l.vec_id = b.vec_id
+          GROUP BY 1)
+        SELECT q.qid, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+               CAST(coalesce(h.hits, 0) AS DOUBLE) / 5.0 AS recall_at_5
+        FROM (SELECT DISTINCT qid FROM q) q LEFT JOIN hits h ON h.qid = q.qid
+        ORDER BY q.qid"""),
+      doc = "ANN eval harness: recall@5 of the LSH index vs brute-force " +
+        "ground truth in one query — deterministic top-5 sets " +
+        "(vec_id-asc ties), exact rational recall; ground truth runs " +
+        "on the query sample only"))
 }
