@@ -986,6 +986,14 @@ object MlQueries extends QueryBase {
     * double-precision solve is a SINGLE SQL string evaluated verbatim by
     * BOTH engines (same literals, same parenthesization → identical
     * IEEE operation order → bit-identical doubles before round(.,6)). */
+  // Cramer's-rule 3×3 determinants over the symmetric normal-equation
+  // matrix (ad = ab, ag = ac, ah = af) — shared VERBATIM between the
+  // ridge fit and the cross-validation query, and between both engines.
+  private val det = "(an*(ae*ai - af*af) - ab*(ab*ai - af*ac) + ac*(ab*af - ae*ac))"
+  private val det0 = "(r0*(ae*ai - af*af) - ab*(r1*ai - af*r2) + ac*(r1*af - ae*r2))"
+  private val det1 = "(an*(r1*ai - af*r2) - r0*(ab*ai - af*ac) + ac*(ab*r2 - r1*ac))"
+  private val det2 = "(an*(ae*r2 - r1*af) - ab*(ab*r2 - r1*ac) + r0*(ab*af - ae*ac))"
+
   private val ridgeSolveSql: String = {
     // Moment columns (exact ints) → real-unit doubles; λ = 0.1 on slopes.
     val prep =
@@ -996,11 +1004,6 @@ object MlQueries extends QueryBase {
         "CAST(s22 AS DOUBLE) / 1e12 + 0.1 AS ai, " +
         "CAST(sy AS DOUBLE) AS r0, " +
         "CAST(s1y AS DOUBLE) / 1e6 AS r1, CAST(s2y AS DOUBLE) / 1e6 AS r2"
-    // ad = ab, ag = ac, ah = af (symmetric matrix).
-    val det = "(an*(ae*ai - af*af) - ab*(ab*ai - af*ac) + ac*(ab*af - ae*ac))"
-    val det0 = "(r0*(ae*ai - af*af) - ab*(r1*ai - af*r2) + ac*(r1*af - ae*r2))"
-    val det1 = "(an*(r1*ai - af*r2) - r0*(ab*ai - af*ac) + ac*(ab*r2 - r1*ac))"
-    val det2 = "(an*(ae*r2 - r1*af) - ab*(ab*r2 - r1*ac) + r0*(ab*af - ae*ac))"
     s"SELECT CAST(nn AS BIGINT) AS n, " +
       s"round($det0 / $det, 6) AS b0, " +
       s"round($det1 / $det, 6) AS b1, " +
@@ -1060,8 +1063,97 @@ object MlQueries extends QueryBase {
       "only corpus pass; the double-precision solve is the SAME SQL " +
       "string evaluated by both engines (identical IEEE op order)")
 
+  /** k-fold cross-validation of the ridge fit ([[ridgeQ]]) in ONE
+    * corpus pass — the model-validation harness a training pipeline
+    * runs at scale: because the ridge solve needs only moment sums,
+    * fold f's TRAINING moments are total − fold (sufficient-statistic
+    * algebra), so a single groupBy(fold) moment aggregate yields all k
+    * models and all k held-out MSEs with no per-fold re-scan. Fold
+    * assignment is the deterministic doc_id % 3. The whole
+    * train-moments → Cramer solve → held-out-MSE arithmetic is one
+    * shared SQL string evaluated verbatim by both engines. */
+  private val cvSolveSql: String = {
+    val prep =
+      "fold, n, " +
+        "CAST(sum(n) OVER () - n AS DOUBLE) AS an, " +
+        "CAST(sum(s1) OVER () - s1 AS DOUBLE) / 1e6 AS ab, " +
+        "CAST(sum(s2) OVER () - s2 AS DOUBLE) / 1e6 AS ac, " +
+        "CAST(sum(s11) OVER () - s11 AS DOUBLE) / 1e12 + 0.1 AS ae, " +
+        "CAST(sum(s12) OVER () - s12 AS DOUBLE) / 1e12 AS af, " +
+        "CAST(sum(s22) OVER () - s22 AS DOUBLE) / 1e12 + 0.1 AS ai, " +
+        "CAST(sum(sy) OVER () - sy AS DOUBLE) AS r0, " +
+        "CAST(sum(s1y) OVER () - s1y AS DOUBLE) / 1e6 AS r1, " +
+        "CAST(sum(s2y) OVER () - s2y AS DOUBLE) / 1e6 AS r2, " +
+        "CAST(n AS DOUBLE) AS tnd, " +
+        "CAST(s1 AS DOUBLE) / 1e6 AS tb, CAST(s2 AS DOUBLE) / 1e6 AS tc, " +
+        "CAST(s11 AS DOUBLE) / 1e12 AS te, CAST(s12 AS DOUBLE) / 1e12 AS tf, " +
+        "CAST(s22 AS DOUBLE) / 1e12 AS ti, " +
+        "CAST(sy AS DOUBLE) AS ty, CAST(s1y AS DOUBLE) / 1e6 AS t1y, " +
+        "CAST(s2y AS DOUBLE) / 1e6 AS t2y, CAST(syy AS DOUBLE) AS tyy"
+    val lvl2 = "SELECT fold, an, tnd, tb, tc, te, tf, ti, ty, t1y, " +
+      "t2y, tyy, " +
+      s"$det0 / $det AS b0, $det1 / $det AS b1, $det2 / $det AS b2 " +
+      s"FROM (SELECT $prep FROM cvm)"
+    "SELECT fold, CAST(an AS BIGINT) AS n_train, CAST(tnd AS BIGINT) AS n_test, " +
+      "round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2, " +
+      "round((tyy - 2*b0*ty - 2*b1*t1y - 2*b2*t2y + b0*b0*tnd + " +
+      "2*b0*b1*tb + 2*b0*b2*tc + b1*b1*te + 2*b1*b2*tf + b2*b2*ti) " +
+      s"/ tnd, 6) AS mse FROM ($lvl2) ORDER BY fold"
+  }
+
+  private val cvQ = Q(
+    "ml_ridge_crossval",
+    (s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val d = th(s, dir, "documents")
+        .withColumn("tk", split(lower(col("text")), " "))
+        .withColumn("ntok", size(col("tk")))
+        .select(expr("doc_id % 3").as("fold"),
+          length(col("text")).cast("long").as("y"),
+          (col("ntok") * 1000).cast("long").as("q1"),
+          round(size(array_distinct(col("tk"))).cast("double") /
+            col("ntok").cast("double") * 1e6).cast("long").as("q2"))
+      val cvm = d.groupBy("fold").agg(
+        count(lit(1)).as("n"),
+        wsum(col("q1")).as("s1"), wsum(col("q2")).as("s2"),
+        sum(col("q1").cast(dec) * col("q1")).as("s11"),
+        sum(col("q1").cast(dec) * col("q2")).as("s12"),
+        sum(col("q2").cast(dec) * col("q2")).as("s22"),
+        wsum(col("y")).as("sy"),
+        sum(col("q1").cast(dec) * col("y")).as("s1y"),
+        sum(col("q2").cast(dec) * col("y")).as("s2y"),
+        sum(col("y").cast(dec) * col("y")).as("syy"))
+      cvm.createOrReplaceTempView("cvm")
+      s.sql(cvSolveSql)
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id % 3 AS fold,
+               CAST(length(text) AS BIGINT) AS y,
+               CAST(len(tk) * 1000 AS BIGINT) AS q1,
+               CAST(round(CAST(len(list_distinct(tk)) AS DOUBLE) /
+                 len(tk) * 1e6) AS BIGINT) AS q2
+        FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS tk
+              FROM documents)),
+      cvm AS (
+        SELECT fold, count(*) AS n,
+               CAST(sum(q1) AS HUGEINT) AS s1, CAST(sum(q2) AS HUGEINT) AS s2,
+               CAST(sum(q1 * q1) AS HUGEINT) AS s11,
+               CAST(sum(q1 * q2) AS HUGEINT) AS s12,
+               CAST(sum(q2 * q2) AS HUGEINT) AS s22,
+               CAST(sum(y) AS HUGEINT) AS sy,
+               CAST(sum(q1 * y) AS HUGEINT) AS s1y,
+               CAST(sum(q2 * y) AS HUGEINT) AS s2y,
+               CAST(sum(y * y) AS HUGEINT) AS syy
+        FROM d GROUP BY 1)
+      $cvSolveSql"""),
+    doc = "3-fold ridge cross-validation in one corpus pass: per-fold " +
+      "moment sums, train = total - fold (sufficient-statistic " +
+      "algebra), Cramer solve + held-out MSE as one SQL string shared " +
+      "verbatim by both engines")
+
   val all: Seq[Q] = Seq(linkPredictionQ, naiveBayesQ, logRegQ, stumpQ,
-    svdPowerQ, hitsQ, alsQ, gbtQ, viterbiQ, ridgeQ) ++ Seq(
+    svdPowerQ, hitsQ, alsQ, gbtQ, viterbiQ, ridgeQ, cvQ) ++ Seq(
     // N9 feature block: the full preprocessing frame, oracle-checked.
     Q(
       "ml_knn_features",
