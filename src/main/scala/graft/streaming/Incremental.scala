@@ -248,6 +248,23 @@ object Incremental {
         expr("p_user = c_user AND " +
           "c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts < p_ts"))
 
+  /** LEFT OUTER stream-stream attribution — the unattributed-purchase
+    * report ([[attributionJoin]] only emits matches). Outer
+    * stream-stream joins are watermark-DRIVEN: a purchase with no
+    * in-window click is emitted with nulls only once the watermark
+    * passes the end of its join window (before that, a matching click
+    * could still arrive), so the null rows trail live rows by the
+    * lateness bound — the exactly-once semantics a batch
+    * LEFT JOIN gives for free, recovered incrementally. State on both
+    * sides is bounded by the watermark + interval horizon. */
+  def attributionJoinOuter(purchases: DataFrame, clicks: DataFrame,
+      late: String): DataFrame =
+    purchases.withWatermark("p_ts", late)
+      .join(clicks.withWatermark("c_ts", late),
+        expr("p_user = c_user AND " +
+          "c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts < p_ts"),
+        "left_outer")
+
   /** Stream-static enrichment join — the remaining cell of the streaming
     * join matrix (stream-stream: [[attributionJoin]]): each micro-batch
     * joins the arriving facts against a STATIC dimension snapshot.

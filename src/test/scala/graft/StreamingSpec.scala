@@ -464,4 +464,60 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch,
       "streaming Viterbi state must equal the batch max-plus DP")
   }
+
+  test("left-outer stream-stream attribution: matches exact, nulls watermark-closed") {
+    val tmp = Files.createTempDirectory("graft-stream-ssjo").toString
+    val ev = graft.core.Tables.events(spark, sfDir)
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .write.mode("overwrite").parquet(s"$tmp/purchases")
+    ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .write.mode("overwrite").parquet(s"$tmp/clicks")
+    val pStream = Incremental.readStream(spark, s"$tmp/purchases",
+      spark.read.parquet(s"$tmp/purchases").schema)
+    val cStream = Incremental.readStream(spark, s"$tmp/clicks",
+      spark.read.parquet(s"$tmp/clicks").schema)
+    val q = Incremental.runAvailableNow(
+      Incremental.attributionJoinOuter(pStream, cStream, "2 hours"),
+      s"$tmp/ckpt", s"$tmp/out")
+    q.awaitTermination()
+    val out = spark.read.parquet(s"$tmp/out")
+    val matched = out.filter(col("c_id").isNotNull)
+      .select("p_id", "c_id").collect().map(_.toSeq)
+    val nullIds = out.filter(col("c_id").isNull)
+      .select("p_id").collect().map(_.getLong(0))
+    // Matched rows are EXACTLY the batch inner join.
+    val batchP = spark.read.parquet(s"$tmp/purchases")
+    val batchC = spark.read.parquet(s"$tmp/clicks")
+    val inner = batchP.join(batchC,
+        expr("p_user = c_user AND " +
+          "c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts < p_ts"))
+    assert(matched.sortBy(_.toString) ===
+      inner.select("p_id", "c_id").collect().map(_.toSeq).sortBy(_.toString),
+      "outer join's matched rows must equal the batch inner join")
+    // Null rows: one per unmatched purchase, only for purchases whose
+    // join window the final watermark (min of both streams' max event
+    // time minus the 2h lateness) has passed; boundary rows get a 5 min
+    // safety margin rather than pinning the engine's exact boundary.
+    assert(nullIds.length === nullIds.toSet.size, "duplicate null rows")
+    val unmatchedAll = batchP
+      .join(inner.select("p_id"), Seq("p_id"), "left_anti")
+    val maxP = batchP.agg(max(col("p_ts"))).head().getTimestamp(0).getTime
+    val maxC = batchC.agg(max(col("c_ts"))).head().getTimestamp(0).getTime
+    val wmMs = math.min(maxP, maxC) - 2L * 3600 * 1000
+    val mustEmit = unmatchedAll
+      .filter(col("p_ts").cast("long") * 1000 < lit(wmMs - 5 * 60 * 1000))
+      .select("p_id").collect().map(_.getLong(0)).toSet
+    val unmatchedSet = unmatchedAll.select("p_id").collect()
+      .map(_.getLong(0)).toSet
+    val nullSet = nullIds.toSet
+    assert(mustEmit.nonEmpty, "fixture has no watermark-closed unmatched purchase")
+    assert(mustEmit.subsetOf(nullSet),
+      s"${(mustEmit -- nullSet).size} closed unmatched purchases missing null rows")
+    assert(nullSet.subsetOf(unmatchedSet),
+      "a null row was emitted for a purchase the batch join matches")
+  }
 }
