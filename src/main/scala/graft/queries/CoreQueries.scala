@@ -1471,5 +1471,90 @@ object CoreQueries extends QueryBase {
       doc = "mergeable log2-bin quantile sketch (41 addable counts per " +
         "group) with the est<=exact<2est bracket CHECKED against exact " +
         "order statistics; exact integer log2 via binary-string length " +
-        "on both engines"))
+        "on both engines"),
+
+    // Pairwise Pearson correlation matrix over the document feature
+    // triple (token count, distinct-token ratio, mean token length) —
+    // the feature-profiling step before any model fit (multicollinearity
+    // check for ml_ridge_closed's inputs). ONE aggregate of ten exact
+    // integer moments is the only corpus pass; each r comes from the
+    // moment formula in doubles, with the formula text shared verbatim
+    // between engines (Pearson is scale-invariant, so the micro-unit
+    // integers feed it directly).
+    Q(
+      "agg_feature_corr",
+      (s, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val d = t(s, dir, "documents")
+          .withColumn("tk", split(lower(col("text")), " "))
+          .withColumn("ntok", size(col("tk")))
+          .select(
+            (col("ntok") * 1000).cast("long").as("q1"),
+            round(size(array_distinct(col("tk"))).cast("double") /
+              col("ntok").cast("double") * 1e6).cast("long").as("q2"),
+            round(expr("aggregate(tk, 0L, (a, x) -> a + length(x))")
+              .cast("double") / col("ntok").cast("double") * 1e5)
+              .cast("long").as("q3"))
+        val m = d.agg(
+          count(lit(1)).as("nn"),
+          wsum(col("q1")).as("s1"), wsum(col("q2")).as("s2"),
+          wsum(col("q3")).as("s3"),
+          sum(col("q1").cast(dec) * col("q1")).as("s11"),
+          sum(col("q2").cast(dec) * col("q2")).as("s22"),
+          sum(col("q3").cast(dec) * col("q3")).as("s33"),
+          sum(col("q1").cast(dec) * col("q2")).as("s12"),
+          sum(col("q1").cast(dec) * col("q3")).as("s13"),
+          sum(col("q2").cast(dec) * col("q3")).as("s23"))
+        m.createOrReplaceTempView("fcm")
+        s.sql(featureCorrSql)
+      },
+      Some(s"""
+      WITH d AS (
+        SELECT CAST(len(tk) * 1000 AS BIGINT) AS q1,
+               CAST(round(CAST(len(list_distinct(tk)) AS DOUBLE) /
+                 len(tk) * 1e6) AS BIGINT) AS q2,
+               CAST(round(CAST(list_aggregate(list_transform(tk,
+                 x -> length(x)), 'sum') AS DOUBLE) / len(tk) * 1e5)
+                 AS BIGINT) AS q3
+        FROM (SELECT string_split(lower(text), ' ') AS tk FROM documents)),
+      fcm AS (
+        SELECT count(*) AS nn,
+               CAST(sum(q1) AS HUGEINT) AS s1, CAST(sum(q2) AS HUGEINT) AS s2,
+               CAST(sum(q3) AS HUGEINT) AS s3,
+               CAST(sum(q1 * q1) AS HUGEINT) AS s11,
+               CAST(sum(q2 * q2) AS HUGEINT) AS s22,
+               CAST(sum(q3 * q3) AS HUGEINT) AS s33,
+               CAST(sum(q1 * q2) AS HUGEINT) AS s12,
+               CAST(sum(q1 * q3) AS HUGEINT) AS s13,
+               CAST(sum(q2 * q3) AS HUGEINT) AS s23
+        FROM d)
+      $featureCorrSql"""),
+      doc = "pairwise Pearson matrix over the doc feature triple from " +
+        "one ten-moment exact aggregate; the double formula is shared " +
+        "verbatim between engines"))
+
+  /** Shared Pearson-from-moments SQL over the `fcm` one-row moment
+    * frame (micro-unit integer sums; scale cancels in r). */
+  private def featureCorrSql: String = {
+    def r(sab: String, sa: String, sb: String, saa: String,
+        sbb: String): String =
+      s"round((nd*$sab - $sa*$sb) / sqrt((nd*$saa - $sa*$sa) * " +
+        s"(nd*$sbb - $sb*$sb)), 6)"
+    val prep = "CAST(nn AS DOUBLE) AS nd, " +
+      Seq("s1", "s2", "s3", "s11", "s22", "s33", "s12", "s13", "s23")
+        .map(c => s"CAST($c AS DOUBLE) AS d$c").mkString(", ")
+    s"""SELECT pair, n, r FROM (
+      SELECT 'ntok_uniq' AS pair, CAST(nd AS BIGINT) AS n,
+             ${r("ds12", "ds1", "ds2", "ds11", "ds22")} AS r
+      FROM (SELECT $prep FROM fcm)
+      UNION ALL
+      SELECT 'ntok_avglen' AS pair, CAST(nd AS BIGINT) AS n,
+             ${r("ds13", "ds1", "ds3", "ds11", "ds33")} AS r
+      FROM (SELECT $prep FROM fcm)
+      UNION ALL
+      SELECT 'uniq_avglen' AS pair, CAST(nd AS BIGINT) AS n,
+             ${r("ds23", "ds2", "ds3", "ds22", "ds33")} AS r
+      FROM (SELECT $prep FROM fcm))
+      ORDER BY pair"""
+  }
 }

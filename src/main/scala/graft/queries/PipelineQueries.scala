@@ -1275,5 +1275,58 @@ object PipelineQueries extends QueryBase {
         GROUP BY phase, n_files ORDER BY phase"""),
       doc = "small-file compaction: 48 fragment files rewritten as 4 " +
         "range-clustered files (compaction + key clustering in one " +
-        "pass), content parity proven by row count + exact key checksum"))
+        "pass), content parity proven by row count + exact key checksum"),
+
+    // Sequence packing — the "concat-and-chunk" step every LLM training
+    // pipeline runs between curation and tokenized shards: documents
+    // are concatenated in a deterministic order and cut into
+    // fixed-budget examples (256 tokens here); each document belongs to
+    // the example its FIRST token lands in (greedy concat assignment).
+    // Scale posture: packing is SHARD-LOCAL (hash shard = doc_id % 8,
+    // the window partitions by shard) — the running token offset is a
+    // per-shard cumulative sum, never a global single-partition sort;
+    // at 100 TB the shard count scales out and each shard packs
+    // independently, exactly how distributed packers work. Output is
+    // the per-example manifest (doc span, token count, fill ratio
+    // against the 256 budget — >1 when a boundary-spanning doc is
+    // pulled wholly into its start example).
+    Q(
+      "pipe_sequence_pack",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(lower(col("text")), " ")).cast("long").as("ntok"))
+          .withColumn("shard", expr("doc_id % 8"))
+        val w = Window.partitionBy("shard").orderBy("doc_id")
+        d.withColumn("cum", sum(col("ntok")).over(w))
+          .withColumn("ex", expr("(cum - ntok) div 256"))
+          .groupBy("shard", "ex")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ntok")).as("n_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .withColumn("fill",
+            round(col("n_tokens").cast("double") / 256.0, 6))
+          .orderBy("shard", "ex")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, doc_id % 8 AS shard,
+                 CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ntok
+          FROM documents),
+        packed AS (
+          SELECT shard, doc_id, ntok,
+                 (CAST(sum(ntok) OVER (PARTITION BY shard ORDER BY doc_id)
+                   AS BIGINT) - ntok) // 256 AS ex
+          FROM d)
+        SELECT shard, ex, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(ntok) AS BIGINT) AS n_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+               round(CAST(sum(ntok) AS DOUBLE) / 256.0, 6) AS fill
+        FROM packed GROUP BY shard, ex
+        ORDER BY shard, ex"""),
+      doc = "LLM sequence packing (concat-and-chunk, 256-token budget): " +
+        "shard-local running offsets (no global sort), greedy " +
+        "start-token example assignment, per-example manifest with " +
+        "fill ratios"))
 }
