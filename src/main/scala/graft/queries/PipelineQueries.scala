@@ -1328,5 +1328,76 @@ object PipelineQueries extends QueryBase {
       doc = "LLM sequence packing (concat-and-chunk, 256-token budget): " +
         "shard-local running offsets (no global sort), greedy " +
         "start-token example assignment, per-example manifest with " +
-        "fill ratios"))
+        "fill ratios"),
+
+    // Token-bucket rate limiting replayed over the event log — the
+    // admission-control audit an ingestion pipeline runs to size
+    // quotas: capacity 5 tokens, refill 1 token / 30 s, one token per
+    // event. The bucket state is integer milli-tokens with floor
+    // refill arithmetic, so the whole replay is exact integer
+    // recursion — same fold discipline as ml_hmm_viterbi (one groupBy
+    // collect per user, codegen aggregate fold, state = 3 longs;
+    // oracle = recursive CTE walking the identical recurrence).
+    Q(
+      "pipe_rate_limit",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val ordered = ev.groupBy("user_id")
+          .agg(sort_array(collect_list(struct(
+            unix_micros(col("ts")).as("us"), col("event_id")))).as("seq"))
+        val folded = ordered.withColumn("st", expr("""
+          aggregate(seq,
+            named_struct('tok', 5000L, 'last', -1L, 'adm', 0L),
+            (acc, e) -> CASE WHEN acc.last < 0L THEN
+              named_struct('tok', 4000L, 'last', e.us, 'adm', 1L)
+            ELSE named_struct(
+              'tok', CASE WHEN least(5000L, acc.tok +
+                  ((e.us - acc.last) * 1000) div 30000000) >= 1000L
+                THEN least(5000L, acc.tok +
+                  ((e.us - acc.last) * 1000) div 30000000) - 1000L
+                ELSE least(5000L, acc.tok +
+                  ((e.us - acc.last) * 1000) div 30000000) END,
+              'last', e.us,
+              'adm', acc.adm + CASE WHEN least(5000L, acc.tok +
+                  ((e.us - acc.last) * 1000) div 30000000) >= 1000L
+                THEN 1L ELSE 0L END) END)"""))
+        folded.select(col("user_id"),
+            size(col("seq")).cast("long").as("n_events"),
+            col("st.adm").as("n_admitted"),
+            col("st.tok").as("tokens_milli"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH RECURSIVE seq AS (
+          SELECT user_id,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS t,
+                 epoch_us(ts) AS us
+          FROM events),
+        n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+              FROM seq GROUP BY 1),
+        v AS (
+          SELECT s.user_id, s.t, CAST(4000 AS BIGINT) AS tok,
+                 s.us AS last, CAST(1 AS BIGINT) AS adm
+          FROM seq s WHERE s.t = 1
+          UNION ALL
+          SELECT s.user_id, s.t,
+                 CASE WHEN least(5000, v.tok +
+                     ((s.us - v.last) * 1000) // 30000000) >= 1000
+                   THEN least(5000, v.tok +
+                     ((s.us - v.last) * 1000) // 30000000) - 1000
+                   ELSE least(5000, v.tok +
+                     ((s.us - v.last) * 1000) // 30000000) END,
+                 s.us,
+                 v.adm + CASE WHEN least(5000, v.tok +
+                     ((s.us - v.last) * 1000) // 30000000) >= 1000
+                   THEN 1 ELSE 0 END
+          FROM v JOIN seq s ON s.user_id = v.user_id AND s.t = v.t + 1)
+        SELECT v.user_id, n.n_events, CAST(v.adm AS BIGINT) AS n_admitted,
+               CAST(v.tok AS BIGINT) AS tokens_milli
+        FROM v JOIN n ON n.user_id = v.user_id AND v.t = n.n_events
+        ORDER BY v.user_id"""),
+      doc = "token-bucket rate-limit replay (cap 5, 1 token/30s): exact " +
+        "integer milli-token recursion as one codegen fold per user; " +
+        "recursive-CTE oracle walks the identical recurrence"))
 }
