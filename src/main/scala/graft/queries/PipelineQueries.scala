@@ -1332,8 +1332,8 @@ object PipelineQueries extends QueryBase {
 
     // Token-bucket rate limiting replayed over the event log — the
     // admission-control audit an ingestion pipeline runs to size
-    // quotas: capacity 5 tokens, refill 1 token / 30 s, one token per
-    // event. The bucket state is integer milli-tokens with floor
+    // quotas: capacity 5 tokens, refill 1 token/day, one token per event
+    // (rates chosen to BIND on this fixture's ~1.1 events/user/day). The bucket state is integer milli-tokens with floor
     // refill arithmetic, so the whole replay is exact integer
     // recursion — same fold discipline as ml_hmm_viterbi (one groupBy
     // collect per user, codegen aggregate fold, state = 3 longs;
@@ -1352,14 +1352,14 @@ object PipelineQueries extends QueryBase {
               named_struct('tok', 4000L, 'last', e.us, 'adm', 1L)
             ELSE named_struct(
               'tok', CASE WHEN least(5000L, acc.tok +
-                  ((e.us - acc.last) * 1000) div 30000000) >= 1000L
+                  ((e.us - acc.last) * 1000) div 86400000000) >= 1000L
                 THEN least(5000L, acc.tok +
-                  ((e.us - acc.last) * 1000) div 30000000) - 1000L
+                  ((e.us - acc.last) * 1000) div 86400000000) - 1000L
                 ELSE least(5000L, acc.tok +
-                  ((e.us - acc.last) * 1000) div 30000000) END,
+                  ((e.us - acc.last) * 1000) div 86400000000) END,
               'last', e.us,
               'adm', acc.adm + CASE WHEN least(5000L, acc.tok +
-                  ((e.us - acc.last) * 1000) div 30000000) >= 1000L
+                  ((e.us - acc.last) * 1000) div 86400000000) >= 1000L
                 THEN 1L ELSE 0L END) END)"""))
         folded.select(col("user_id"),
             size(col("seq")).cast("long").as("n_events"),
@@ -1383,21 +1383,21 @@ object PipelineQueries extends QueryBase {
           UNION ALL
           SELECT s.user_id, s.t,
                  CASE WHEN least(5000, v.tok +
-                     ((s.us - v.last) * 1000) // 30000000) >= 1000
+                     ((s.us - v.last) * 1000) // 86400000000) >= 1000
                    THEN least(5000, v.tok +
-                     ((s.us - v.last) * 1000) // 30000000) - 1000
+                     ((s.us - v.last) * 1000) // 86400000000) - 1000
                    ELSE least(5000, v.tok +
-                     ((s.us - v.last) * 1000) // 30000000) END,
+                     ((s.us - v.last) * 1000) // 86400000000) END,
                  s.us,
                  v.adm + CASE WHEN least(5000, v.tok +
-                     ((s.us - v.last) * 1000) // 30000000) >= 1000
+                     ((s.us - v.last) * 1000) // 86400000000) >= 1000
                    THEN 1 ELSE 0 END
           FROM v JOIN seq s ON s.user_id = v.user_id AND s.t = v.t + 1)
         SELECT v.user_id, n.n_events, CAST(v.adm AS BIGINT) AS n_admitted,
                CAST(v.tok AS BIGINT) AS tokens_milli
         FROM v JOIN n ON n.user_id = v.user_id AND v.t = n.n_events
         ORDER BY v.user_id"""),
-      doc = "token-bucket rate-limit replay (cap 5, 1 token/30s): exact " +
+      doc = "token-bucket rate-limit replay (cap 5, 1 token/day): exact " +
         "integer milli-token recursion as one codegen fold per user; " +
         "recursive-CTE oracle walks the identical recurrence"))
 }
