@@ -176,7 +176,59 @@ object TextQueries extends QueryBase {
       "shuffle), degree/frequency word scores, deterministic rounded " +
       "top-k; Rose et al. 2010")
 
-  val all: Seq[Q] = Seq(readabilityQ, rakeQ) ++ Seq(
+  /** N-gram novelty scoring — the curation signal for "how much of
+    * this document is text the corpus hasn't seen yet" (the per-doc
+    * complement of dedup: a doc can be 0% duplicate yet 0% novel).
+    * Every 3-word shingle instance is attributed to the doc where the
+    * shingle FIRST occurs (min doc_id — deterministic ownership);
+    * novelty = owned instances / total instances. One gram-keyed
+    * shuffle (first-occurrence aggregate) + one broadcast-back join —
+    * linear in corpus grams, the same shape as text_df_prune. */
+  private val noveltyQ = Q(
+    "text_ngram_novelty",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
+      val grams = d
+        .select(col("doc_id"), explode(expr(
+          // sequence(0, n) with n < 0 runs DESCENDING in Spark 4 —
+          // short docs must hit the empty branch, not the sequence.
+          "CASE WHEN size(tk) >= 3 THEN transform(sequence(0, size(tk) - 3), " +
+            "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])) " +
+            "ELSE array() END")).as("gram"))
+      val firstDoc = grams.groupBy("gram")
+        .agg(min(col("doc_id")).as("first_doc"))
+      grams.join(firstDoc, "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty",
+          round(col("n_novel").cast("double") /
+            col("n_grams").cast("double"), 6))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH grams AS (
+        SELECT doc_id, tk[i + 1] || ' ' || tk[i + 2] || ' ' || tk[i + 3] AS gram
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
+              FROM documents),
+             LATERAL (SELECT unnest(range(0, greatest(len(tk) - 2, 0))) AS i) t),
+      fd AS (SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY 1),
+      agg AS (
+        SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN fd.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_novel
+        FROM grams g JOIN fd ON fd.gram = g.gram
+        GROUP BY 1)
+      SELECT doc_id, n_grams, n_novel,
+             round(CAST(n_novel AS DOUBLE) / n_grams, 6) AS novelty
+      FROM agg ORDER BY doc_id"""),
+    doc = "3-gram novelty scoring: shingle instances attributed to " +
+      "their first-occurrence doc (min doc_id), novelty = owned/total " +
+      "per doc; one gram shuffle + join-back, linear in corpus grams")
+
+  val all: Seq[Q] = Seq(readabilityQ, rakeQ, noveltyQ) ++ Seq(
     // N1/W5: tokenize + 1-based positional explode, global term counts.
     // reference src/absa/post_words.py:126-231.
     Q(

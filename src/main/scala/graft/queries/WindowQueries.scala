@@ -1342,5 +1342,77 @@ object WindowQueries extends QueryBase {
         "rational smoothing (alpha=1/2, beta=gamma=3/10) on centi-unit " +
         "longs with truncating division — one O(n) fold per series, " +
         "bounded state (level+trend+7 slots); recursive-CTE oracle " +
-        "walks the identical integer recursion"))
+        "walks the identical integer recursion"),
+
+    // Rolling z-score anomaly detection: each day scored against the
+    // TRAILING 7-day window (current day excluded — no self-masking),
+    // flagged at |z| > 2 — the online complement of agg_outlier_mad's
+    // global robust screen. Window sums of x and x² stay exact
+    // integers (centi / centi² in DECIMAL); the z formula is one
+    // shared double expression string evaluated by both engines, so
+    // IEEE order is identical before round(.,6). Windows shorter than
+    // 3 days or with zero variance are unscoreable and filtered on
+    // both faces.
+    Q(
+      "window_zscore_anomaly",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val daily = ev.groupBy(col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(wsum(round(col("value") * 100).cast("long"))
+            .cast("long").as("yc"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-7, -1)
+        val scored = daily
+          .withColumn("n", count(col("yc")).over(w))
+          .withColumn("sm", sum(col("yc").cast(dec)).over(w))
+          .withColumn("qm",
+            sum(col("yc").cast(dec) * col("yc").cast(dec)).over(w))
+          .filter(col("n") >= 3)
+          .selectExpr("event_type", "day", "yc", "n",
+            "CAST(yc AS DOUBLE) AS xd", "CAST(n AS DOUBLE) AS nd",
+            "CAST(sm AS DOUBLE) AS sd", "CAST(qm AS DOUBLE) AS qd")
+          .selectExpr("event_type", "day", "yc", "n",
+            zExpr + " AS z", varExpr + " AS vr")
+        scored.filter(col("vr") > 0)
+          .withColumn("z", round(col("z"), 6))
+          .filter(abs(col("z")) > 2)
+          .select(col("event_type"), col("day"), col("yc"), col("n"),
+            col("z"))
+          .orderBy("event_type", "day")
+      },
+      Some(s"""
+        WITH daily AS (
+          SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS yc
+          FROM events GROUP BY 1, 2),
+        win AS (
+          SELECT event_type, day, yc,
+                 CAST(count(yc) OVER tw AS BIGINT) AS n,
+                 CAST(sum(CAST(yc AS HUGEINT)) OVER tw AS HUGEINT) AS sm,
+                 CAST(sum(CAST(yc AS HUGEINT) * yc) OVER tw AS HUGEINT) AS qm
+          FROM daily
+          WINDOW tw AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        scored AS (
+          SELECT event_type, day, yc, n, $zExpr AS z, $varExpr AS vr
+          FROM (SELECT event_type, day, yc, n,
+                       CAST(yc AS DOUBLE) AS xd, CAST(n AS DOUBLE) AS nd,
+                       CAST(sm AS DOUBLE) AS sd, CAST(qm AS DOUBLE) AS qd
+                FROM win WHERE n >= 3))
+        SELECT event_type, day, yc, n, round(z, 6) AS z
+        FROM scored WHERE vr > 0 AND abs(round(z, 6)) > 2
+        ORDER BY event_type, day"""),
+      doc = "trailing-7-day rolling z-score anomaly flags (|z|>2, " +
+        "current day excluded): exact integer window moments, shared " +
+        "double z formula; the online complement of the global MAD " +
+        "screen"))
+
+  /** Shared z-score fragments over (xd, nd, sd, qd) double columns —
+    * identical text on both faces keeps IEEE evaluation order equal. */
+  private def varExpr: String = "(qd / nd - (sd / nd) * (sd / nd))"
+  private def zExpr: String =
+    s"(CASE WHEN $varExpr > 0 THEN (xd - sd / nd) / sqrt($varExpr) " +
+      "ELSE 0.0 END)"
 }
