@@ -1399,5 +1399,165 @@ object PipelineQueries extends QueryBase {
         ORDER BY v.user_id"""),
       doc = "token-bucket rate-limit replay (cap 5, 1 token/day): exact " +
         "integer milli-token recursion as one codegen fold per user; " +
-        "recursive-CTE oracle walks the identical recurrence"))
+        "recursive-CTE oracle walks the identical recurrence"),
+
+    // J6 END-TO-END: the reference's three-algorithm aspect-match
+    // composite (src/absa/post_aspects.py:59-118 temp-table plan;
+    // phrase_matching.py:26-75 phrase_match → best_phrase_match →
+    // final): post n-grams × aspect-word lexicon scored under ALL THREE
+    // algorithms — equality (:125-143), trigram ≥ 0.65 (:146-166), and
+    // levenshtein ratio ≤ 0.19 with the length-255 pre-filter
+    // (:169-199) — each with per-(source, post, word_index) best-match
+    // aggregation over QUALIFYING candidates, rows re-joined at the
+    // best value, grouped per aspect with MIN(word) as the
+    // representative, and the three algorithm outputs concatenated
+    // (CollectPostAspects union, :19-37).
+    //
+    // Spark-first plan (NOT the reference's 3 separate cross-join scans):
+    // the match value depends only on the (phrase, word) STRING PAIR, so
+    // all three kernels run once per DISTINCT vocabulary word × lexicon
+    // word — a few hundred pairs — and the corpus-size token stream only
+    // flows through one broadcast hash join against the matched pairs.
+    // At 100 TB the kernel cost is O(|vocab|·|lexicon|), independent of
+    // corpus row count; the reference's form is O(|tokens|·|lexicon|).
+    // The scored pair table is `.persist()`ed — the analog of the
+    // reference's `aspect_match`/`best_aspect_match` temp-table
+    // materialization (SURVEY §4): it feeds the two best-match windows
+    // plus three branch filters, and without pinning it each branch
+    // would re-run the vocabulary distinct over the corpus.
+    //
+    // The kernels appear in the optimized plan exactly once each, in
+    // their guarded forms (AspectMatchSpec pins this): the trigram
+    // threshold is rewritten to `trigram_sim_ge_bounded` by
+    // TrigramBoundRule, and the levenshtein ratio test runs the BANDED
+    // kernel directly — `levenshtein(a, b, k)` with per-row bound
+    // k = floor(0.19·len(phrase)) (dist ≤ k ⟺ dist/len ≤ 0.19 for
+    // integer dist, so the band is exact, and the O(k·len) early-exit
+    // replaces the O(len²) DP for non-candidates).
+    //
+    // The fixture lexicon makes every contract bind visibly:
+    // 'streams'/'windows' match stream/window by trigram AND
+    // levenshtein but not equality; 'victor' matches vector by
+    // levenshtein ONLY (trigram 0.4 — padding punishes prefix edits);
+    // 'customeres' matches customer by trigram (0.667) but is then
+    // DROPPED by best-match because 'customers' scores higher (0.727);
+    // 'tables' qualifies under NEITHER (trigram 0.625 < 0.65,
+    // ratio 0.2 > 0.19) — both thresholds shown binding.
+    Q(
+      "pipe_aspect_match",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        import s.implicits._
+        val lex = Seq(
+          (1, "Engine", "spark"), (1, "Engine", "streams"),
+          (2, "Query", "windows"), (2, "Query", "merge"),
+          (3, "Storage", "tables"), (3, "Storage", "victor"),
+          (4, "Customer", "customeres"), (5, "Accounts", "customers"))
+          .toDF("aspect_id", "aspect", "word")
+          .select("aspect_id", "word")
+        val toks = th(s, dir, "documents")
+          .select(col("source"), col("doc_id").as("post_id"),
+            posexplode(split(lower(col("text")), " ")))
+          .filter(length(col("col")) > 0)
+          .select(col("source"), col("post_id"),
+            (col("pos") + 1).cast("long").as("word_index"),
+            col("col").as("phrase"))
+        val vocab = toks.select("phrase").distinct()
+        val scored = vocab.crossJoin(broadcast(lex))
+          .withColumn("m_eq", lower(col("phrase")) === lower(col("word")))
+          .withColumn("sim", expr("trigram_sim(phrase, word)"))
+          .withColumn("tg_q", expr("trigram_sim(phrase, word) >= 0.65D"))
+          .withColumn("d", expr("levenshtein(lower(phrase), lower(word), " +
+            "cast(floor(0.19D * length(phrase)) as int))"))
+          .withColumn("lv_q",
+            col("d") >= 0 && length(col("phrase")) <= 255)
+          .withColumn("m_lv", col("d").cast("double") / length(col("phrase")))
+          .persist() // best_phrase_match materialization point (see doc)
+        val w = Window.partitionBy("phrase")
+        val withBest = scored
+          .withColumn("tg_best", max(when(col("tg_q"), col("sim"))).over(w))
+          .withColumn("lv_best", min(when(col("lv_q"), col("m_lv"))).over(w))
+        def branch(qual: Column, algo: String) =
+          withBest.filter(qual)
+            .groupBy("phrase", "aspect_id")
+            .agg(min(col("word")).as("aspect_word"))
+            .withColumn("match_algorithm", lit(algo))
+        val matched = branch(col("m_eq"), "equality")
+          .unionByName(
+            branch(col("tg_q") && col("sim") === col("tg_best"), "trigram"))
+          .unionByName(
+            branch(col("lv_q") && col("m_lv") === col("lv_best"),
+              "levenshtein"))
+        toks.join(broadcast(matched), Seq("phrase"))
+          .select(col("source"), col("post_id"), col("word_index"),
+            col("aspect_id"), col("aspect_word"), col("match_algorithm"))
+          .orderBy("source", "post_id", "word_index", "match_algorithm",
+            "aspect_id")
+      },
+      Some("""
+        WITH lex(aspect_id, word) AS (SELECT * FROM (VALUES
+          (1, 'spark'), (1, 'streams'), (2, 'windows'), (2, 'merge'),
+          (3, 'tables'), (3, 'victor'), (4, 'customeres'),
+          (5, 'customers'))),
+        toks AS (
+          SELECT source, doc_id AS post_id,
+                 CAST(generate_subscripts(string_split(lower(text), ' '), 1)
+                   AS BIGINT) AS word_index,
+                 unnest(string_split(lower(text), ' ')) AS phrase
+          FROM documents),
+        tok AS (SELECT * FROM toks WHERE length(phrase) > 0),
+        vocab AS (SELECT DISTINCT phrase FROM tok),
+        scored AS (
+          SELECT phrase, aspect_id, word,
+                 lower(phrase) = lower(word) AS m_eq,
+                 (WITH t1 AS (SELECT list_distinct(flatten(
+                     [[substr(concat('  ', w, ' '), i, 3)
+                       FOR i IN range(1, length(w) + 2)]
+                      FOR w IN [x FOR x IN
+                        regexp_split_to_array(lower(phrase), '[^a-z0-9]+')
+                        IF x <> '']])) AS a,
+                   list_distinct(flatten(
+                     [[substr(concat('  ', w, ' '), i, 3)
+                       FOR i IN range(1, length(w) + 2)]
+                      FOR w IN [x FOR x IN
+                        regexp_split_to_array(lower(word), '[^a-z0-9]+')
+                        IF x <> '']])) AS b)
+                  SELECT CASE WHEN len(list_distinct(a || b)) = 0 THEN 0.0
+                         ELSE len(list_intersect(a, b)) * 1.0 /
+                              len(list_distinct(a || b)) END FROM t1) AS sim,
+                 CAST(levenshtein(lower(phrase), lower(word)) AS DOUBLE)
+                   / length(phrase) AS m_lv_raw
+          FROM vocab CROSS JOIN lex),
+        flags AS (
+          SELECT *, sim >= 0.65 AS tg_q,
+                 length(phrase) <= 255
+                   AND levenshtein(lower(phrase), lower(word))
+                     <= floor(0.19 * length(phrase)) AS lv_q
+          FROM scored),
+        best AS (
+          SELECT *,
+                 max(CASE WHEN tg_q THEN sim END)
+                   OVER (PARTITION BY phrase) AS tg_best,
+                 min(CASE WHEN lv_q THEN m_lv_raw END)
+                   OVER (PARTITION BY phrase) AS lv_best
+          FROM flags),
+        matched AS (
+          SELECT phrase, aspect_id, min(word) AS aspect_word,
+                 'equality' AS match_algorithm
+          FROM best WHERE m_eq GROUP BY 1, 2
+          UNION ALL
+          SELECT phrase, aspect_id, min(word), 'trigram'
+          FROM best WHERE tg_q AND sim = tg_best GROUP BY 1, 2
+          UNION ALL
+          SELECT phrase, aspect_id, min(word), 'levenshtein'
+          FROM best WHERE lv_q AND m_lv_raw = lv_best GROUP BY 1, 2)
+        SELECT t.source, t.post_id, t.word_index,
+               m.aspect_id, m.aspect_word, m.match_algorithm
+        FROM tok t JOIN matched m USING (phrase)
+        ORDER BY source, post_id, word_index, match_algorithm, aspect_id"""),
+      doc = "J6 three-algorithm aspect-match composite (equality + " +
+        "trigram >= 0.65 + banded levenshtein ratio <= 0.19, best-match " +
+        "per token, union): kernels run once per distinct vocab x " +
+        "lexicon pair behind a persist, token stream passes through one " +
+        "broadcast join; reference post_aspects.py:59-199"))
 }
