@@ -8,10 +8,31 @@ package graft.ml
   * already-tokenized, already-filtered output of the distributed text
   * pipeline and is collected once.
   *
-  * Deterministic for a fixed seed: documents are swept in order with a
-  * seeded RNG.
+  * Deterministic for a fixed seed — and REPLAYABLE by the DuckDB oracle:
+  * randomness is COUNTER-BASED (SplitMix64 finalizer over `seed + step`,
+  * the stateless-stream discipline of Salmon et al. 2011 "Parallel
+  * random numbers: as easy as 1, 2, 3"), so every draw is a pure integer
+  * function of its position, expressible in SQL with wrap-mod 64-bit
+  * arithmetic — no sequential LCG state to thread through an oracle.
+  * Floating-point accumulation is pinned to one rounding order (one
+  * fused `log(a) - log(b)` term per token, left-fold sum) that the
+  * oracle's list_reduce replays operation-for-operation.
   */
 object Gsdmm {
+
+  /** SplitMix64 finalizer (Steele/Lea/Flood 2014, public domain
+    * constants) — the per-counter mixing function behind every draw. */
+  def mix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Uniform double in [0, 1) from counter `ctr`: top 53 bits / 2^53 —
+    * exact in both engines (the dividend is an exact double < 2^53). */
+  def u01(ctr: Long): Double =
+    (mix64(ctr) >>> 11).toDouble / 9007199254740992.0
 
   /** Fitted model. Carries the word-topic counts so a distributed stage
     * can assign topics to unseen documents via [[assign]] — the fit may
@@ -24,7 +45,6 @@ object Gsdmm {
 
   def fit(docs: Array[Array[String]], k: Int, alpha: Double, beta: Double,
       iters: Int, seed: Long = 42L): Result = {
-    val rnd = new scala.util.Random(seed)
     val n = docs.length
     val vocab = docs.flatten.distinct.length.max(1)
 
@@ -33,10 +53,10 @@ object Gsdmm {
     val nzw = Array.fill(k)(collection.mutable.HashMap.empty[String, Int]) // word counts per cluster
 
     val labels = new Array[Int](n)
-    // init: random assignment
+    // init: counter-based random assignment (counters seed..seed+n-1)
     var i = 0
     while (i < n) {
-      val z = rnd.nextInt(k)
+      val z = ((mix64(seed + i) >>> 1) % k).toInt
       labels(i) = z
       mz(z) += 1
       nz(z) += docs(i).length
@@ -55,15 +75,17 @@ object Gsdmm {
     }
 
     def score(d: Int, z: Int): Double = {
-      // log p(z | rest) per the movie-group process (Yin & Wang 2014 eq. 4)
+      // log p(z | rest) per the movie-group process (Yin & Wang 2014
+      // eq. 4). ONE fused `log(a) - log(b)` term per token added to a
+      // left-fold — the oracle replays this exact rounding sequence.
       var s = math.log(mz(z) + alpha)
       var j = 0
       val seen = collection.mutable.HashMap.empty[String, Int]
       while (j < docs(d).length) {
         val w = docs(d)(j)
         val prior = seen.getOrElse(w, 0)
-        s += math.log(nzw(z).getOrElse(w, 0) + beta + prior)
-        s -= math.log(nz(z) + vocab * beta + j)
+        s += math.log(nzw(z).getOrElse(w, 0) + beta + prior) -
+          math.log(nz(z) + vocab * beta + j)
         seen(w) = prior + 1
         j += 1
       }
@@ -71,6 +93,7 @@ object Gsdmm {
     }
 
     var it = 0
+    var step = 0L // global sweep position; draw counter = seed + n + step
     while (it < iters) {
       var d = 0
       while (d < n) {
@@ -79,7 +102,8 @@ object Gsdmm {
         val mx = logs.max
         val ps = logs.map(l => math.exp(l - mx))
         val total = ps.sum
-        var r = rnd.nextDouble() * total
+        var r = u01(seed + n + step) * total
+        step += 1
         var z = 0
         while (z < k - 1 && r > ps(z)) { r -= ps(z); z += 1 }
         labels(d) = z
@@ -113,8 +137,9 @@ object Gsdmm {
       while (j < doc.length) {
         val w = doc(j)
         val prior = seen.getOrElse(w, 0)
-        s += math.log(wc.getOrElse(w, 0) + model.beta + prior)
-        s -= math.log(model.clusterWordTotal(z) + model.vocab * model.beta + j)
+        // same fused-term rounding order as the fit sweep (oracle parity)
+        s += math.log(wc.getOrElse(w, 0) + model.beta + prior) -
+          math.log(model.clusterWordTotal(z) + model.vocab * model.beta + j)
         seen(w) = prior + 1
         j += 1
       }

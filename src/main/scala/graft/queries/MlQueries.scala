@@ -17,6 +17,181 @@ import graft.multimodal.Multimodal
   */
 object MlQueries extends QueryBase {
 
+  /** Deterministic 60-bit hash from md5, identical in Spark and DuckDB
+    * (same helper as SourceQueries) — the GSDMM sample selector. The
+    * r1-r8 faces ordered by Spark's xxhash64, which DuckDB cannot
+    * compute; md5-h64 makes the SAMPLE itself oracle-replayable. */
+  private def h64m(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  // ---- GSDMM Gibbs-trajectory replay (DuckDB face) -----------------
+  // The fit is counter-based (graft.ml.Gsdmm: SplitMix64 over
+  // seed + step), so the ENTIRE trajectory — init assignment, 10 sweeps
+  // of per-doc unassign/score/sample/reassign, final counts, and the
+  // full-corpus argmax assignment — is a pure function SQL can replay.
+  // The recursion below IS that replay: one row per sweep step carrying
+  // (labels, mz, nz, nzw) plus the per-doc token/count tables as list
+  // constants (carrying them in-state avoids a per-step join, 14x
+  // faster). Floating-point order is pinned: one fused ln(a)-ln(b) term
+  // per token, left-fold via list_reduce with the prior prepended —
+  // operation-for-operation the Scala accumulation.
+
+  /** a*C mod 2^64 in DuckDB HUGEINT (INT128 would overflow on a 64x64
+    * product, so the constant is split into 32-bit halves). */
+  private def mmSql(a: String, c: BigInt): String = {
+    val c0 = c & ((BigInt(1) << 32) - 1)
+    val c1 = c >> 32
+    s"((((($a) % 4294967296) * $c1 + (($a) // 4294967296) * $c0) % 4294967296) * 4294967296" +
+      s" + (($a) % 4294967296) * $c0) % 18446744073709551616"
+  }
+
+  /** SplitMix64 finalizer over HUGEINT expression `x` — bit-identical to
+    * [[graft.ml.Gsdmm.mix64]] (validated against the Scala values). */
+  private def mixSql(x: String): String = {
+    val z1 = s"((($x) + 11400714819323198485) % 18446744073709551616)"
+    val z2 = mmSql(s"xor($z1, ($z1) >> 30)", BigInt("BF58476D1CE4E5B9", 16))
+    val z3 = mmSql(s"xor($z2, ($z2) >> 27)", BigInt("94D049BB133111EB", 16))
+    s"xor($z3, ($z3) >> 31)"
+  }
+
+  /** The sampling walk `z=0; while (z < k-1 && r > ps(z)) { r -= ps(z);
+    * z += 1 }` as one CASE — subtraction chains are textual so the
+    * rounding sequence matches the Scala loop exactly. */
+  private def pickSql(k: Int): String = {
+    var r = "r0"
+    val cases = (0 until k - 1).map { z =>
+      val c = s"WHEN $r <= ps[${z + 1}] THEN $z"
+      r = s"($r - ps[${z + 1}])"
+      c
+    }
+    "CASE " + cases.mkString(" ") + s" ELSE ${k - 1} END"
+  }
+
+  /** CTE chain replaying fit + assignment for one corpus window.
+    * `docsCte` must provide (doc_id, tk LIST<VARCHAR>); emits CTEs
+    * `<p>fin` (final counts), `<p>assign` (doc_id → topic over the FULL
+    * window), `<p>top` (top-3 words per topic). */
+  private def gsdmmReplaySql(p: String, docsCte: String, k: Int,
+      iters: Int, sampleN: Int, seed: Long = 42L): String = {
+    val D = "CAST(0.1 AS DOUBLE)"
+    val initMix = mixSql(s"CAST($seed AS HUGEINT) + sd.d")
+    val drawMix = mixSql(s"CAST($seed AS HUGEINT) + s3.n + s3.step")
+    s"""
+${p}samp AS (
+  SELECT doc_id, tk FROM $docsCte
+  ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) ASC,
+           doc_id ASC
+  LIMIT $sampleN),
+${p}sd AS (SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS INT) AS d, tk FROM ${p}samp),
+${p}nn AS (SELECT CAST(count(*) AS INT) AS n FROM ${p}sd),
+${p}tp AS (SELECT d, CAST(j - 1 AS INT) AS j, tok FROM (
+    SELECT d, unnest(tk) AS tok, generate_subscripts(tk, 1) AS j FROM ${p}sd)),
+${p}vw AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) - 1 AS INT) AS w
+          FROM (SELECT DISTINCT tok FROM ${p}tp)),
+${p}vv AS (SELECT CAST(greatest(count(*), 1) AS INT) AS v FROM ${p}vw),
+${p}tw AS (SELECT t.d, t.j, vw.w,
+            CAST(row_number() OVER (PARTITION BY t.d, t.tok ORDER BY t.j) - 1 AS INT) AS prior
+          FROM ${p}tp t JOIN ${p}vw vw ON vw.tok = t.tok),
+${p}dt AS (SELECT d,
+            list(struct_pack(w := w, prior := prior, j := j) ORDER BY j) AS toks,
+            CAST(count(*) AS INT) AS len
+          FROM ${p}tw GROUP BY d),
+${p}dv AS (SELECT g.d, list(CAST(coalesce(x.c, 0) AS INT) ORDER BY vw.w) AS dvec FROM
+            (SELECT DISTINCT d FROM ${p}sd) g CROSS JOIN ${p}vw vw
+            LEFT JOIN (SELECT d, w, count(*) AS c FROM ${p}tw GROUP BY d, w) x
+              ON x.d = g.d AND x.w = vw.w
+          GROUP BY g.d),
+${p}init AS (SELECT sd.d, CAST((($initMix) >> 1) % $k AS INT) AS z FROM ${p}sd sd),
+${p}st0 AS (SELECT
+   (SELECT list(z ORDER BY d) FROM ${p}init) AS labels,
+   (SELECT list(c ORDER BY zz) FROM (
+      SELECT zz, CAST(count(i.d) AS INT) AS c
+      FROM range(0, $k) t(zz) LEFT JOIN ${p}init i ON i.z = zz GROUP BY zz)) AS mz,
+   (SELECT list(c ORDER BY zz) FROM (
+      SELECT zz, CAST(coalesce(sum(dt.len), 0) AS INT) AS c
+      FROM range(0, $k) t(zz)
+      LEFT JOIN ${p}init i ON i.z = zz LEFT JOIN ${p}dt dt ON dt.d = i.d
+      GROUP BY zz)) AS nz,
+   (SELECT list(c ORDER BY zz, w) FROM (
+      SELECT t.zz, vw.w, CAST(coalesce(sum(x.c), 0) AS INT) AS c
+      FROM range(0, $k) t(zz) CROSS JOIN ${p}vw vw
+      LEFT JOIN (SELECT i.z, tw.w, count(*) AS c
+                 FROM ${p}init i JOIN ${p}tw tw ON tw.d = i.d GROUP BY 1, 2) x
+        ON x.z = t.zz AND x.w = vw.w
+      GROUP BY t.zz, vw.w)) AS nzw),
+${p}cst AS (SELECT
+  (SELECT list(toks ORDER BY d) FROM ${p}dt) AS toksall,
+  (SELECT list(len ORDER BY d) FROM ${p}dt) AS lenall,
+  (SELECT list(dvec ORDER BY d) FROM ${p}dv) AS dvall,
+  (SELECT n FROM ${p}nn) AS n, (SELECT v FROM ${p}vv) AS v),
+${p}g AS (
+  SELECT 0 AS step, labels, mz, nz, nzw, toksall, lenall, dvall, n, v
+  FROM ${p}st0, ${p}cst
+  UNION ALL
+  SELECT step + 1,
+         [CASE WHEN i = s5.d THEN s5.zn ELSE s5.labels[i+1] END FOR i IN range(0, len(s5.labels))],
+         [s5.mzu[i+1] + CASE WHEN i = s5.zn THEN 1 ELSE 0 END FOR i IN range(0, $k)],
+         [s5.nzu[i+1] + CASE WHEN i = s5.zn THEN s5.len ELSE 0 END FOR i IN range(0, $k)],
+         [s5.nzwu[i+1] + CASE WHEN i // s5.v = s5.zn THEN s5.dvec[(i % s5.v) + 1] ELSE 0 END FOR i IN range(0, $k * s5.v)],
+         s5.toksall, s5.lenall, s5.dvall, s5.n, s5.v
+  FROM (
+    SELECT s4.*, ${pickSql(k)} AS zn
+    FROM (
+      SELECT s3.*, s3.psx AS ps,
+             CAST(($drawMix) >> 11 AS DOUBLE) / 9007199254740992.0
+               * list_reduce(s3.psx, (a, x) -> a + x) AS r0
+      FROM (
+        SELECT s2.*,
+          [exp(sc - list_aggregate(s2.scores, 'max')) FOR sc IN s2.scores] AS psx
+        FROM (
+        SELECT s1b.*,
+               [list_reduce(list_prepend(ln(s1b.mzu[z+1] + $D),
+                  [ln(s1b.nzwu[z * s1b.v + tk.w + 1] + $D + tk.prior)
+                   - ln(s1b.nzu[z+1] + s1b.v * $D + tk.j) FOR tk IN s1b.toks]),
+                  (a, x) -> a + x)
+                FOR z IN range(0, $k)] AS scores
+        FROM (
+          SELECT s1.*,
+                 [s1.mz[i+1] - CASE WHEN i = s1.zo THEN 1 ELSE 0 END FOR i IN range(0, $k)] AS mzu,
+                 [s1.nz[i+1] - CASE WHEN i = s1.zo THEN s1.len ELSE 0 END FOR i IN range(0, $k)] AS nzu,
+                 [s1.nzw[i+1] - CASE WHEN i // s1.v = s1.zo THEN s1.dvec[(i % s1.v) + 1] ELSE 0 END FOR i IN range(0, $k * s1.v)] AS nzwu
+          FROM (
+            SELECT g.*, CAST(g.step % g.n AS INT) AS d,
+                   g.labels[CAST(g.step % g.n AS INT) + 1] AS zo,
+                   g.toksall[CAST(g.step % g.n AS INT) + 1] AS toks,
+                   g.lenall[CAST(g.step % g.n AS INT) + 1] AS len,
+                   g.dvall[CAST(g.step % g.n AS INT) + 1] AS dvec
+            FROM ${p}g g WHERE g.step < $iters * g.n) s1) s1b) s2) s3) s4) s5),
+${p}fin AS (SELECT labels, mz, nz, nzw FROM ${p}g
+           WHERE step = $iters * (SELECT n FROM ${p}nn)),
+${p}alltok AS (SELECT doc_id, CAST(j - 1 AS INT) AS j, tok FROM (
+    SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS j FROM $docsCte)),
+${p}alltw AS (SELECT a.doc_id, a.j, CAST(coalesce(vw.w, -1) AS INT) AS w,
+               CAST(row_number() OVER (PARTITION BY a.doc_id, a.tok ORDER BY a.j) - 1 AS INT) AS prior
+             FROM ${p}alltok a LEFT JOIN ${p}vw vw ON vw.tok = a.tok),
+${p}adt AS (SELECT doc_id, list(struct_pack(w := w, prior := prior, j := j) ORDER BY j) AS toks
+           FROM ${p}alltw GROUP BY doc_id),
+${p}ascore AS (
+  SELECT a.doc_id, t.z,
+    list_reduce(list_prepend(
+      ln(f.mz[t.z + 1] + $D),
+      [ln(CASE WHEN tk.w >= 0 THEN f.nzw[t.z * v.v + tk.w + 1] ELSE 0 END + $D + tk.prior)
+       - ln(f.nz[t.z + 1] + v.v * $D + tk.j) FOR tk IN a.toks]),
+      (a1, x) -> a1 + x) AS s
+  FROM ${p}adt a, ${p}fin f, ${p}vv v, range(0, $k) t(z)),
+${p}assign AS (SELECT doc_id, CAST(z AS INT) AS topic FROM (
+    SELECT doc_id, z, row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, z ASC) AS rn
+    FROM ${p}ascore) WHERE rn = 1),
+${p}top AS (SELECT CAST(zz AS INT) AS topic,
+             coalesce(string_agg(tok, ' ' ORDER BY rn), '') AS top_words
+           FROM (
+             SELECT zz, tok, c, row_number() OVER (PARTITION BY zz ORDER BY c DESC, tok ASC) AS rn
+             FROM (SELECT t.zz, vw.tok, f.nzw[t.zz * v.v + vw.w + 1] AS c
+                   FROM range(0, $k) t(zz) CROSS JOIN ${p}vw vw, ${p}fin f, ${p}vv v)
+             WHERE c > 0)
+           WHERE rn <= 3 GROUP BY zz)"""
+  }
+
   /** The visitor-prediction feature frame (N9; reference
     * visitor_prediction/preprocessing.py:6-95 + predict.py:95-206):
     * daily entries (exact decimal sum), is_closed / limited_entries from
@@ -1389,7 +1564,7 @@ object MlQueries extends QueryBase {
         val toksAll = th(s, dir, "documents")
           .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
         val sample = toksAll
-          .orderBy(xxhash64(col("doc_id")).asc, col("doc_id").asc)
+          .orderBy(h64m(col("doc_id")).asc, col("doc_id").asc)
           .limit(256)
           .collect()
         val docs = sample.map(r => (r.getLong(0), r.getSeq[String](1).toArray))
@@ -1409,37 +1584,23 @@ object MlQueries extends QueryBase {
           .orderBy("topic")
           .select("topic", "n_docs", "top_words")
       },
-      // The Gibbs sampler is not SQL-expressible; these literals pin the
-      // seed-42 fit + assignment, DISPATCHED on a corpus content
-      // signature (sum of text lengths — doc COUNT cannot tell sf0.001
-      // and sf0.01 apart, both mint 500 docs) so the gate is green at
-      // every driver sf. Any other corpus selects no literal and fails
-      // loudly — regenerate the branch for a new mint.
-      Some("""
-        WITH n AS (SELECT CAST(sum(length(text)) AS BIGINT) AS c FROM documents)
-        SELECT t.* FROM (VALUES
-          (2, 2, 'key column customer'),
-          (3, 426, 'part join hash'),
-          (5, 72, 'slow key data'))
-          AS t(topic, n_docs, top_words)
-        WHERE (SELECT c FROM n) = 153156
-        UNION ALL
-        SELECT t.* FROM (VALUES
-          (1, 2, 'filter order slow'),
-          (3, 305, 'key column customer'),
-          (5, 193, 'line merge row'))
-          AS t(topic, n_docs, top_words)
-        WHERE (SELECT c FROM n) = 149174
-        UNION ALL
-        SELECT t.* FROM (VALUES
-          (3, 323, 'group merge table'),
-          (6, 4677, 'join spark column'))
-          AS t(topic, n_docs, top_words)
-        WHERE (SELECT c FROM n) = 1485576
-        ORDER BY topic"""),
+      // The oracle COMPUTES (r7 verdict item 5 — the pinned-literal
+      // oracle is retired): the counter-based sampler makes the Gibbs
+      // trajectory a pure function, and the recursive CTE replays it
+      // bit-for-bit — init, all 10 sweeps, final counts, full-corpus
+      // argmax assignment, top-3 words — at ANY corpus/sf.
+      Some(s"""
+        WITH RECURSIVE d0 AS (
+          SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk
+          FROM documents),
+        ${gsdmmReplaySql("q_", "d0", k = 10, iters = 10, sampleN = 256)}
+        SELECT a.topic, CAST(count(*) AS BIGINT) AS n_docs,
+               coalesce(t.top_words, '') AS top_words
+        FROM q_assign a LEFT JOIN q_top t ON t.topic = a.topic
+        GROUP BY a.topic, t.top_words ORDER BY a.topic"""),
       doc = "N8 GSDMM bounded-sample fit + distributed broadcast argmax " +
-        "assignment; reference topic_modeling.py:181-245; oracle = pinned " +
-        "seed-42 expected output at the sf0.01 gate"),
+        "assignment; reference topic_modeling.py:181-245; oracle replays " +
+        "the counter-based Gibbs trajectory as a recursive CTE"),
 
     // N8 windowed form: the reference trains ONE MODEL PER YEAR plus
     // 'all' (topic_modeling.py:181-245, model_name per year window); here
@@ -1460,7 +1621,7 @@ object MlQueries extends QueryBase {
         val frames = Seq("y0", "y1").map { w =>
           val sub = toksAll.filter(col("window") === w)
           val sample = sub.select("doc_id", "toks")
-            .orderBy(xxhash64(col("doc_id")).asc, col("doc_id").asc)
+            .orderBy(h64m(col("doc_id")).asc, col("doc_id").asc)
             .limit(128)
             .collect() // bounded per-window fit sample
           val docs = sample
@@ -1477,29 +1638,27 @@ object MlQueries extends QueryBase {
         }
         frames.reduce(_ unionByName _).orderBy("window", "topic")
       },
-      // Pinned seed-42 per-window output at the sf0.01 gate (same
-      // regime as ml_gsdmm_topics; regenerate if the gate sf changes).
-      Some("""
-        WITH n AS (SELECT CAST(sum(length(text)) AS BIGINT) AS c FROM documents)
-        SELECT t.* FROM (VALUES
-          ('y0', 0, 4), ('y0', 3, 240), ('y0', 4, 6),
-          ('y1', 1, 66), ('y1', 3, 184))
-          AS t("window", topic, n_docs)
-        WHERE (SELECT c FROM n) = 153156
-        UNION ALL
-        SELECT t.* FROM (VALUES
-          ('y0', 0, 2), ('y0', 2, 2), ('y0', 4, 246),
-          ('y1', 2, 1), ('y1', 3, 249))
-          AS t("window", topic, n_docs)
-        WHERE (SELECT c FROM n) = 149174
-        UNION ALL
-        SELECT t.* FROM (VALUES
-          ('y0', 1, 250), ('y0', 3, 2250), ('y1', 3, 2500))
-          AS t("window", topic, n_docs)
-        WHERE (SELECT c FROM n) = 1485576
+      // Per-window replay: each window runs its own recursive Gibbs
+      // trajectory (independent models, like the reference's per-year
+      // loop) — computed, not quoted, at any corpus/sf.
+      Some(s"""
+        WITH RECURSIVE d0 AS (
+          SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk
+          FROM documents),
+        y0d AS (SELECT doc_id, tk FROM d0 WHERE doc_id % 2 = 0),
+        y1d AS (SELECT doc_id, tk FROM d0 WHERE doc_id % 2 = 1),
+        ${gsdmmReplaySql("a_", "y0d", k = 5, iters = 10, sampleN = 128)},
+        ${gsdmmReplaySql("b_", "y1d", k = 5, iters = 10, sampleN = 128)}
+        SELECT * FROM (
+          SELECT 'y0' AS "window", topic, CAST(count(*) AS BIGINT) AS n_docs
+          FROM a_assign GROUP BY topic
+          UNION ALL
+          SELECT 'y1', topic, CAST(count(*) AS BIGINT)
+          FROM b_assign GROUP BY topic)
         ORDER BY "window", topic"""),
       doc = "N8 per-window GSDMM (reference's per-year model loop): " +
         "independent bounded fits, per-window broadcast assignment; " +
+        "oracle replays both windows' Gibbs trajectories; " +
         "reference topic_modeling.py:181-245"),
 
     // Integer-exact PageRank over the event interaction graph
