@@ -42,6 +42,15 @@ def cell_eq(a, b) -> bool:
 def main():
     outdir, sfdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # Optional resource caps for big minted dirs (x10/x100): the heavy
+    # oracle replays can exhaust threads/memory when run next to Spark
+    # JVMs. No effect on results — identical SQL, bounded resources.
+    if os.environ.get("GRAFT_DUCKDB_THREADS"):
+        con.execute(f"SET threads={int(os.environ['GRAFT_DUCKDB_THREADS'])}")
+    if os.environ.get("GRAFT_DUCKDB_MEMLIMIT"):
+        con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEMLIMIT']}'")
+    if os.environ.get("GRAFT_DUCKDB_TMP"):
+        con.execute(f"SET temp_directory='{os.environ['GRAFT_DUCKDB_TMP']}'")
     for t in TABLES:
         # Driver fixtures are single files; MintScale output dirs hold
         # part files — accept both.

@@ -1085,28 +1085,46 @@ ${p}top AS (SELECT CAST(zz AS INT) AS topic,
   private val viterbiQ = Q(
     "ml_hmm_viterbi",
     (s, dir) => {
+      // Streaming per-user fold (r7 verdict item 4): the r5-r8 form
+      // collected each user's events into ONE aggregation-buffer array
+      // (sort_array(collect_list)) before folding — its true memory
+      // bound was the hottest user's whole history, not the DP state.
+      // flatMapSortedGroups shuffles by user, SECONDARY-SORTS the rows
+      // by (ts, event_id) inside Spark's spillable sorter, and streams
+      // the iterator through the fold — live state is genuinely 2 longs
+      // per user at ANY history length (a 10^6-event hot user runs in
+      // the 2 GB SpillBench heap; see docs/SCALE.md §hot-user).
+      // Identical values: same integer max-plus recurrence in the same
+      // (ts, event_id) order the struct sort produced.
+      import s.implicits._
       val ev = t(s, dir, "events")
-      val ordered = ev.groupBy("user_id")
-        .agg(sort_array(collect_list(
-          struct(col("ts"), col("event_id"), col("event_type")))).as("seq"))
-      val folded = ordered.withColumn("acc", expr("""
-        aggregate(seq,
-          named_struct('a0', CAST(-510826 AS BIGINT),
-                       'a1', CAST(-916291 AS BIGINT)),
-          (acc, x) -> named_struct(
-            'a0', greatest(acc.a0 + -223144L, acc.a1 + -1203973L) +
-              CASE x.event_type
-                WHEN 'click' THEN -1049822L WHEN 'view' THEN -1049822L
-                ELSE -2302585L END,
-            'a1', greatest(acc.a0 + -1609438L, acc.a1 + -356675L) +
-              CASE x.event_type
-                WHEN 'purchase' THEN -1049822L WHEN 'signup' THEN -1386294L
-                WHEN 'error' THEN -1609438L ELSE -2302585L END))"""))
-      folded.select(col("user_id"),
-          size(col("seq")).cast("long").as("n_events"),
-          when(col("acc.a0") >= col("acc.a1"), "browse")
-            .otherwise("transact").as("best_state"),
-          greatest(col("acc.a0"), col("acc.a1")).as("vscore"))
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("event_type"))
+        .as[(Long, Long, Long, String)]
+      ev.groupByKey(_._1)
+        .flatMapSortedGroups(col("us").asc, col("event_id").asc) { (user, it) =>
+          var a0 = -510826L
+          var a1 = -916291L
+          var n = 0L
+          it.foreach { e =>
+            val emit0 = e._4 match {
+              case "click" | "view" => -1049822L
+              case _ => -2302585L
+            }
+            val emit1 = e._4 match {
+              case "purchase" => -1049822L
+              case "signup" => -1386294L
+              case "error" => -1609438L
+              case _ => -2302585L
+            }
+            val na0 = math.max(a0 - 223144L, a1 - 1203973L) + emit0
+            val na1 = math.max(a0 - 1609438L, a1 - 356675L) + emit1
+            a0 = na0; a1 = na1; n += 1
+          }
+          Iterator.single((user, n,
+            if (a0 >= a1) "browse" else "transact", math.max(a0, a1)))
+        }
+        .toDF("user_id", "n_events", "best_state", "vscore")
         .orderBy("user_id")
     },
     Some("""
@@ -1148,9 +1166,10 @@ ${p}top AS (SELECT CAST(zz AS INT) AS topic,
       FROM v JOIN n ON n.user_id = v.user_id AND v.t = n.n_events
       ORDER BY v.user_id"""),
     doc = "Viterbi decoding of per-user event sequences under a fixed " +
-      "2-state HMM: integer micro-nat max-plus DP as one codegen'd " +
-      "aggregate fold (single shuffle, no driver state); oracle " +
-      "replays the recurrence as a recursive CTE")
+      "2-state HMM: integer micro-nat max-plus DP streamed through " +
+      "flatMapSortedGroups (single user-keyed shuffle, spillable " +
+      "secondary sort, O(1) live state per user — no collected array); " +
+      "oracle replays the recurrence as a recursive CTE")
 
   /** Closed-form ridge regression (Hoerl–Kennard 1970): y = b0 + b1·x1
     * + b2·x2 with λ on the slopes, solved by Cramer's rule on the 3×3

@@ -1341,30 +1341,38 @@ object PipelineQueries extends QueryBase {
     Q(
       "pipe_rate_limit",
       (s, dir) => {
+        // Streaming per-user fold (r7 verdict item 4): the collected-
+        // array form bounded memory by the hottest user's full history;
+        // flatMapSortedGroups streams the (ts, event_id)-sorted iterator
+        // through the token-bucket recurrence with 3 longs of live state
+        // per user (10^6-event hot user fits the 2 GB SpillBench heap —
+        // docs/SCALE.md §hot-user). Same integer milli-token arithmetic,
+        // same order, identical values.
+        import s.implicits._
         val ev = t(s, dir, "events")
-        val ordered = ev.groupBy("user_id")
-          .agg(sort_array(collect_list(struct(
-            unix_micros(col("ts")).as("us"), col("event_id")))).as("seq"))
-        val folded = ordered.withColumn("st", expr("""
-          aggregate(seq,
-            named_struct('tok', 5000L, 'last', -1L, 'adm', 0L),
-            (acc, e) -> CASE WHEN acc.last < 0L THEN
-              named_struct('tok', 4000L, 'last', e.us, 'adm', 1L)
-            ELSE named_struct(
-              'tok', CASE WHEN least(5000L, acc.tok +
-                  ((e.us - acc.last) * 1000) div 86400000000) >= 1000L
-                THEN least(5000L, acc.tok +
-                  ((e.us - acc.last) * 1000) div 86400000000) - 1000L
-                ELSE least(5000L, acc.tok +
-                  ((e.us - acc.last) * 1000) div 86400000000) END,
-              'last', e.us,
-              'adm', acc.adm + CASE WHEN least(5000L, acc.tok +
-                  ((e.us - acc.last) * 1000) div 86400000000) >= 1000L
-                THEN 1L ELSE 0L END) END)"""))
-        folded.select(col("user_id"),
-            size(col("seq")).cast("long").as("n_events"),
-            col("st.adm").as("n_admitted"),
-            col("st.tok").as("tokens_milli"))
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id"))
+          .as[(Long, Long, Long)]
+        ev.groupByKey(_._1)
+          .flatMapSortedGroups(col("us").asc, col("event_id").asc) { (user, it) =>
+            var tok = 5000L
+            var last = -1L
+            var adm = 0L
+            var n = 0L
+            it.foreach { e =>
+              if (last < 0L) { tok = 4000L; adm = 1L }
+              else {
+                val refilled =
+                  math.min(5000L, tok + (e._2 - last) * 1000L / 86400000000L)
+                if (refilled >= 1000L) { tok = refilled - 1000L; adm += 1L }
+                else tok = refilled
+              }
+              last = e._2
+              n += 1
+            }
+            Iterator.single((user, n, adm, tok))
+          }
+          .toDF("user_id", "n_events", "n_admitted", "tokens_milli")
           .orderBy("user_id")
       },
       Some("""

@@ -27,14 +27,22 @@ class R7PlanSpec extends SparkSpec {
       "no nested-loop/cartesian allowed — blocking is the whole point")
   }
 
-  test("ml_hmm_viterbi folds in a single user-keyed exchange") {
+  test("ml_hmm_viterbi streams a single user-keyed secondary-sorted fold") {
     // The AQE plan string prints "== Final Plan ==" AND "== Initial
     // Plan ==" — count exchanges only in the final section.
     val p = plan("ml_hmm_viterbi").split("== Initial Plan ==")(0)
     val exchanges = "Exchange ".r.findAllIn(p).length
-    assert(p.contains("hashpartitioning(user_id"),
-      "the one shuffle must be the user-keyed aggregate")
-    // one hash exchange for the groupBy + one range exchange for the
+    // r9 form: flatMapSortedGroups = MapGroups over the user-keyed
+    // exchange with a (key, us, event_id) secondary sort — the spillable
+    // streaming fold, NOT a collected array.
+    assert(p.contains("MapGroups"),
+      "the fold must stream through MapGroups (flatMapSortedGroups)")
+    assert("Sort \\[value#\\d+L ASC NULLS FIRST, us#\\d+L ASC".r
+      .findFirstIn(p).isDefined,
+      "rows must be secondary-sorted inside the user partition")
+    assert(!p.contains("collect_list"),
+      "no collected per-user array anywhere in the plan")
+    // one hash exchange for the grouping + one range exchange for the
     // final total ORDER BY — nothing else.
     assert(exchanges <= 2, s"expected <= 2 exchanges, got $exchanges in:\n$p")
   }
