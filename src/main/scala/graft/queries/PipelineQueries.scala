@@ -18,6 +18,128 @@ object PipelineQueries extends QueryBase {
   private def h64(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** The three-algorithm aspect matcher shared by `pipe_aspect_match`
+    * (full corpus) and `pipe_aspect_match_delta` (watermark-incremental).
+    * `docs` must carry (post_id, text) plus any passthrough columns;
+    * returns one row per (token occurrence × matching aspect ×
+    * algorithm): passthrough ++ (word_index, phrase, aspect_id,
+    * aspect_word, match_algorithm). See pipe_aspect_match's doc for the
+    * plan rationale (vocab-bounded kernels behind a persist, guarded
+    * trigram + banded levenshtein, broadcast token join). */
+  private def aspectMatches(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val lex = Seq(
+      (1, "Engine", "spark"), (1, "Engine", "streams"),
+      (2, "Query", "windows"), (2, "Query", "merge"),
+      (3, "Storage", "tables"), (3, "Storage", "victor"),
+      (4, "Customer", "customeres"), (5, "Accounts", "customers"))
+      .toDF("aspect_id", "aspect", "word")
+      .select("aspect_id", "word")
+    val passthrough = docs.columns.filter(_ != "text").toSeq
+    val toks = docs
+      .select(passthrough.map(col) :+
+        posexplode(split(lower(col("text")), " ")): _*)
+      .filter(length(col("col")) > 0)
+      .select(passthrough.map(col) ++ Seq(
+        (col("pos") + 1).cast("long").as("word_index"),
+        col("col").as("phrase")): _*)
+    val vocab = toks.select("phrase").distinct()
+    val scored = vocab.crossJoin(broadcast(lex))
+      .withColumn("m_eq", lower(col("phrase")) === lower(col("word")))
+      .withColumn("sim", expr("trigram_sim(phrase, word)"))
+      .withColumn("tg_q", expr("trigram_sim(phrase, word) >= 0.65D"))
+      .withColumn("d", expr("levenshtein(lower(phrase), lower(word), " +
+        "cast(floor(0.19D * length(phrase)) as int))"))
+      .withColumn("lv_q",
+        col("d") >= 0 && length(col("phrase")) <= 255)
+      .withColumn("m_lv", col("d").cast("double") / length(col("phrase")))
+      .persist() // best_phrase_match materialization point (see doc)
+    val w = Window.partitionBy("phrase")
+    val withBest = scored
+      .withColumn("tg_best", max(when(col("tg_q"), col("sim"))).over(w))
+      .withColumn("lv_best", min(when(col("lv_q"), col("m_lv"))).over(w))
+    def branch(qual: Column, algo: String) =
+      withBest.filter(qual)
+        .groupBy("phrase", "aspect_id")
+        .agg(min(col("word")).as("aspect_word"))
+        .withColumn("match_algorithm", lit(algo))
+    val matched = branch(col("m_eq"), "equality")
+      .unionByName(
+        branch(col("tg_q") && col("sim") === col("tg_best"), "trigram"))
+      .unionByName(
+        branch(col("lv_q") && col("m_lv") === col("lv_best"),
+          "levenshtein"))
+    toks.join(broadcast(matched), Seq("phrase"))
+  }
+
+  /** DuckDB face of [[aspectMatches]]: CTE chain scoring the distinct
+    * vocabulary of `docsCte` (must provide source, post_id, text plus
+    * `extra` passthrough columns) against the lexicon under all three
+    * algorithms; emits `<p>tok` (exploded tokens) and `<p>matched`
+    * (phrase → qualifying best-match aspects per algorithm). */
+  private def aspectMatchSql(p: String, docsCte: String,
+      extra: String = ""): String = {
+    val ex = if (extra.isEmpty) "" else extra + ", "
+    s"""
+${p}lex(aspect_id, word) AS (SELECT * FROM (VALUES
+  (1, 'spark'), (1, 'streams'), (2, 'windows'), (2, 'merge'),
+  (3, 'tables'), (3, 'victor'), (4, 'customeres'), (5, 'customers'))),
+${p}toksr AS (
+  SELECT source, post_id, $ex
+         CAST(generate_subscripts(string_split(lower(text), ' '), 1)
+           AS BIGINT) AS word_index,
+         unnest(string_split(lower(text), ' ')) AS phrase
+  FROM $docsCte),
+${p}tok AS (SELECT * FROM ${p}toksr WHERE length(phrase) > 0),
+${p}vocab AS (SELECT DISTINCT phrase FROM ${p}tok),
+${p}scored AS (
+  SELECT phrase, aspect_id, word,
+         lower(phrase) = lower(word) AS m_eq,
+         (WITH t1 AS (SELECT list_distinct(flatten(
+             [[substr(concat('  ', w, ' '), i, 3)
+               FOR i IN range(1, length(w) + 2)]
+              FOR w IN [x FOR x IN
+                regexp_split_to_array(lower(phrase), '[^a-z0-9]+')
+                IF x <> '']])) AS a,
+           list_distinct(flatten(
+             [[substr(concat('  ', w, ' '), i, 3)
+               FOR i IN range(1, length(w) + 2)]
+              FOR w IN [x FOR x IN
+                regexp_split_to_array(lower(word), '[^a-z0-9]+')
+                IF x <> '']])) AS b)
+          SELECT CASE WHEN len(list_distinct(a || b)) = 0 THEN 0.0
+                 ELSE len(list_intersect(a, b)) * 1.0 /
+                      len(list_distinct(a || b)) END FROM t1) AS sim,
+         CAST(levenshtein(lower(phrase), lower(word)) AS DOUBLE)
+           / length(phrase) AS m_lv_raw
+  FROM ${p}vocab CROSS JOIN ${p}lex),
+${p}flags AS (
+  SELECT *, sim >= 0.65 AS tg_q,
+         length(phrase) <= 255
+           AND levenshtein(lower(phrase), lower(word))
+             <= floor(0.19 * length(phrase)) AS lv_q
+  FROM ${p}scored),
+${p}best AS (
+  SELECT *,
+         max(CASE WHEN tg_q THEN sim END)
+           OVER (PARTITION BY phrase) AS tg_best,
+         min(CASE WHEN lv_q THEN m_lv_raw END)
+           OVER (PARTITION BY phrase) AS lv_best
+  FROM ${p}flags),
+${p}matched AS (
+  SELECT phrase, aspect_id, min(word) AS aspect_word,
+         'equality' AS match_algorithm
+  FROM ${p}best WHERE m_eq GROUP BY 1, 2
+  UNION ALL
+  SELECT phrase, aspect_id, min(word), 'trigram'
+  FROM ${p}best WHERE tg_q AND sim = tg_best GROUP BY 1, 2
+  UNION ALL
+  SELECT phrase, aspect_id, min(word), 'levenshtein'
+  FROM ${p}best WHERE lv_q AND m_lv_raw = lv_best GROUP BY 1, 2)"""
+  }
+
   val all: Seq[Q] = Seq(
     // K1 upsert/merge: incoming rows win PK conflicts, survivors keep.
     // reference src/_utils/database.py:140-174 (COPY + ON CONFLICT UPDATE).
@@ -1454,118 +1576,107 @@ object PipelineQueries extends QueryBase {
     Q(
       "pipe_aspect_match",
       (s, dir) => {
-        graft.functions.GraftFunctions.register(s)
-        import s.implicits._
-        val lex = Seq(
-          (1, "Engine", "spark"), (1, "Engine", "streams"),
-          (2, "Query", "windows"), (2, "Query", "merge"),
-          (3, "Storage", "tables"), (3, "Storage", "victor"),
-          (4, "Customer", "customeres"), (5, "Accounts", "customers"))
-          .toDF("aspect_id", "aspect", "word")
-          .select("aspect_id", "word")
-        val toks = th(s, dir, "documents")
-          .select(col("source"), col("doc_id").as("post_id"),
-            posexplode(split(lower(col("text")), " ")))
-          .filter(length(col("col")) > 0)
-          .select(col("source"), col("post_id"),
-            (col("pos") + 1).cast("long").as("word_index"),
-            col("col").as("phrase"))
-        val vocab = toks.select("phrase").distinct()
-        val scored = vocab.crossJoin(broadcast(lex))
-          .withColumn("m_eq", lower(col("phrase")) === lower(col("word")))
-          .withColumn("sim", expr("trigram_sim(phrase, word)"))
-          .withColumn("tg_q", expr("trigram_sim(phrase, word) >= 0.65D"))
-          .withColumn("d", expr("levenshtein(lower(phrase), lower(word), " +
-            "cast(floor(0.19D * length(phrase)) as int))"))
-          .withColumn("lv_q",
-            col("d") >= 0 && length(col("phrase")) <= 255)
-          .withColumn("m_lv", col("d").cast("double") / length(col("phrase")))
-          .persist() // best_phrase_match materialization point (see doc)
-        val w = Window.partitionBy("phrase")
-        val withBest = scored
-          .withColumn("tg_best", max(when(col("tg_q"), col("sim"))).over(w))
-          .withColumn("lv_best", min(when(col("lv_q"), col("m_lv"))).over(w))
-        def branch(qual: Column, algo: String) =
-          withBest.filter(qual)
-            .groupBy("phrase", "aspect_id")
-            .agg(min(col("word")).as("aspect_word"))
-            .withColumn("match_algorithm", lit(algo))
-        val matched = branch(col("m_eq"), "equality")
-          .unionByName(
-            branch(col("tg_q") && col("sim") === col("tg_best"), "trigram"))
-          .unionByName(
-            branch(col("lv_q") && col("m_lv") === col("lv_best"),
-              "levenshtein"))
-        toks.join(broadcast(matched), Seq("phrase"))
+        val docs = th(s, dir, "documents")
+          .select(col("source"), col("doc_id").as("post_id"), col("text"))
+        aspectMatches(s, docs)
           .select(col("source"), col("post_id"), col("word_index"),
             col("aspect_id"), col("aspect_word"), col("match_algorithm"))
           .orderBy("source", "post_id", "word_index", "match_algorithm",
             "aspect_id")
       },
-      Some("""
-        WITH lex(aspect_id, word) AS (SELECT * FROM (VALUES
-          (1, 'spark'), (1, 'streams'), (2, 'windows'), (2, 'merge'),
-          (3, 'tables'), (3, 'victor'), (4, 'customeres'),
-          (5, 'customers'))),
-        toks AS (
-          SELECT source, doc_id AS post_id,
-                 CAST(generate_subscripts(string_split(lower(text), ' '), 1)
-                   AS BIGINT) AS word_index,
-                 unnest(string_split(lower(text), ' ')) AS phrase
-          FROM documents),
-        tok AS (SELECT * FROM toks WHERE length(phrase) > 0),
-        vocab AS (SELECT DISTINCT phrase FROM tok),
-        scored AS (
-          SELECT phrase, aspect_id, word,
-                 lower(phrase) = lower(word) AS m_eq,
-                 (WITH t1 AS (SELECT list_distinct(flatten(
-                     [[substr(concat('  ', w, ' '), i, 3)
-                       FOR i IN range(1, length(w) + 2)]
-                      FOR w IN [x FOR x IN
-                        regexp_split_to_array(lower(phrase), '[^a-z0-9]+')
-                        IF x <> '']])) AS a,
-                   list_distinct(flatten(
-                     [[substr(concat('  ', w, ' '), i, 3)
-                       FOR i IN range(1, length(w) + 2)]
-                      FOR w IN [x FOR x IN
-                        regexp_split_to_array(lower(word), '[^a-z0-9]+')
-                        IF x <> '']])) AS b)
-                  SELECT CASE WHEN len(list_distinct(a || b)) = 0 THEN 0.0
-                         ELSE len(list_intersect(a, b)) * 1.0 /
-                              len(list_distinct(a || b)) END FROM t1) AS sim,
-                 CAST(levenshtein(lower(phrase), lower(word)) AS DOUBLE)
-                   / length(phrase) AS m_lv_raw
-          FROM vocab CROSS JOIN lex),
-        flags AS (
-          SELECT *, sim >= 0.65 AS tg_q,
-                 length(phrase) <= 255
-                   AND levenshtein(lower(phrase), lower(word))
-                     <= floor(0.19 * length(phrase)) AS lv_q
-          FROM scored),
-        best AS (
-          SELECT *,
-                 max(CASE WHEN tg_q THEN sim END)
-                   OVER (PARTITION BY phrase) AS tg_best,
-                 min(CASE WHEN lv_q THEN m_lv_raw END)
-                   OVER (PARTITION BY phrase) AS lv_best
-          FROM flags),
-        matched AS (
-          SELECT phrase, aspect_id, min(word) AS aspect_word,
-                 'equality' AS match_algorithm
-          FROM best WHERE m_eq GROUP BY 1, 2
-          UNION ALL
-          SELECT phrase, aspect_id, min(word), 'trigram'
-          FROM best WHERE tg_q AND sim = tg_best GROUP BY 1, 2
-          UNION ALL
-          SELECT phrase, aspect_id, min(word), 'levenshtein'
-          FROM best WHERE lv_q AND m_lv_raw = lv_best GROUP BY 1, 2)
+      Some(s"""
+        WITH d0 AS (SELECT source, doc_id AS post_id, text FROM documents),
+        ${aspectMatchSql("q_", "d0")}
         SELECT t.source, t.post_id, t.word_index,
                m.aspect_id, m.aspect_word, m.match_algorithm
-        FROM tok t JOIN matched m USING (phrase)
+        FROM q_tok t JOIN q_matched m USING (phrase)
         ORDER BY source, post_id, word_index, match_algorithm, aspect_id"""),
       doc = "J6 three-algorithm aspect-match composite (equality + " +
         "trigram >= 0.65 + banded levenshtein ratio <= 0.19, best-match " +
         "per token, union): kernels run once per distinct vocab x " +
         "lexicon pair behind a persist, token stream passes through one " +
-        "broadcast join; reference post_aspects.py:59-199"))
+        "broadcast join; reference post_aspects.py:59-199"),
+
+    // The INCREMENTAL half of the reference's aspect matching
+    // (post_aspects.py:62-70 `new_post_id`): each run matches only
+    // posts NEWER than the newest already-matched post, under the
+    // reference's exact 3VL form — `(post_date > max(...)) IS NOT
+    // FALSE` — so an EMPTY state table (max = NULL → comparison NULL →
+    // NOT FALSE) processes the whole corpus. Both branches run here:
+    // scenario 'warm' simulates the matched-through-day-179 state and
+    // must touch only the strictly-newer half; scenario 'cold' runs
+    // against an empty state and must cover everything. The watermark
+    // is a broadcast one-row aggregate (no driver collect), the delta
+    // filter sits UNDER the tokenizer, so at 100 TB an incremental run
+    // scans only new partitions' worth of token work — the match
+    // kernels stay vocab-bounded either way.
+    Q(
+      "pipe_aspect_match_delta",
+      (s, dir) => {
+        val d0 = th(s, dir, "documents")
+          .select(col("source"), col("doc_id").as("post_id"),
+            date_add(to_date(lit("2024-01-01")),
+              pmod(col("doc_id"), lit(365L)).cast("int")).as("post_date"),
+            col("text"))
+        def scenario(tag: String,
+            existing: org.apache.spark.sql.DataFrame) = {
+          val wm = existing.agg(max(col("post_date")).as("wm"))
+          val delta = d0.crossJoin(broadcast(wm))
+            .filter(coalesce(col("post_date") > col("wm"), lit(true)))
+            .drop("wm")
+          aspectMatches(s, delta)
+            .groupBy("match_algorithm", "aspect_id")
+            .agg(count(lit(1)).as("n_tokens"),
+              countDistinct(col("post_id")).as("n_posts"),
+              date_format(min(col("post_date")), "yyyy-MM-dd")
+                .as("first_date"),
+              date_format(max(col("post_date")), "yyyy-MM-dd")
+                .as("last_date"))
+            .withColumn("scenario", lit(tag))
+        }
+        scenario("warm", d0.filter(pmod(col("post_id"), lit(365L)) < 180))
+          .unionByName(scenario("cold", d0.filter(lit(false))))
+          .select("scenario", "match_algorithm", "aspect_id", "n_tokens",
+            "n_posts", "first_date", "last_date")
+          .orderBy("scenario", "match_algorithm", "aspect_id")
+      },
+      Some(s"""
+        WITH d0 AS (
+          SELECT source, doc_id AS post_id,
+                 DATE '2024-01-01' + CAST(doc_id % 365 AS INT) AS post_date,
+                 text
+          FROM documents),
+        warmd AS (
+          SELECT * FROM d0
+          WHERE (post_date > (SELECT max(post_date) FROM d0
+                              WHERE post_id % 365 < 180)) IS NOT FALSE),
+        coldd AS (
+          SELECT * FROM d0
+          WHERE (post_date > (SELECT max(post_date) FROM d0
+                              WHERE false)) IS NOT FALSE),
+        ${aspectMatchSql("w_", "warmd", "post_date")},
+        ${aspectMatchSql("c_", "coldd", "post_date")}
+        SELECT * FROM (
+          SELECT 'warm' AS scenario, m.match_algorithm, m.aspect_id,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(count(DISTINCT t.post_id) AS BIGINT) AS n_posts,
+                 strftime(min(t.post_date), '%Y-%m-%d') AS first_date,
+                 strftime(max(t.post_date), '%Y-%m-%d') AS last_date
+          FROM w_tok t JOIN w_matched m USING (phrase)
+          GROUP BY m.match_algorithm, m.aspect_id
+          UNION ALL
+          SELECT 'cold', m.match_algorithm, m.aspect_id,
+                 CAST(count(*) AS BIGINT),
+                 CAST(count(DISTINCT t.post_id) AS BIGINT),
+                 strftime(min(t.post_date), '%Y-%m-%d'),
+                 strftime(max(t.post_date), '%Y-%m-%d')
+          FROM c_tok t JOIN c_matched m USING (phrase)
+          GROUP BY m.match_algorithm, m.aspect_id)
+        ORDER BY scenario, match_algorithm, aspect_id"""),
+      doc = "U5/J6 watermark-incremental aspect match (reference " +
+        "new_post_id 3VL form, post_aspects.py:62-70): broadcast " +
+        "max-watermark, (post_date > wm) IS NOT FALSE delta under the " +
+        "tokenizer; warm scenario touches only strictly-newer posts, " +
+        "cold scenario (empty state, NULL watermark) covers the full " +
+        "corpus"))
 }

@@ -67,6 +67,26 @@ class AspectMatchSpec extends SparkSpec {
       "the scored pair table must be served from the persist point")
   }
 
+  test("delta: 3VL watermark binds — warm strictly newer, cold covers all") {
+    val d = Catalog.byName("pipe_aspect_match_delta").spark(spark, sfDir)
+      .collect()
+    val (warm, cold) = d.partition(_.getString(0) == "warm")
+    assert(warm.nonEmpty && cold.nonEmpty)
+    // warm = strictly after the day-179 watermark (2024-06-28)
+    assert(warm.map(_.getString(5)).min > "2024-06-28",
+      "warm scenario must only touch posts strictly newer than the watermark")
+    // cold = NULL watermark (empty state) → IS NOT FALSE → full corpus
+    assert(cold.map(_.getString(5)).min == "2024-01-01",
+      "cold scenario (empty state table) must process from day zero")
+    // warm is a subset of cold's work per (algorithm, aspect)
+    val coldTok = cold.map(r => (r.getString(1), r.getInt(2)) -> r.getLong(3)).toMap
+    warm.foreach { r =>
+      val k = (r.getString(1), r.getInt(2))
+      assert(coldTok.contains(k) && r.getLong(3) <= coldTok(k),
+        s"warm work for $k must not exceed the full-corpus run")
+    }
+  }
+
   test("fixture bind cases: thresholds and best-match visibly bind") {
     val byAlgoWord = rows.groupBy(r => (r.getString(5), r.getString(4)))
       .view.mapValues(_.length).toMap
