@@ -73,7 +73,8 @@ object Bench {
     * ~2000-char tail capture (the r8 artifact had parsed:null because the
     * full 225-query map truncated mid-object). */
   private val headline = Seq(
-    "agg_pricing_summary", "pipe_absa_sentiment", "pipe_fill_db_daily",
+    "agg_pricing_summary", "pipe_absa_sentiment", "pipe_aspect_match",
+    "pipe_fill_db_daily",
     "pipe_customer_gold", "join_fuzzy_levenshtein", "join_theta_regex",
     "scalar_postal_cleanse", "dedup_minhash_lsh", "dedup_containment_minhash",
     "dedup_image_phash", "sim_ann_ivf", "sim_ann_bruteforce", "ml_pagerank",
