@@ -26,17 +26,20 @@ object PipelineQueries extends QueryBase {
     * aspect_word, match_algorithm). See pipe_aspect_match's doc for the
     * plan rationale (vocab-bounded kernels behind a persist, guarded
     * trigram + banded levenshtein, broadcast token join). */
+  /** The checked-in aspect-word lexicon (aspect_id, word) — the engine
+    * analog of the reference's target_aspect_word table, designed so
+    * every threshold and best-match contract binds visibly (see
+    * pipe_aspect_match's doc). Shared with the streaming twin
+    * [[graft.streaming.Incremental.aspectTokenMatches]]. */
+  private[graft] val aspectLexicon: Seq[(Int, String)] = Seq(
+    (1, "spark"), (1, "streams"), (2, "windows"), (2, "merge"),
+    (3, "tables"), (3, "victor"), (4, "customeres"), (5, "customers"))
+
   private def aspectMatches(s: org.apache.spark.sql.SparkSession,
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
-    val lex = Seq(
-      (1, "Engine", "spark"), (1, "Engine", "streams"),
-      (2, "Query", "windows"), (2, "Query", "merge"),
-      (3, "Storage", "tables"), (3, "Storage", "victor"),
-      (4, "Customer", "customeres"), (5, "Accounts", "customers"))
-      .toDF("aspect_id", "aspect", "word")
-      .select("aspect_id", "word")
+    val lex = aspectLexicon.toDF("aspect_id", "word")
     val passthrough = docs.columns.filter(_ != "text").toSeq
     val toks = docs
       .select(passthrough.map(col) :+

@@ -380,6 +380,77 @@ object Incremental {
       .toDF("user_id", "n_events", "best_state", "vscore")
   }
 
+  /** Streaming twin of the three-algorithm aspect matcher
+    * (pipe_aspect_match / post_aspects.py:59-199), STATELESS by design:
+    * the lexicon is tiny, so instead of the batch form's vocab-distinct
+    * + broadcast join (which would need a shuffle/aggregation and
+    * therefore state in a stream), each token row scores the whole
+    * lexicon INLINE as an array kernel — per-token best-match, the
+    * threshold post-filters, and the min-word-per-aspect dedup are all
+    * higher-order array expressions on one row. No watermark, no state
+    * store, pure append mode: a new document's aspect matches emit in
+    * the micro-batch it arrives in, and values are IDENTICAL to the
+    * batch catalog query (per-phrase best == per-token best because the
+    * match value depends only on the string pair; StreamingSpec pins
+    * row-set parity and the empty state-operator list).
+    *
+    * Works on a batch frame too (same expressions) — the parity test
+    * runs it in both modes. `docs` must carry (post_id, text) plus
+    * passthrough columns. */
+  def aspectTokenMatches(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val lexSql = graft.queries.PipelineQueries.aspectLexicon
+      .map { case (id, w) => s"named_struct('aspect_id', $id, 'word', '$w')" }
+      .mkString("array(", ", ", ")")
+    val valsT = "array<struct<aspect_id:int,word:string,m_eq:boolean," +
+      "sim:double,tg_q:boolean,m_lv:double>>"
+    // One qualifying-best branch: sort by (aspect_id, word) — struct
+    // order — then keep the FIRST entry per aspect_id (= min word, the
+    // batch form's min(word) group aggregate), tagged with the algorithm.
+    def branch(pred: String, algo: String): String =
+      s"""transform(
+            aggregate(array_sort(filter(vals, v -> $pred)),
+              cast(array() as $valsT),
+              (acc, x) -> CASE WHEN exists(acc, a -> a.aspect_id = x.aspect_id)
+                          THEN acc ELSE concat(acc, array(x)) END),
+            v -> named_struct('aspect_id', v.aspect_id,
+              'aspect_word', v.word, 'match_algorithm', '$algo'))"""
+    val passthrough = docs.columns.filter(_ != "text").toSeq
+    docs
+      .select(passthrough.map(col) :+
+        posexplode(split(lower(col("text")), " ")): _*)
+      .filter(length(col("col")) > 0)
+      .select(passthrough.map(col) ++ Seq(
+        (col("pos") + 1).cast("long").as("word_index"),
+        col("col").as("phrase")): _*)
+      .withColumn("vals", expr(s"""
+        transform($lexSql, e -> named_struct(
+          'aspect_id', e.aspect_id, 'word', e.word,
+          'm_eq', lower(phrase) = lower(e.word),
+          'sim', trigram_sim(phrase, e.word),
+          'tg_q', trigram_sim(phrase, e.word) >= 0.65D,
+          'm_lv', CASE WHEN length(phrase) <= 255
+                   AND levenshtein(lower(phrase), lower(e.word),
+                         cast(floor(0.19D * length(phrase)) as int)) >= 0
+                  THEN cast(levenshtein(lower(phrase), lower(e.word),
+                         cast(floor(0.19D * length(phrase)) as int)) as double)
+                       / length(phrase)
+                  ELSE cast(null as double) END))"""))
+      .withColumn("tg_best",
+        expr("array_max(transform(filter(vals, v -> v.tg_q), v -> v.sim))"))
+      .withColumn("lv_best",
+        expr("array_min(transform(filter(vals, v -> v.m_lv is not null), v -> v.m_lv))"))
+      .withColumn("hit", explode(expr(s"""
+        concat(
+          ${branch("v.m_eq", "equality")},
+          ${branch("v.tg_q and v.sim = tg_best", "trigram")},
+          ${branch("v.m_lv is not null and v.m_lv = lv_best", "levenshtein")})""")))
+      .select(passthrough.map(col) ++ Seq(col("word_index"), col("phrase"),
+        col("hit.aspect_id").as("aspect_id"),
+        col("hit.aspect_word").as("aspect_word"),
+        col("hit.match_algorithm").as("match_algorithm")): _*)
+  }
+
   /** Run a streaming transform over everything currently unprocessed, then
     * stop (the FillDbHourly cadence). Restart with the same checkpoint to
     * pick up only new files. */

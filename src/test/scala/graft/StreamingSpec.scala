@@ -520,4 +520,37 @@ class StreamingSpec extends SparkSpec {
     assert(nullSet.subsetOf(unmatchedSet),
       "a null row was emitted for a purchase the batch join matches")
   }
+  test("aspect token matching runs stateless in-stream with catalog parity") {
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(col("source"), col("doc_id").as("post_id"), col("text"))
+    val tmp = Files.createTempDirectory("graft-stream-aspect").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/src")
+    val src = Incremental.readStream(spark, s"$tmp/src",
+      spark.read.parquet(s"$tmp/src").schema)
+
+    val q = Incremental.runAvailableNow(
+      Incremental.aspectTokenMatches(src), s"$tmp/ckpt", s"$tmp/out")
+    q.awaitTermination()
+    // STATELESS: pure append with no aggregation/dedup state anywhere —
+    // a new document's matches emit in the micro-batch it arrives in.
+    assert(q.lastProgress == null ||
+      q.lastProgress.stateOperators.isEmpty,
+      "aspect matching must not register any stateful operator")
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("source", "post_id", "word_index", "aspect_id",
+          "aspect_word", "match_algorithm")
+        .collect().map(_.toString).sorted.toSeq
+    val streamed = canon(spark.read.parquet(s"$tmp/out"))
+    val batchCatalog = canon(
+      graft.queries.Catalog.byName("pipe_aspect_match").spark(spark, sfDir))
+    assert(streamed.size == batchCatalog.size,
+      s"streamed ${streamed.size} rows vs catalog ${batchCatalog.size}")
+    assert(streamed == batchCatalog,
+      "stream and batch catalog outputs must be value-identical")
+    // the inline form also runs as a plain batch transform — same rows
+    val batchInline = canon(Incremental.aspectTokenMatches(docs))
+    assert(batchInline == batchCatalog)
+  }
+
 }
