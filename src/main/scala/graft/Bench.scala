@@ -255,9 +255,12 @@ object Bench {
     val (loadEnd, jvmEnd, sparkEnd) = cotenancy()
     val contended = sparkStart > 0 || sparkEnd > 0 ||
       loadIdle >= cpus.toInt / 2.0 || contendedQueries.nonEmpty
+    // contended_n carries the TRUE count — the name list is capped at 20
+    // to protect the tail-capture budget, and a capped list without the
+    // count would read as the full set.
     val cq = contendedQueries.toSeq.take(20).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size},"cold_total":$coldTotal%.2f,"errors":$errs,"load_idle":$loadIdle%.1f,"load_start":$loadStart%.1f,"load_end":$loadEnd%.1f,"other_jvms":${math.max(jvmStart, jvmEnd)},"other_spark_jvms":${math.max(sparkStart, sparkEnd)},"contended":$contended,"contended_queries":$cq,"families":$families,"queries":$qs,"detail":"$detailPath","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size},"cold_total":$coldTotal%.2f,"errors":$errs,"load_idle":$loadIdle%.1f,"load_start":$loadStart%.1f,"load_end":$loadEnd%.1f,"other_jvms":${math.max(jvmStart, jvmEnd)},"other_spark_jvms":${math.max(sparkStart, sparkEnd)},"contended":$contended,"contended_n":${contendedQueries.size},"contended_queries":$cq,"families":$families,"queries":$qs,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
     // A bench run with ANY erroring query must not look like a clean perf
     // gate (r4: window_sessionize failed with rows=-1 yet rc=0, so the
@@ -280,8 +283,10 @@ object Bench {
         sys.exit(2)
       }
       var bad = 0
+      var compared = 0
       baseline.toSeq.sortBy(_._1).foreach { case (name, base) =>
         warmByName.get(name).foreach { w =>
+          compared += 1
           val limit = math.max(2 * base, base + 1.0)
           if (w > limit) {
             if (contendedQueries.contains(name))
@@ -295,7 +300,13 @@ object Bench {
           }
         }
       }
-      System.err.println(s"[gate] ${baseline.size} baseline queries checked, $bad regressions")
+      // Report COMPARED vs baseline size: a filtered run gates only what
+      // it ran, and a green log must not read as full-catalog coverage.
+      val skipped = baseline.size - compared
+      System.err.println(
+        s"[gate] $compared of ${baseline.size} baseline queries compared" +
+          (if (skipped > 0) s" ($skipped not run this invocation)" else "") +
+          s", $bad regressions")
       if (bad > 0) sys.exit(2)
     }
   }

@@ -17,6 +17,15 @@ package graft.ml
   * Floating-point accumulation is pinned to one rounding order (one
   * fused `log(a) - log(b)` term per token, left-fold sum) that the
   * oracle's list_reduce replays operation-for-operation.
+  *
+  * KNOWN ASSUMPTION at the primitive level: +,-,*,/ are IEEE-exact, but
+  * `log`/`exp` are only ~1-ulp accurate with NO cross-implementation
+  * bit guarantee — the replay relies on the JVM's Math.log/exp agreeing
+  * with DuckDB's libm on the inputs this corpus exercises (verified
+  * empirically at sf0.001/0.01/0.1 and x10). A JDK/libm/architecture
+  * change could flip one sampled topic by 1 ulp and diverge the
+  * trajectory; if the gate ever fails here with a full-output mismatch,
+  * suspect transcendental rounding FIRST, not the replay logic.
   */
 object Gsdmm {
 

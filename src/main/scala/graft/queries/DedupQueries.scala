@@ -81,10 +81,6 @@ object DedupQueries extends QueryBase {
     out
   }
 
-  /** Deterministic 60-bit hash from md5 — identical in Spark and DuckDB. */
-  private def h64(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-
   /** Driver-side twin of [[h64]] for plan-build-time constants. */
   private def md5Long(s: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")

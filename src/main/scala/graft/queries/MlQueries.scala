@@ -17,12 +17,6 @@ import graft.multimodal.Multimodal
   */
 object MlQueries extends QueryBase {
 
-  /** Deterministic 60-bit hash from md5, identical in Spark and DuckDB
-    * (same helper as SourceQueries) — the GSDMM sample selector. The
-    * r1-r8 faces ordered by Spark's xxhash64, which DuckDB cannot
-    * compute; md5-h64 makes the SAMPLE itself oracle-replayable. */
-  private def h64m(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
   // ---- GSDMM Gibbs-trajectory replay (DuckDB face) -----------------
   // The fit is counter-based (graft.ml.Gsdmm: SplitMix64 over
@@ -1097,6 +1091,12 @@ ${p}top AS (SELECT CAST(zz AS INT) AS topic,
       // Identical values: same integer max-plus recurrence in the same
       // (ts, event_id) order the struct sort produced.
       import s.implicits._
+      // Typed-Dataset contract: ts/user_id/event_id decode as primitive
+      // Longs, so a NULL in any of them fails the query LOUDLY instead
+      // of the old collected-array form's silent null arithmetic.
+      // FixtureSchemaSpec pins the events table non-null on these
+      // columns; a violating upstream should fail here, not produce
+      // rows the oracle can't explain.
       val ev = t(s, dir, "events")
         .select(col("user_id"), unix_micros(col("ts")).as("us"),
           col("event_id"), col("event_type"))
@@ -1583,7 +1583,7 @@ ${p}top AS (SELECT CAST(zz AS INT) AS topic,
         val toksAll = th(s, dir, "documents")
           .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
         val sample = toksAll
-          .orderBy(h64m(col("doc_id")).asc, col("doc_id").asc)
+          .orderBy(h64(col("doc_id")).asc, col("doc_id").asc)
           .limit(256)
           .collect()
         val docs = sample.map(r => (r.getLong(0), r.getSeq[String](1).toArray))
@@ -1640,7 +1640,7 @@ ${p}top AS (SELECT CAST(zz AS INT) AS topic,
         val frames = Seq("y0", "y1").map { w =>
           val sub = toksAll.filter(col("window") === w)
           val sample = sub.select("doc_id", "toks")
-            .orderBy(h64m(col("doc_id")).asc, col("doc_id").asc)
+            .orderBy(h64(col("doc_id")).asc, col("doc_id").asc)
             .limit(128)
             .collect() // bounded per-window fit sample
           val docs = sample

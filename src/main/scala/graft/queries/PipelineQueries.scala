@@ -13,11 +13,6 @@ import graft.multimodal.Multimodal
   */
 object PipelineQueries extends QueryBase {
 
-  /** Deterministic 60-bit hash from md5 — identical in Spark and DuckDB
-    * (same helper as SourceQueries). */
-  private def h64(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-
   /** The three-algorithm aspect matcher shared by `pipe_aspect_match`
     * (full corpus) and `pipe_aspect_match_delta` (watermark-incremental).
     * `docs` must carry (post_id, text) plus any passthrough columns;
@@ -58,7 +53,13 @@ object PipelineQueries extends QueryBase {
       .withColumn("lv_q",
         col("d") >= 0 && length(col("phrase")) <= 255)
       .withColumn("m_lv", col("d").cast("double") / length(col("phrase")))
-      .persist() // best_phrase_match materialization point (see doc)
+      // best_phrase_match materialization point (see doc). Lifecycle:
+      // session-lived, like the catalog's other persisting queries (the
+      // dedup family) — size is |distinct vocab| x |lexicon| rows (a few
+      // hundred here; vocab-bounded, never corpus-bounded), so the
+      // resident cost is KBs. A caller embedding this in a long-lived
+      // service would unpersist after consuming the result.
+      .persist()
     val w = Window.partitionBy("phrase")
     val withBest = scored
       .withColumn("tg_best", max(when(col("tg_q"), col("sim"))).over(w))

@@ -19,6 +19,17 @@ trait QueryBase {
     if (name == "events") graft.core.Tables.events(s, dir)
     else graft.core.Tables.load(s, dir, name)
 
+  /** Deterministic 60-bit hash from md5 — identical in Spark and DuckDB
+    * (duck face: `CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)`).
+    * ONE definition for every sampling/bucketing/embedding site (it was
+    * copied per-file through round 8; the oracle twin must change in
+    * lockstep, so the drift surface is now a single method). The
+    * defensive cast-to-string is a no-op in-plan for string inputs
+    * (SimplifyCasts) and makes numeric keys hash their decimal digits,
+    * matching the duck face's CAST(x AS VARCHAR). */
+  def h64(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
   /** Heavy-compute scan: same table, but guaranteed ≥ one partition per
     * core before the expensive map-side work (see Tables.parallelize). */
   def th(s: SparkSession, dir: String, name: String): DataFrame =

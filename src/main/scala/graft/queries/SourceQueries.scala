@@ -21,10 +21,6 @@ import graft.sources.{Sources, Xlsx}
   */
 object SourceQueries extends QueryBase {
 
-  /** Deterministic 60-bit hash from md5 — identical in Spark and DuckDB. */
-  private def h64(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-
   private def sumStr(c: Column): Column =
     wsum(c).cast(DecimalType(38, 0)).cast("string")
 

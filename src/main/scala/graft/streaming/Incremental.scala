@@ -423,19 +423,26 @@ object Incremental {
       .select(passthrough.map(col) ++ Seq(
         (col("pos") + 1).cast("long").as("word_index"),
         col("col").as("phrase")): _*)
+      // Two chained transforms = a let-binding: Catalyst does NOT
+      // common-subexpression-eliminate inside lambda bodies, so each
+      // kernel (trigram set-build, banded levenshtein DP) is computed
+      // exactly ONCE per (token, lexicon word) in the first transform
+      // and the derived flags read the bound struct fields.
       .withColumn("vals", expr(s"""
-        transform($lexSql, e -> named_struct(
-          'aspect_id', e.aspect_id, 'word', e.word,
-          'm_eq', lower(phrase) = lower(e.word),
-          'sim', trigram_sim(phrase, e.word),
-          'tg_q', trigram_sim(phrase, e.word) >= 0.65D,
-          'm_lv', CASE WHEN length(phrase) <= 255
-                   AND levenshtein(lower(phrase), lower(e.word),
-                         cast(floor(0.19D * length(phrase)) as int)) >= 0
-                  THEN cast(levenshtein(lower(phrase), lower(e.word),
-                         cast(floor(0.19D * length(phrase)) as int)) as double)
-                       / length(phrase)
-                  ELSE cast(null as double) END))"""))
+        transform(
+          transform($lexSql, e -> named_struct(
+            'aspect_id', e.aspect_id, 'word', e.word,
+            'sim', trigram_sim(phrase, e.word),
+            'd', levenshtein(lower(phrase), lower(e.word),
+                   cast(floor(0.19D * length(phrase)) as int)))),
+          k -> named_struct(
+            'aspect_id', k.aspect_id, 'word', k.word,
+            'm_eq', lower(phrase) = lower(k.word),
+            'sim', k.sim,
+            'tg_q', k.sim >= 0.65D,
+            'm_lv', CASE WHEN length(phrase) <= 255 AND k.d >= 0
+                    THEN cast(k.d as double) / length(phrase)
+                    ELSE cast(null as double) END))"""))
       .withColumn("tg_best",
         expr("array_max(transform(filter(vals, v -> v.tg_q), v -> v.sim))"))
       .withColumn("lv_best",

@@ -22,6 +22,24 @@ class FixtureSchemaSpec extends SparkSpec {
     }
   }
 
+  test("events key columns are non-null (typed-fold Dataset contract)") {
+    // ml_hmm_viterbi / pipe_rate_limit decode (user_id, ts, event_id)
+    // into primitive Longs (flatMapSortedGroups) — a NULL there fails
+    // the query loudly. Pin the contract at the fixture boundary so a
+    // null-introducing re-mint fails HERE with a named column.
+    for (dir <- sfDirs) {
+      val ev = Tables.events(spark, dir)
+      val nulls = ev.selectExpr(
+        "sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS user_id",
+        "sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS ts",
+        "sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS event_id")
+        .collect()(0)
+      for (i <- 0 until 3)
+        assert(nulls.getLong(i) === 0L,
+          s"$dir/events.parquet has NULLs in ${nulls.schema(i).name}")
+    }
+  }
+
   test("all loaded timestamp columns are TimestampType (no NTZ leaks)") {
     for (dir <- sfDirs; name <- Tables.names) {
       val df = if (name == "events") Tables.events(spark, dir)
