@@ -927,6 +927,16 @@ ${p}matched AS (
     // query's output shows it: the Z layout's average per-bucket key
     // spans are a fraction of the natural layout's. Compact 2-row result
     // (one per layout) the oracle replays bit-for-bit.
+    //
+    // The 64 "files" per layout are exact ntile(64) buckets — what an
+    // OPTIMIZE ZORDER write produces — computed DISTRIBUTED via
+    // RangeWindow (sketch-bounded range groups + per-group rank offsets +
+    // a window PARTITIONED by range group), not via ntile over a global
+    // Window.orderBy: that plans as a corpus-sized SinglePartition
+    // WindowExec, the one shape that cannot survive a 100x scale-up.
+    // UnpartitionedWindowSpec pins both properties (no unpartitioned
+    // window here; bucket ids still exactly ntile — the DuckDB oracle
+    // below replays plain ntile(64) and hash-matches).
     Q(
       "pipe_zorder_layout",
       (s, dir) => {
@@ -941,15 +951,13 @@ ${p}matched AS (
         val li = t(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_linenumber"),
             col("l_partkey").as("x"), col("l_suppkey").as("y"))
-        val z = spread(col("x"))
-          .bitwiseOR(shiftleft(spread(col("y")), 1))
-        // 64 "files" per layout via ntile over the layout's sort order —
-        // exactly what an OPTIMIZE ZORDER write produces. (Test-scale
-        // global window; a cluster write is repartitionByRange(z) +
-        // sortWithinPartitions, same file boxes, no single-node sort.)
-        def layout(order: Seq[Column], label: String) =
-          li.withColumn("bucket",
-              ntile(64).over(Window.orderBy(order: _*)))
+          .withColumn("z", spread(col("x"))
+            .bitwiseOR(shiftleft(spread(col("y")), 1)))
+        def layout(rangeKey: Column, tieKeys: Seq[Column], label: String) = {
+          val (ranked, n) = graft.plans.RangeWindow.withRank(
+            li, rangeKey, tieKeys, 64, "__rk")
+          ranked.withColumn("bucket",
+              graft.plans.RangeWindow.ntileFromRank(col("__rk"), n, 64))
             .groupBy("bucket")
             .agg((max(col("x")) - min(col("x"))).as("xspan"),
               (max(col("y")) - min(col("y"))).as("yspan"))
@@ -957,9 +965,11 @@ ${p}matched AS (
               count(lit(1)).as("n_buckets"),
               round(avg(col("xspan")), 6).as("avg_xspan"),
               round(avg(col("yspan")), 6).as("avg_yspan"))
-        layout(Seq(z, col("l_orderkey"), col("l_linenumber")), "zorder")
+        }
+        layout(col("z"), Seq(col("l_orderkey"), col("l_linenumber")),
+            "zorder")
           .unionByName(
-            layout(Seq(col("l_orderkey"), col("l_linenumber")), "natural"))
+            layout(col("l_orderkey"), Seq(col("l_linenumber")), "natural"))
           .orderBy("layout")
       },
       Some("""
@@ -993,8 +1003,9 @@ ${p}matched AS (
         FROM za
         ORDER BY layout"""),
       doc = "Z-order (Morton) layout assignment via magic-mask bit " +
-        "interleave, with per-bucket bounding boxes measured against the " +
-        "natural layout — the multi-dim min/max data-skipping primitive"),
+        "interleave; exact ntile(64) file buckets computed distributed " +
+        "(RangeWindow range groups, no single-partition sort), bounding " +
+        "boxes measured against the natural layout"),
 
     // Slowly-changing-dimension type-2 build: collapse each customer's
     // order-status history into [valid_from, valid_to] effective ranges

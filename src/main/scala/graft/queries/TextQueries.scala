@@ -883,12 +883,18 @@ object TextQueries extends QueryBase {
           m.select(lit("merge").as("kind"), lit(i + 1).as("rk"),
             concat(col("a"), lit("+"), col("b")).as("item"), col("n"))
         }
-        val tokens = cur
-          .select(col("freq"), explode(expr(Bpe.toksE)).as("token"))
-          .groupBy("token").agg(sum("freq").as("n"))
+        // Top-20 via the bounded-heap TopKPerKey operator (map-side
+        // partial heaps, one 20-row merge) instead of ranking the whole
+        // vocabulary under a SinglePartition window; the residual rank
+        // window below orders the 20 surviving rows only (allowlisted in
+        // UnpartitionedWindowSpec with that bound).
+        val tokens = graft.plans.TopK.perKey(
+            cur.select(col("freq"), explode(expr(Bpe.toksE)).as("token"))
+              .groupBy("token").agg(sum("freq").as("n"))
+              .withColumn("__g", lit(1)),
+            Seq("__g"), Seq(("n", false), ("token", true)), 20)
           .withColumn("rk", row_number().over(
             Window.orderBy(col("n").desc, col("token"))))
-          .filter(col("rk") <= 20)
           .select(lit("token").as("kind"), col("rk"), col("token").as("item"),
             col("n"))
         merges.reduce(_ unionByName _).unionByName(tokens)

@@ -500,11 +500,14 @@ object WindowQueries extends QueryBase {
     // RFM customer segmentation: recency / frequency / monetary
     // quintiles over the per-customer order rollup. Plan shape: the
     // corpus-sized work is ONE groupBy(custkey) with exact decimal
-    // money sums; the three ntile windows then sort the aggregated
-    // frame (rows = customers). At 100 TB-of-orders that frame is still
-    // only customer-cardinality; if even that outgrows a sort, the
-    // ntile edges come from the GK sketch (agg_sketch_contract pattern)
-    // broadcast back as bucket bounds instead.
+    // money sums; each quintile score is an exact ntile(5) computed
+    // DISTRIBUTED via RangeWindow — a GK quantile sketch of the score
+    // key yields range-group bounds broadcast back as literals, per-group
+    // rank offsets are O(groups) driver work, and the only window is
+    // PARTITIONED by range group. No unpartitioned WindowExec anywhere
+    // (UnpartitionedWindowSpec pins it), so scoring holds at ANY customer
+    // cardinality; the DuckDB oracle replays plain ntile(5) and
+    // hash-matches because RangeWindow ranks are exact, not value-cut.
     Q(
       "window_rfm_scores",
       (s, dir) => {
@@ -516,13 +519,22 @@ object WindowQueries extends QueryBase {
             dsum(col("o_totalprice"), 10000L).as("m"))
           .crossJoin(broadcast(maxDay))
           .withColumn("r_days", datediff(col("max_d"), col("last_d")))
-        val wr = Window.orderBy(col("r_days").desc, col("o_custkey").asc)
-        val wf = Window.orderBy(col("f").asc, col("o_custkey").asc)
-        val wm = Window.orderBy(col("m").asc, col("o_custkey").asc)
-        cust
-          .withColumn("r_score", ntile(5).over(wr))
-          .withColumn("f_score", ntile(5).over(wf))
-          .withColumn("m_score", ntile(5).over(wm))
+        // Each dimension: exact global rank over (key asc, custkey asc)
+        // (recency negated: ntile order was r_days DESC), then the
+        // literal ntile formula — map-side once ranks exist.
+        def scored(in: org.apache.spark.sql.DataFrame,
+            key: org.apache.spark.sql.Column,
+            rank: String): (org.apache.spark.sql.DataFrame, Long) =
+          graft.plans.RangeWindow.withRank(
+            in, key, Seq(col("o_custkey")), 32, rank)
+        val (r1, n) = scored(cust, -col("r_days"), "__rrk")
+        val (r2, _) = scored(r1, col("f"), "__frk")
+        val (r3, _) = scored(r2, col("m"), "__mrk")
+        def tile(c: String) =
+          graft.plans.RangeWindow.ntileFromRank(col(c), n, 5)
+        r3.withColumn("r_score", tile("__rrk"))
+          .withColumn("f_score", tile("__frk"))
+          .withColumn("m_score", tile("__mrk"))
           .select(col("o_custkey"), col("r_days"), col("f"), col("m"),
             col("r_score"), col("f_score"), col("m_score"),
             concat(col("r_score"), col("f_score"), col("m_score"))
@@ -550,8 +562,9 @@ object WindowQueries extends QueryBase {
                  CAST(m_score AS VARCHAR) AS segment
         FROM scored ORDER BY o_custkey"""),
       doc = "RFM quintile segmentation over the per-customer order " +
-        "rollup: corpus-sized work is one custkey aggregate with exact " +
-        "decimal sums; scoring sorts only the customer-cardinality frame"),
+        "rollup: one custkey aggregate with exact decimal sums, then " +
+        "exact distributed ntile(5) per dimension via RangeWindow " +
+        "(sketch-bounded range groups, no unpartitioned window)"),
 
     // EWMA smoothing of per-user daily value series (time-series
     // denoising / trend features). alpha is fixed at 0.5 so every
@@ -763,9 +776,13 @@ object WindowQueries extends QueryBase {
     // comparing a floating cumulative ratio against 0.8 (where an ulp
     // decides the class), the comparison cross-multiplies exact cents:
     // cum·100 ≤ total·80. The corpus-sized work is one custkey
-    // aggregate; ranking and the running sum act on the
-    // customer-cardinality frame (window ordered by exact cents with
-    // unique tiebreak).
+    // aggregate; the running revenue sum is computed DISTRIBUTED via
+    // RangeWindow.withRunningSum — range groups from a GK sketch of
+    // (-cents), per-group long-sum prefix offsets (O(groups) driver
+    // work), local running sum under a window PARTITIONED by range group
+    // — so there is no SinglePartition WindowExec at any customer
+    // cardinality (UnpartitionedWindowSpec pins it) and the result is
+    // still the exact ROWS-frame cumulative the oracle replays.
     Q(
       "window_pareto_abc",
       (s, dir) => {
@@ -773,10 +790,11 @@ object WindowQueries extends QueryBase {
         val cust = o.groupBy("o_custkey")
           .agg(wsum(round(col("o_totalprice") * 100).cast("long"))
             .cast("long").as("cents"))
-        val w = Window.orderBy(col("cents").desc, col("o_custkey").asc)
         val tot = cust.agg(sum("cents").as("total"))
-        cust.withColumn("cum", sum(col("cents")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val (withCum, _, _) = graft.plans.RangeWindow.withRunningSum(
+          cust, -col("cents"), Seq(col("o_custkey")), 32,
+          col("cents"), "cum")
+        withCum
           .crossJoin(broadcast(tot))
           .withColumn("cls",
             when(col("cum") * 100 <= col("total") * 80, "A")
@@ -812,8 +830,9 @@ object WindowQueries extends QueryBase {
               FROM ranked CROSS JOIN tot)
         GROUP BY cls ORDER BY cls"""),
       doc = "Pareto/ABC revenue classification with integer-exact class " +
-        "cuts (cross-multiplied cents, no FP threshold hazard); windows " +
-        "only touch the customer-cardinality frame"),
+        "cuts (cross-multiplied cents, no FP threshold hazard); running " +
+        "revenue via RangeWindow's distributed exact cumulative sum " +
+        "(no unpartitioned window at any customer cardinality)"),
 
     // Gini coefficient of revenue concentration per market segment (the
     // inequality readout behind the ABC cut): sorted-formula Gini
