@@ -6,7 +6,7 @@ Usage: python3 scripts/check.py <verify_out_dir> <sf_dir>
 For each query: load Spark's parquet result, run the oracle SQL in DuckDB
 over the same sf dir, sort columns by name, sort rows, compare values.
 """
-import sys, os, json, glob
+import sys, os, re, json, glob
 import duckdb
 import pandas as pd
 import numpy as np
@@ -48,9 +48,18 @@ def main():
     if os.environ.get("GRAFT_DUCKDB_THREADS"):
         con.execute(f"SET threads={int(os.environ['GRAFT_DUCKDB_THREADS'])}")
     if os.environ.get("GRAFT_DUCKDB_MEMLIMIT"):
-        con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEMLIMIT']}'")
+        mem = os.environ["GRAFT_DUCKDB_MEMLIMIT"]
+        if not re.fullmatch(r"[0-9]+(\.[0-9]+)?\s*(KB|MB|GB|TB|KiB|MiB|GiB)",
+                            mem, re.IGNORECASE):
+            sys.exit(f"GRAFT_DUCKDB_MEMLIMIT {mem!r} is not a size literal "
+                     "like 4GB — refusing to interpolate it into SET")
+        con.execute(f"SET memory_limit='{mem}'")
     if os.environ.get("GRAFT_DUCKDB_TMP"):
-        con.execute(f"SET temp_directory='{os.environ['GRAFT_DUCKDB_TMP']}'")
+        tmp = os.environ["GRAFT_DUCKDB_TMP"]
+        if "'" in tmp or "\n" in tmp:
+            sys.exit("GRAFT_DUCKDB_TMP contains a quote/newline — refusing "
+                     "to interpolate it into SET")
+        con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         # Driver fixtures are single files; MintScale output dirs hold
         # part files — accept both.
@@ -59,6 +68,34 @@ def main():
             path = f"{path}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    # Transcendental self-check (see Verify.scala / graft.ml.Gsdmm): the
+    # GSDMM oracles assume JVM Math.log/exp == DuckDB libm bit-for-bit on
+    # the exercised range. Replay Verify's pinned probe grid with EXACT
+    # float64 parameters and bit-compare, so a rounding divergence is
+    # named here instead of surfacing as a full GSDMM output mismatch.
+    probe_path = os.path.join(outdir, "transcendental_probe.json")
+    if os.path.exists(probe_path):
+        probes = json.load(open(probe_path))
+        bad_probes = []
+        for p in probes:
+            x = np.int64(int(p["x_bits"])).view(np.float64)
+            duck = con.execute(f"SELECT {p['fn']}(?::DOUBLE)",
+                               [float(x)]).fetchone()[0]
+            duck_bits = np.float64(duck).view(np.int64)
+            if str(duck_bits) != p["bits"]:
+                jvm = np.int64(int(p["bits"])).view(np.float64)
+                bad_probes.append(f"{p['fn']}({x!r}): jvm={jvm!r} "
+                                  f"duck={duck!r}")
+        if bad_probes:
+            print(f"⚠ TRANSCENDENTAL DIVERGENCE: {len(bad_probes)} of "
+                  f"{len(probes)} ln/exp probes differ between the JVM and "
+                  "DuckDB's libm — any ml_gsdmm_* mismatch below is "
+                  "rounding, not replay logic (graft/ml/Gsdmm.scala):")
+            for b in bad_probes[:8]:
+                print(f"    {b}")
+        else:
+            print(f"transcendental probe: {len(probes)}/{len(probes)} "
+                  "ln/exp bit-exact JVM≡DuckDB")
     results = {}
     for name in sorted(os.listdir(outdir)):
         d = os.path.join(outdir, name)

@@ -64,6 +64,35 @@ object Bench {
     (load, javas, sparks)
   }
 
+  /** EWMA (1-minute decay, mirroring /proc/loadavg's own smoothing) of
+    * THIS JVM's CPU-core usage, from the process CPU clock. This is the
+    * bench's measured contribution to loadavg: the r9 per-query flag
+    * allowed a fixed `idle + cpus + 4`, but the bench rarely sustains 32
+    * runnable threads — a co-tenant pushing load to 15 during a
+    * 2-core-busy phase sailed under the old cut (BENCH_r09 was exactly
+    * that run, stamped contended:false at load 15). Thresholding against
+    * idle + OWN measured cores + 4 catches moderate co-tenancy without
+    * false-flagging the bench's genuine 32-thread phases. */
+  private object OwnLoad {
+    private val os = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    private var lastWall = System.nanoTime()
+    private var lastCpu = os.getProcessCpuTime
+    private var ewma = 0.0
+    def sample(): Double = synchronized {
+      val now = System.nanoTime()
+      val cpu = os.getProcessCpuTime
+      val dt = math.max((now - lastWall) / 1e9, 1e-3)
+      val cores = math.max((cpu - lastCpu) / 1e9 / dt, 0.0)
+      val a = 1 - math.exp(-dt / 60.0)
+      ewma = ewma * (1 - a) + cores * a
+      lastWall = now
+      lastCpu = cpu
+      ewma
+    }
+  }
+
   /** Queries surfaced by name in the compact stdout line. One per major
     * family, biased toward the BASELINE.md workload analogs (ABSA match,
     * fuzzy join, regex theta join, postal cleansing, daily DAG) plus the
@@ -138,6 +167,7 @@ object Bench {
         df.write.format("noop").mode("overwrite").save()
       } catch { case _: Throwable => }
     }
+    OwnLoad.sample() // EWMA window starts accumulating through warm-up
     // JVM/codegen warm-up outside the timed region: touch every hot code
     // path (parquet scan, hash agg, shuffle, window, regex, broadcast
     // join) so the timed queries measure the plan, not C2 compilation.
@@ -187,6 +217,7 @@ object Bench {
       // mid-run and leave the artifact marked clean. One /proc walk per
       // query (~1 ms) localizes which queries ran under load.
       val (qLoad, _, qSparks) = cotenancy()
+      val own1 = OwnLoad.sample()
       val cold = timeOne(name, fn)
       val second = timeOne(name, fn)
       val repeats =
@@ -194,18 +225,17 @@ object Bench {
       val warm = repeats.min
       val runs = cold +: repeats
       val (qLoad2, _, qSparks2) = cotenancy()
-      // Per-query contention = a CO-TENANT Spark JVM alive around this
-      // query's runs. Loadavg is recorded for forensics but NOT
-      // thresholded here: mid-run 1-min load includes the bench's OWN
-      // 32-thread work, so a load cut-off would false-flag every query
-      // of a sustained catalog run (the global flag still applies the
-      // idle-baseline load check before timing starts).
-      // Flag when a co-tenant Spark JVM is alive around this query, OR
-      // when 1-min load exceeds idle-baseline + our own worker count + 4
-      // — load beyond (baseline + cpus) cannot be the bench's own work,
-      // so it marks a non-Spark co-tenant (the gap the r7 stamp had).
+      val own2 = OwnLoad.sample()
+      // Per-query contention: a CO-TENANT Spark JVM alive around this
+      // query's runs, OR surrounding 1-min load exceeding
+      // idle-baseline + the bench's OWN MEASURED cpu contribution
+      // (OwnLoad EWMA, same 1-min decay as loadavg) + 4. The r9 flag
+      // allowed a fixed idle + cpus + 4 allowance, which let a load-15
+      // co-tenant run pass as contended:false because the bench itself
+      // rarely sustains 32 runnable threads; the measured-own form flags
+      // any load the bench demonstrably did not generate.
       if (math.max(qSparks, qSparks2) > 0 ||
-          math.max(qLoad, qLoad2) > loadIdle + cpus.toInt + 4)
+          qLoad > loadIdle + own1 + 4 || qLoad2 > loadIdle + own2 + 4)
         contendedQueries += name
       perQueryLoad(name) = math.max(qLoad, qLoad2)
       // Untimed row count (plan re-executes column-pruned; not part of
@@ -260,7 +290,25 @@ object Bench {
     // count would read as the full set.
     val cq = contendedQueries.toSeq.take(20).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size},"cold_total":$coldTotal%.2f,"errors":$errs,"load_idle":$loadIdle%.1f,"load_start":$loadStart%.1f,"load_end":$loadEnd%.1f,"other_jvms":${math.max(jvmStart, jvmEnd)},"other_spark_jvms":${math.max(sparkStart, sparkEnd)},"contended":$contended,"contended_n":${contendedQueries.size},"contended_queries":$cq,"families":$families,"queries":$qs,"detail":"$detailPath","sf":"$sfDir"}""")
+    // Run-level self-proof against the committed clean baseline (r9
+    // verdict item 3): a capture whose total warm over the queries both
+    // runs share exceeds the baseline sum by >15% stamps degraded:true
+    // in-band, even if no individual query tripped the per-query flag —
+    // so a moderately co-tenant round artifact can never read as clean.
+    // Filtered runs with <20 common queries stamp null (not comparable:
+    // single-query noise would dominate the 15% band).
+    val basePath = sys.env.getOrElse("SPARK_GRAFT_GATE_BASELINE",
+      "docs/BENCH_BASELINE.json")
+    val (baseline, declaredN) = parseBaseline(basePath)
+    val common = warmByName.keySet.intersect(baseline.keySet).toSeq
+    val baseSum = common.map(baseline).sum
+    val warmSum = common.map(warmByName).sum
+    val degraded =
+      if (common.size < 20 || baseSum <= 0) "null"
+      else (warmSum > 1.15 * baseSum).toString
+    val vsBase =
+      if (baseSum > 0) f"${warmSum / baseSum}%.3f" else "null"
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size},"cold_total":$coldTotal%.2f,"errors":$errs,"load_idle":$loadIdle%.1f,"load_start":$loadStart%.1f,"load_end":$loadEnd%.1f,"other_jvms":${math.max(jvmStart, jvmEnd)},"other_spark_jvms":${math.max(sparkStart, sparkEnd)},"contended":$contended,"contended_n":${contendedQueries.size},"contended_queries":$cq,"degraded":$degraded,"warm_vs_baseline":$vsBase,"families":$families,"queries":$qs,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
     // A bench run with ANY erroring query must not look like a clean perf
     // gate (r4: window_sessionize failed with rows=-1 yet rc=0, so the
@@ -275,13 +323,27 @@ object Bench {
     // max(2 x baseline, baseline + 1 s); contended queries are reported
     // but don't fail the gate (their seconds aren't the plan's fault).
     if (gateMode) {
-      val basePath = sys.env.getOrElse("SPARK_GRAFT_GATE_BASELINE",
-        "docs/BENCH_BASELINE.json")
-      val baseline = parseWarmBaseline(basePath)
       if (baseline.isEmpty) {
         System.err.println(s"[bench] gate: no baseline at $basePath")
         sys.exit(2)
       }
+      // The baseline file declares its own entry count ("n") — a format
+      // drift that the flat regex scan silently half-parses would shrink
+      // the comparison set and quietly weaken the gate. Parsed-count
+      // mismatch is a hard failure, not a hope-someone-reads-stderr.
+      declaredN.foreach { n =>
+        if (n != baseline.size) {
+          System.err.println(s"[bench] gate: baseline declares n=$n " +
+            s"entries but the parser extracted ${baseline.size} — format " +
+            "drift in the warm map; refusing to gate against a partial " +
+            "baseline")
+          sys.exit(2)
+        }
+      }
+      if (declaredN.isEmpty)
+        System.err.println(s"[bench] gate: baseline at $basePath carries " +
+          "no \"n\" count field — cannot self-check parse completeness " +
+          s"(parsed ${baseline.size} entries); regenerate it with one")
       var bad = 0
       var compared = 0
       baseline.toSeq.sortBy(_._1).foreach { case (name, base) =>
@@ -311,19 +373,25 @@ object Bench {
     }
   }
 
-  /** Parse `{"sf":...,"warm":{"name":sec,...}}` without a JSON library
-    * (none on the classpath beyond Spark's shaded ones). The format is
-    * ours and flat, so a regex scan over the `warm` object is exact. */
-  private[graft] def parseWarmBaseline(path: String): Map[String, Double] = {
+  /** Parse `{"n":N,"sf":...,"warm":{"name":sec,...}}` without a JSON
+    * library (none on the classpath beyond Spark's shaded ones). The
+    * format is ours and flat, so a regex scan over the `warm` object is
+    * exact — and the file's own "n" count (second element of the return)
+    * lets the gate verify the scan extracted EVERY entry instead of
+    * silently shrinking on format drift. */
+  private[graft] def parseBaseline(path: String): (Map[String, Double], Option[Int]) = {
     val txt =
       try new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)))
-      catch { case _: Throwable => return Map.empty }
+      catch { case _: Throwable => return (Map.empty, None) }
+    val declaredN = """"n"\s*:\s*([0-9]+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt)
     val start = txt.indexOf("\"warm\"")
-    if (start < 0) return Map.empty
+    if (start < 0) return (Map.empty, declaredN)
     val body = txt.substring(txt.indexOf('{', start) + 1)
     val entry = """"([a-z0-9_]+)"\s*:\s*([0-9.]+)""".r
-    entry.findAllMatchIn(body.takeWhile(_ != '}'))
+    val warm = entry.findAllMatchIn(body.takeWhile(_ != '}'))
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    (warm, declaredN)
   }
 }

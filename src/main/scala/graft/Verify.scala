@@ -28,6 +28,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // builder-persisted intermediates that outlive their lazy result
+      // (aspect-match score table) — result is on disk now, safe to drop
+      graft.core.CacheLedger.release()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -44,6 +47,27 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Transcendental probe: GSDMM oracle parity rests on Math.log/exp
+    // agreeing bit-for-bit with DuckDB's libm on the inputs the corpus
+    // exercises (graft.ml.Gsdmm header). Dump the JVM's ln/exp output
+    // bits over a pinned grid spanning that range (count+prior logs
+    // 0.1..1e6, negative log-prob exps 0..-700); check.py replays the
+    // exact same float64 inputs in DuckDB and bit-compares BEFORE the
+    // query diff, so a libm/JDK/arch rounding divergence is diagnosed
+    // by name instead of surfacing as an opaque full-output mismatch.
+    val lnInputs = Seq(0.1, 0.2, 1.1, 2.1, 3.1, 7.3, 10.1, 25.6, 100.1,
+        256.2, 1000.3, 4096.7, 1000000.1) ++
+      (1 to 64).map(i => i + 0.1) ++ (1 to 64).map(i => i * i + 0.7)
+    val expInputs = Seq(0.0, -0.5, -1.25, -3.7, -700.0) ++
+      (0 to 100).map(i => -i * 1.37 - 0.123)
+    def bits(d: Double) = java.lang.Double.doubleToLongBits(d).toString
+    val probes =
+      lnInputs.map(x => s"""{"fn":"ln","x_bits":"${bits(x)}","bits":"${
+        bits(math.log(x))}"}""") ++
+      expInputs.map(x => s"""{"fn":"exp","x_bits":"${bits(x)}","bits":"${
+        bits(math.exp(x))}"}""")
+    Files.writeString(Paths.get(s"$outDir/transcendental_probe.json"),
+      probes.mkString("[", ",\n ", "]"))
     spark.stop()
   }
 }

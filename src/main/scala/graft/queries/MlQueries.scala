@@ -1573,10 +1573,11 @@ ${p}top AS (SELECT CAST(zz AS INT) AS topic,
     // deterministic sample (hash-ordered top-256 docs); topic labels for
     // the FULL corpus are then assigned distributedly by broadcasting the
     // fitted word-topic counts and scoring argmax per document (the
-    // movie-group score, new-doc form). The Gibbs sampler itself is not
-    // SQL-expressible; the oracle pins the seeded fit + assignment output
-    // at sf0.01 as literal expected rows (a regression in Gsdmm seeding
-    // or scoring now fails CORRECTNESS, not just the unit spec).
+    // movie-group score, new-doc form). The oracle COMPUTES (no pinned
+    // literals since c107a59): the sampler is counter-based (SplitMix64
+    // per draw, Gsdmm.mix64) so the DuckDB face replays the full Gibbs
+    // trajectory as a recursive CTE (gsdmmReplaySql above) — init, every
+    // sweep, final assignment — and hash-matches at every sf.
     Q(
       "ml_gsdmm_topics",
       (s, dir) => {

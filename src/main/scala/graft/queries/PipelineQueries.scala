@@ -53,13 +53,14 @@ object PipelineQueries extends QueryBase {
       .withColumn("lv_q",
         col("d") >= 0 && length(col("phrase")) <= 255)
       .withColumn("m_lv", col("d").cast("double") / length(col("phrase")))
-      // best_phrase_match materialization point (see doc). Lifecycle:
-      // session-lived, like the catalog's other persisting queries (the
-      // dedup family) — size is |distinct vocab| x |lexicon| rows (a few
-      // hundred here; vocab-bounded, never corpus-bounded), so the
-      // resident cost is KBs. A caller embedding this in a long-lived
-      // service would unpersist after consuming the result.
+      // best_phrase_match materialization point (see doc). Size is
+      // |distinct vocab| x |lexicon| rows (a few hundred here;
+      // vocab-bounded, never corpus-bounded) so the resident cost is
+      // KBs — but the returned frame is lazy and still references this
+      // relation, so the builder can't unpersist; it is tracked in
+      // CacheLedger and drivers release it after materialization.
       .persist()
+    graft.core.CacheLedger.track(scored)
     val w = Window.partitionBy("phrase")
     val withBest = scored
       .withColumn("tg_best", max(when(col("tg_q"), col("sim"))).over(w))
