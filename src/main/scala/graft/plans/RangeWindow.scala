@@ -33,22 +33,45 @@ import org.apache.spark.sql.functions._
   * the in-group sort uses the ORIGINAL key column, so long keys past 2^53
   * still rank exactly.
   *
-  * Contract: `rangeKey` must be non-null and numeric, ascending (negate
-  * for descending); `tieKeys` must complete a total order. Plan cost: two
-  * extra parallel passes over `df` (sketch + group counts) instead of the
-  * corpus-sized single-node sort.
+  * Contract: each range key must be non-null and numeric, ascending
+  * (negate for descending); tie keys must complete a total order. Plan
+  * cost per spec: two extra parallel passes over `df` (sketch + group
+  * counts) instead of the corpus-sized single-node sort — CALLERS RANKING
+  * MORE THAN ONE DIMENSION of the same frame must use [[withRanks]] on a
+  * PERSISTED input: chaining single-spec calls re-executes every upstream
+  * level's window inside each later level's sketch/count actions (the
+  * window_rfm_scores r10 regression: 3 chained levels ran the level-1
+  * window 6 times, 0.44 s → 1.57 s).
   */
 object RangeWindow {
+
+  /** One ranking dimension over the shared frame: ascending numeric range
+    * key, tie keys completing a total order, output rank column name. */
+  final case class Spec(rangeKey: Column, tieKeys: Seq[Column],
+      rankCol: String)
 
   /** `df` plus an exact global `row_number` over
     * `(rangeKey asc, tieKeys asc)` in `rankCol`; also returns the total
     * row count (free — it is the last prefix offset).
     */
   def withRank(df: DataFrame, rangeKey: Column, tieKeys: Seq[Column],
-      parts: Int, rankCol: String): (DataFrame, Long) =
-    withRankAndSum(df, rangeKey, tieKeys, parts, rankCol, None) match {
-      case (out, n, _) => (out, n)
-    }
+      parts: Int, rankCol: String): (DataFrame, Long) = {
+    val (out, n, _) = build(df, Seq(Spec(rangeKey, tieKeys, rankCol)),
+      parts, None)
+    (out, n)
+  }
+
+  /** Exact global row_numbers for SEVERAL independent orderings of the
+    * SAME frame in one output plan. Per spec: one sketch pass + one
+    * O(parts) count aggregate against `df` (2·N actions total — persist
+    * `df` first; the caller owns the persist lifecycle), then all N
+    * windows chain on one frame, each partitioned by its own range
+    * group. Returns the frame plus the total row count. */
+  def withRanks(df: DataFrame, specs: Seq[Spec], parts: Int)
+      : (DataFrame, Long) = {
+    val (out, n, _) = build(df, specs, parts, None)
+    (out, n)
+  }
 
   /** `df` plus an exact global running long-sum of `sumCol` over
     * `(rangeKey asc, tieKeys asc)` in `cumCol` (ROWS UNBOUNDED PRECEDING
@@ -58,24 +81,31 @@ object RangeWindow {
     */
   def withRunningSum(df: DataFrame, rangeKey: Column, tieKeys: Seq[Column],
       parts: Int, sumCol: Column, cumCol: String): (DataFrame, Long, Long) =
-    withRankAndSum(df, rangeKey, tieKeys, parts, cumCol, Some(sumCol)) match {
-      case (out, n, tot) => (out, n, tot)
-    }
+    build(df, Seq(Spec(rangeKey, tieKeys, cumCol)), parts, Some(sumCol))
 
-  private def withRankAndSum(df: DataFrame, rangeKey: Column,
-      tieKeys: Seq[Column], parts: Int, outCol: String,
+  private def build(df: DataFrame, specs: Seq[Spec], parts: Int,
       sumCol: Option[Column]): (DataFrame, Long, Long) = {
     require(parts >= 1, s"parts must be >= 1, got $parts")
-    val keyed = df.withColumn("__rw_key", rangeKey)
-    // Driver-side sketch → boundary literals. distinct+sorted because GK
-    // can emit duplicate quantiles on heavy-tied keys; fewer bounds just
-    // means fewer (larger) groups, never wrong output.
+    require(specs.nonEmpty, "at least one spec")
+    require(sumCol.isEmpty || specs.size == 1,
+      "running sum supports exactly one spec")
     val probs = (1 until parts).map(_.toDouble / parts).toArray
-    val bounds =
-      if (parts == 1) Array.empty[Double]
+    def keyCol(i: Int) = s"__rw_key$i"
+    def pidCol(i: Int) = s"__rw_pid$i"
+    val keyed = specs.zipWithIndex.foldLeft(df) { case (acc, (spec, i)) =>
+      acc.withColumn(keyCol(i), spec.rangeKey)
+    }
+    // Driver-side sketch → boundary literals, ONE multi-column
+    // approxQuantile pass for every spec (per-spec passes dominated the
+    // r10 rfm rebuild with job overhead). distinct+sorted because GK can
+    // emit duplicate quantiles on heavy-tied keys; fewer bounds just
+    // means fewer (larger) groups, never wrong output.
+    val allBounds: Seq[Array[Double]] =
+      if (parts == 1) specs.map(_ => Array.empty[Double])
       else keyed.stat
-        .approxQuantile(Array("__rw_key"), probs, 1.0 / (4.0 * parts))(0)
-        .distinct.sorted
+        .approxQuantile(specs.indices.map(keyCol).toArray, probs,
+          1.0 / (4.0 * parts))
+        .map(_.distinct.sorted).toSeq
     // Group id as a codegen'd when-chain, deliberately NOT a higher-order
     // filter(...) lambda: Spark 4.1's InferFiltersFromConstraints
     // substitutes a join-key alias into inferred constraints, and a
@@ -84,51 +114,64 @@ object RangeWindow {
     // (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at ConvertToLocalRelation).
     // A plain when-chain keeps references exact AND stays inside
     // whole-stage codegen; bounds stay <= a few hundred literals.
-    val pid = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col("__rw_key").cast("double") > lit(b), 1).otherwise(0)
+    def pidOf(i: Int, key: Column) = allBounds(i).foldLeft(lit(0)) {
+      (acc, b) => acc + when(key.cast("double") > lit(b), 1).otherwise(0)
     }
-    val grouped = keyed.withColumn("__rw_pid", pid)
-    // O(parts) driver work: per-group counts (and sums), prefix-summed
-    // into EXCLUSIVE offsets. Deterministic across this job and the main
-    // pass because the bounds are literals.
-    val aggs = Seq(count(lit(1)).as("__rw_n")) ++
-      sumCol.map(c => sum(c.cast("long")).cast("long").as("__rw_s"))
-    val perGroup = grouped.groupBy("__rw_pid").agg(aggs.head, aggs.tail: _*)
+    // O(specs · parts) driver work in ONE job: every spec's per-group
+    // counts (and the single running-sum spec's per-group sums) via one
+    // exploded (spec, group) aggregate, prefix-summed into EXCLUSIVE
+    // offsets. Deterministic across this job and the main pass because
+    // the bounds are literals.
+    val pidStructs = specs.indices.map { i =>
+      struct(lit(i).as("si"), pidOf(i, col(keyCol(i))).as("pid"),
+        sumCol.getOrElse(lit(0L)).cast("long").as("sv"))
+    }
+    val perGroup = keyed
+      .select(explode(array(pidStructs: _*)).as("g"))
+      .groupBy(col("g.si"), col("g.pid"))
+      .agg(count(lit(1)).as("__rw_n"), sum(col("g.sv")).as("__rw_s"))
       .collect()
-      .map(r => (r.getInt(0), r.getLong(1),
-        if (sumCol.isDefined) r.getLong(2) else 0L))
-      .sortBy(_._1)
-    var nOff = 0L
-    var sOff = 0L
-    val offsets = perGroup.map { case (p, n, sTot) =>
-      val row = (p, nOff, sOff)
-      nOff += n; sOff += sTot
-      row
-    }
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    var nTotal = 0L
+    var sTotal = 0L
     // Offsets ship as a LITERAL map lookup, not a broadcast join: the
     // offset table is O(parts), so embedding it keeps the plan join-free
-    // — the only non-map-side step in the whole helper is the one window
-    // exchange PARTITIONED by group id.
-    val noffMap: Map[Int, Long] =
-      if (offsets.isEmpty) Map(0 -> 0L)
-      else offsets.map { case (p, n, _) => p -> n }.toMap
-    val soffMap: Map[Int, Long] =
-      if (offsets.isEmpty) Map(0 -> 0L)
-      else offsets.map { case (p, _, sO) => p -> sO }.toMap
-    val order = (col("__rw_key") +: tieKeys).map(_.asc)
-    val w = Window.partitionBy(col("__rw_pid")).orderBy(order: _*)
-    val local = sumCol match {
-      case Some(c) => element_at(typedLit(soffMap), col("__rw_pid")) +
-        sum(c.cast("long")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-      case None =>
-        element_at(typedLit(noffMap), col("__rw_pid")) +
-          row_number().over(w)
+    // — the only non-map-side step per spec is the one window exchange
+    // PARTITIONED by its group id.
+    val out = specs.zipWithIndex.foldLeft(keyed) { case (acc, (spec, i)) =>
+      var nOff = 0L
+      var sOff = 0L
+      val offsets = perGroup.getOrElse(i, Array.empty).sortBy(_._2).map {
+        case (_, p, n, sTot) =>
+          val row = (p, nOff, sOff)
+          nOff += n; sOff += sTot
+          row
+      }
+      nTotal = nOff
+      sTotal = sOff
+      val noffMap: Map[Int, Long] =
+        if (offsets.isEmpty) Map(0 -> 0L)
+        else offsets.map { case (p, n, _) => p -> n }.toMap
+      val soffMap: Map[Int, Long] =
+        if (offsets.isEmpty) Map(0 -> 0L)
+        else offsets.map { case (p, _, sO) => p -> sO }.toMap
+      val withPid = acc.withColumn(pidCol(i), pidOf(i, col(keyCol(i))))
+      val order = (col(keyCol(i)) +: spec.tieKeys).map(_.asc)
+      val w = Window.partitionBy(col(pidCol(i))).orderBy(order: _*)
+      val local = sumCol match {
+        case Some(c) => element_at(typedLit(soffMap), col(pidCol(i))) +
+          sum(c.cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        case None =>
+          element_at(typedLit(noffMap), col(pidCol(i))) +
+            row_number().over(w)
+      }
+      withPid
+        .withColumn(spec.rankCol, local.cast("long"))
+        .drop(pidCol(i), keyCol(i))
     }
-    val out = grouped
-      .withColumn(outCol, local.cast("long"))
-      .drop("__rw_pid", "__rw_key")
-    (out, nOff, sOff)
+    (out, nTotal, sTotal)
   }
 
   /** SQL-standard `ntile(buckets)` bucket id from an exact 1-based global

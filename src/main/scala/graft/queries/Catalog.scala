@@ -23,7 +23,8 @@ object Catalog {
   lazy val all: Seq[Q] =
     CoreQueries.all ++ JoinQueries.all ++ WindowQueries.all ++
       SetQueries.all ++ ScalarQueries.all ++ TextQueries.all ++
-      DedupQueries.all ++ SimilarityQueries.all ++ CurationQueries.all ++
+      DedupQueries.all ++ SliceQueries.all ++
+      SimilarityQueries.all ++ CurationQueries.all ++
       PipelineQueries.all ++
       FunctionQueries.all ++ MlQueries.all ++ MiscQueries.all ++
       GoldQueries.all ++ SourceQueries.all ++ ViewQueries.all ++

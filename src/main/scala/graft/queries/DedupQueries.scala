@@ -88,8 +88,9 @@ object DedupQueries extends QueryBase {
     java.lang.Long.parseLong(hex.substring(0, 15), 16)
   }
 
-  /** Distinct word-3-shingles of lower(text). */
-  private def shingles3: Column = {
+  /** Distinct word-3-shingles of lower(text) (shared with the ×100
+    * stratified-slice twins in [[SliceQueries]]). */
+  private[queries] def shingles3: Column = {
     val tk = split(lower(col("text")), "\\s+")
     array_distinct(
       when(size(tk) >= 3,

@@ -949,11 +949,17 @@ ${p}matched AS (
           x = x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(1431655765L))
           x
         }
-        val li = t(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_linenumber"),
-            col("l_partkey").as("x"), col("l_suppkey").as("y"))
-          .withColumn("z", spread(col("x"))
-            .bitwiseOR(shiftleft(spread(col("y")), 1)))
+        // Persisted: the two layouts each run RangeWindow's sketch +
+        // count actions plus the main pass against this frame (6 scans
+        // otherwise); tracked in CacheLedger, released by drivers after
+        // the 2-row result materializes.
+        val li = graft.core.CacheLedger.track(
+          t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_partkey").as("x"), col("l_suppkey").as("y"))
+            .withColumn("z", spread(col("x"))
+              .bitwiseOR(shiftleft(spread(col("y")), 1)))
+            .persist())
         def layout(rangeKey: Column, tieKeys: Seq[Column], label: String) = {
           val (ranked, n) = graft.plans.RangeWindow.withRank(
             li, rangeKey, tieKeys, 64, "__rk")

@@ -521,15 +521,23 @@ object WindowQueries extends QueryBase {
           .withColumn("r_days", datediff(col("max_d"), col("last_d")))
         // Each dimension: exact global rank over (key asc, custkey asc)
         // (recency negated: ntile order was r_days DESC), then the
-        // literal ntile formula — map-side once ranks exist.
-        def scored(in: org.apache.spark.sql.DataFrame,
-            key: org.apache.spark.sql.Column,
-            rank: String): (org.apache.spark.sql.DataFrame, Long) =
-          graft.plans.RangeWindow.withRank(
-            in, key, Seq(col("o_custkey")), 32, rank)
-        val (r1, n) = scored(cust, -col("r_days"), "__rrk")
-        val (r2, _) = scored(r1, col("f"), "__frk")
-        val (r3, _) = scored(r2, col("m"), "__mrk")
+        // literal ntile formula — map-side once ranks exist. ONE
+        // withRanks call on a persisted base: chaining three single-spec
+        // calls re-executes every earlier level's window inside each
+        // later level's sketch/count actions (measured 0.44 → 1.57 s at
+        // sf0.1, caught by Bench --gate in r10); the multi-spec form
+        // runs 3 sketches + 3 tiny counts against the cached
+        // customer-cardinality frame and chains the 3 windows in one
+        // plan. Tracked in CacheLedger (the lazy result references the
+        // persisted frame; drivers release after materializing).
+        val c = graft.core.CacheLedger.track(cust.persist())
+        val (r3, n) = graft.plans.RangeWindow.withRanks(c, Seq(
+          graft.plans.RangeWindow.Spec(
+            -col("r_days"), Seq(col("o_custkey")), "__rrk"),
+          graft.plans.RangeWindow.Spec(
+            col("f"), Seq(col("o_custkey")), "__frk"),
+          graft.plans.RangeWindow.Spec(
+            col("m"), Seq(col("o_custkey")), "__mrk")), 32)
         def tile(c: String) =
           graft.plans.RangeWindow.ntileFromRank(col(c), n, 5)
         r3.withColumn("r_score", tile("__rrk"))
@@ -787,9 +795,14 @@ object WindowQueries extends QueryBase {
       "window_pareto_abc",
       (s, dir) => {
         val o = t(s, dir, "orders")
-        val cust = o.groupBy("o_custkey")
-          .agg(wsum(round(col("o_totalprice") * 100).cast("long"))
-            .cast("long").as("cents"))
+        // Persisted: withRunningSum's sketch + group-sum actions plus the
+        // main pass each execute this aggregate otherwise (3×); tracked
+        // in CacheLedger, released by drivers after materialization.
+        val cust = graft.core.CacheLedger.track(
+          o.groupBy("o_custkey")
+            .agg(wsum(round(col("o_totalprice") * 100).cast("long"))
+              .cast("long").as("cents"))
+            .persist())
         val tot = cust.agg(sum("cents").as("total"))
         val (withCum, _, _) = graft.plans.RangeWindow.withRunningSum(
           cust, -col("cents"), Seq(col("o_custkey")), 32,

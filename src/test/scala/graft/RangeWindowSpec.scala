@@ -59,6 +59,27 @@ class RangeWindowSpec extends SparkSpec {
     }
   }
 
+  test("withRanks: several independent orderings equal their global windows") {
+    val df = frame(300).persist()
+    val (got, n) = RangeWindow.withRanks(df, Seq(
+      RangeWindow.Spec(col("key"), Seq(col("id")), "rk1"),
+      RangeWindow.Spec(-col("v"), Seq(col("id")), "rk2"),
+      RangeWindow.Spec(col("id"), Nil, "rk3")), 8)
+    assert(n == 300)
+    val want = df
+      .withColumn("rk1", row_number().over(
+        Window.orderBy(col("key").asc, col("id").asc)).cast("long"))
+      .withColumn("rk2", row_number().over(
+        Window.orderBy(col("v").desc, col("id").asc)).cast("long"))
+      .withColumn("rk3", row_number().over(
+        Window.orderBy(col("id").asc)).cast("long"))
+    assert(got.select("id", "rk1", "rk2", "rk3").orderBy("id")
+      .collect().toSeq ==
+      want.select("id", "rk1", "rk2", "rk3").orderBy("id")
+        .collect().toSeq)
+    df.unpersist()
+  }
+
   test("withRunningSum equals global ROWS-frame cumulative sum") {
     val df = frame(500)
     val (got, n, tot) = RangeWindow.withRunningSum(
