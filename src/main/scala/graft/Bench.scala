@@ -147,6 +147,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Own-load sampler starts BEFORE the heap/table/codegen warm-ups:
+    // their load lands in 1-min loadavg, so it must land in the own-load
+    // EWMA too, or the earliest timed queries inherit warm-up residue
+    // that neither loadIdle nor own-load explains and get false-flagged
+    // contended (review r10).
+    OwnLoad.start()
     // Heap warm-up: fault the whole fixed-size heap in with one parallel
     // pass. This host zeroes fresh pages ~100x slower than normal hardware;
     // an untimed 32-way touch here keeps that one-off cost out of the
@@ -181,7 +187,6 @@ object Bench {
         df.write.format("noop").mode("overwrite").save()
       } catch { case _: Throwable => }
     }
-    OwnLoad.start() // EWMA window starts accumulating through warm-up
     // JVM/codegen warm-up outside the timed region: touch every hot code
     // path (parquet scan, hash agg, shuffle, window, regex, broadcast
     // join) so the timed queries measure the plan, not C2 compilation.
@@ -403,7 +408,10 @@ object Bench {
     val start = txt.indexOf("\"warm\"")
     if (start < 0) return (Map.empty, declaredN)
     val body = txt.substring(txt.indexOf('{', start) + 1)
-    val entry = """"([a-z0-9_]+)"\s*:\s*([0-9.]+)""".r
+    // Value pattern accepts scientific notation: "q":1.5e1 truncated at
+    // 'e' would parse as 1.5 with the NAME intact, so the declared-count
+    // self-check could not catch it (review finding r10).
+    val entry = """"([a-z0-9_]+)"\s*:\s*([0-9.]+(?:[eE][+-]?[0-9]+)?)""".r
     val warm = entry.findAllMatchIn(body.takeWhile(_ != '}'))
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
     (warm, declaredN)

@@ -123,8 +123,11 @@ object RangeWindow {
     // offsets. Deterministic across this job and the main pass because
     // the bounds are literals.
     val pidStructs = specs.indices.map { i =>
+      // coalesce: a group whose sumCol values are all NULL would produce
+      // a NULL sql sum and NPE the driver-side getLong — NULLs count as
+      // 0 here, matching the window's own null-skipping sum.
       struct(lit(i).as("si"), pidOf(i, col(keyCol(i))).as("pid"),
-        sumCol.getOrElse(lit(0L)).cast("long").as("sv"))
+        coalesce(sumCol.getOrElse(lit(0L)).cast("long"), lit(0L)).as("sv"))
     }
     val perGroup = keyed
       .select(explode(array(pidStructs: _*)).as("g"))
@@ -161,7 +164,7 @@ object RangeWindow {
       val w = Window.partitionBy(col(pidCol(i))).orderBy(order: _*)
       val local = sumCol match {
         case Some(c) => element_at(typedLit(soffMap), col(pidCol(i))) +
-          sum(c.cast("long")).over(
+          sum(coalesce(c.cast("long"), lit(0L))).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         case None =>
           element_at(typedLit(noffMap), col(pidCol(i))) +

@@ -78,7 +78,13 @@ object DedupQueries extends QueryBase {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     buckets.unpersist()
-    out
+    // Tracked for deferred cleanup: the lazy result references this
+    // persist, so the builder can't unpersist in-scope. Verify releases
+    // it per query (a later embedding-dedup query simply re-persists via
+    // its own builder call); Bench deliberately does NOT release, so
+    // warm repeats and the documented cross-query cache sharing keep
+    // working there.
+    graft.core.CacheLedger.track(out)
   }
 
   /** Driver-side twin of [[h64]] for plan-build-time constants. */
@@ -649,7 +655,8 @@ object DedupQueries extends QueryBase {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         out.count()
         bands.unpersist()
-        out
+        // tracked: Verify releases after the result is written (r10)
+        graft.core.CacheLedger.track(out)
       },
       Some("""
         WITH tk AS (

@@ -88,7 +88,9 @@ object SliceQueries extends QueryBase {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         out.count()
         bands.unpersist()
-        out
+        // the returned lazy frame references this persist — tracked so
+        // Verify can release it after materializing (review r10)
+        graft.core.CacheLedger.track(out)
       },
       Some(s"""
         WITH base AS (

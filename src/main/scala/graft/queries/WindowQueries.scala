@@ -803,15 +803,16 @@ object WindowQueries extends QueryBase {
             .agg(wsum(round(col("o_totalprice") * 100).cast("long"))
               .cast("long").as("cents"))
             .persist())
-        val tot = cust.agg(sum("cents").as("total"))
-        val (withCum, _, _) = graft.plans.RangeWindow.withRunningSum(
+        // Grand total comes back from withRunningSum for free (last
+        // prefix offset) — a separate aggregate + crossJoin(broadcast)
+        // recomputed it with an extra job per execution (review r10).
+        val (withCum, _, total) = graft.plans.RangeWindow.withRunningSum(
           cust, -col("cents"), Seq(col("o_custkey")), 32,
           col("cents"), "cum")
         withCum
-          .crossJoin(broadcast(tot))
           .withColumn("cls",
-            when(col("cum") * 100 <= col("total") * 80, "A")
-              .when(col("cum") * 100 <= col("total") * 95, "B")
+            when(col("cum") * 100 <= lit(total) * 80, "A")
+              .when(col("cum") * 100 <= lit(total) * 95, "B")
               .otherwise(lit("C")))
           .groupBy("cls")
           .agg(count(lit(1)).as("n_customers"),

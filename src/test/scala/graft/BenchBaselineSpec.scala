@@ -35,11 +35,14 @@ class BenchBaselineSpec extends AnyFunSuite {
   }
 
   test("a drifted entry shrinks the parsed map below the declared n") {
-    // uppercase name + scientific notation: the two drift shapes the
-    // regex deliberately does not chase — the count check catches them
+    // uppercase name: a drift shape the name regex deliberately rejects —
+    // the count check catches the shrink. Scientific notation is PARSED
+    // (not truncated at 'e'): a truncated value would keep the name and
+    // sail past the count check with a wrong number.
     val p = write(
       """{"n":3,"warm":{"ok_query":0.5,"BadName":1.0,"sci":1e-3}}""")
     val (warm, n) = Bench.parseBaseline(p)
     assert(n.contains(3) && warm.size < 3 && warm.contains("ok_query"))
+    assert(warm("sci") == 1e-3)
   }
 }

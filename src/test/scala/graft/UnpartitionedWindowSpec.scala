@@ -73,6 +73,26 @@ class UnpartitionedWindowSpec extends SparkSpec {
       s"allowlist entries no longer present (prune them): ${stale.toSeq.sorted}")
   }
 
+  test("the ANALYZED plans hide no unpartitioned window behind a persist") {
+    // The optimized-plan sweep above sees InMemoryRelation where a
+    // builder persisted a subtree (CacheManager.useCachedData swaps it in
+    // before optimization) — so a corpus window computed BELOW a persist
+    // would be invisible to it. The analyzed plan is pre-substitution:
+    // every query whose analyzed plan carries ANY unpartitioned window
+    // must be on the allowlist (membership only — the optimizer
+    // legitimately changes instance counts by inlining/pruning).
+    val offenders: Set[String] = Catalog.all.flatMap { q =>
+      val plan: LogicalPlan = Catalog.byName(q.name).spark(spark, dir)
+        .queryExecution.analyzed
+      plan.collect { case w: Window if w.partitionSpec.isEmpty => q.name }
+    }.toSet
+    val unexpected = offenders.filterNot(allowed.contains)
+    assert(unexpected.isEmpty,
+      s"unpartitioned windows in ANALYZED plans outside the allowlist " +
+        s"(possibly hidden behind a persist in the optimized sweep): " +
+        s"${unexpected.toSeq.sorted}")
+  }
+
   test("the three RangeWindow rewrites stay free of unpartitioned windows") {
     Seq("pipe_zorder_layout", "window_rfm_scores", "window_pareto_abc")
       .foreach { name =>
