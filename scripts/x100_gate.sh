@@ -1,0 +1,26 @@
+#!/usr/bin/env bash
+# x100 result-parity protocol (CORRECTNESS_X100_SLICE.json):
+# mint the x100 dir, run the slice twins + the RangeWindow rewrites
+# through Verify, replay their oracles in DuckDB (alone, capped).
+# Usage: scripts/x100_gate.sh [mint_dir] (default /tmp/sf100)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+DIR="${1:-/tmp/sf100}"
+OUT=/tmp/x100_gate_out
+QUERIES=dedup_minhash_slice,dedup_winnowing_slice,dedup_containment_slice,ml_linkpred_slice,pipe_zorder_layout,window_rfm_scores,window_pareto_abc
+
+if [ ! -f "$DIR/documents.parquet/_SUCCESS" ] && [ ! -d "$DIR/documents.parquet" ]; then
+  echo "[x100] minting $DIR from /root/testdata/sf0.1 (x100)"
+  scripts/run_main.sh graft.MintScale /root/testdata/sf0.1 "$DIR" 100
+fi
+
+echo "[x100] Spark side: $QUERIES"
+rm -rf "$OUT"
+SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+  scripts/run_main.sh graft.Verify "$DIR" "$OUT" "$QUERIES"
+
+echo "[x100] DuckDB replay (run this ALONE — no Spark JVMs alive)"
+GRAFT_DUCKDB_THREADS="${GRAFT_DUCKDB_THREADS:-4}" \
+GRAFT_DUCKDB_MEMLIMIT="${GRAFT_DUCKDB_MEMLIMIT:-100GB}" \
+GRAFT_DUCKDB_TMP="${GRAFT_DUCKDB_TMP:-/tmp/ducktmp}" \
+  python3 scripts/check.py "$OUT" "$DIR" | grep -v MISSING_RESULT
