@@ -182,17 +182,25 @@ object RangeWindow {
     * `nRows/buckets + 1` rows, the rest `nRows/buckets` — identical to
     * Spark's and DuckDB's ntile. Driver-side `nRows` (from [[withRank]])
     * keeps the expression pure literals + one floor-div, map-side at any
-    * cardinality. Double floor-div is exact here: correctly-rounded
-    * division of <2^53 integers lands exactly on integral quotients.
-    */
+    * cardinality.
+    *
+    * The floor-div is PURE LONG arithmetic (`(x - x mod b) / b`: the
+    * numerator is exactly divisible, so the one double division lands on
+    * an integral quotient < 2^53, which doubles represent exactly). A
+    * plain `floor(x / b)` over doubles would be exact for every
+    * realistic frame but has a theoretical floor-boundary hazard when
+    * `1/b` shrinks below half an ulp of the quotient (b approaching
+    * 2^53-scale group sizes) — integer form costs nothing and removes
+    * the caveat. */
   def ntileFromRank(rank: Column, nRows: Long, buckets: Int): Column = {
     val q = nRows / buckets
     val r = nRows % buckets
     val cut = (q + 1) * r
-    val big = floor((rank - 1) / lit((q + 1).toDouble)).cast("int") + 1
+    def longDiv(x: Column, b: Long): Column =
+      ((x - pmod(x, lit(b))) / lit(b)).cast("long")
     if (q == 0) rank.cast("int")
-    else when(rank <= cut, big)
-      .otherwise(floor((rank - 1 - cut) / lit(q.toDouble)).cast("int") +
-        r.toInt + 1)
+    else when(rank <= cut,
+        (longDiv(rank - 1, q + 1) + 1).cast("int"))
+      .otherwise((longDiv(rank - 1 - cut, q) + r + 1).cast("int"))
   }
 }
