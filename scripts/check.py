@@ -1,10 +1,16 @@
 #!/usr/bin/env python3
 """Local mirror of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 scripts/check.py <verify_out_dir> <sf_dir>
+Usage: python3 scripts/check.py <verify_out_dir> <sf_dir> [query,query,...]
 
 For each query: load Spark's parquet result, run the oracle SQL in DuckDB
 over the same sf dir, sort columns by name, sort rows, compare values.
+
+The optional third argument restricts the run to a comma-separated query
+list (the same filter Verify accepts): oracle_sql.json always carries the
+FULL catalog, so a filtered Verify run would otherwise stamp every
+unrequested query MISSING_RESULT and fail the gate even when all targeted
+queries hash-match (x100_gate.sh is the consumer).
 """
 import sys, os, json, glob
 import duckdb
@@ -68,6 +74,13 @@ def main():
             path = f"{path}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    if len(sys.argv) > 3 and sys.argv[3].strip():
+        wanted = [q.strip() for q in sys.argv[3].split(",") if q.strip()]
+        unknown = [q for q in wanted if q not in oracle]
+        if unknown:
+            sys.exit(f"query filter names unknown queries: {unknown} "
+                     "(not in oracle_sql.json)")
+        oracle = {k: v for k, v in oracle.items() if k in wanted}
     # Transcendental self-check (see Verify.scala / graft.ml.Gsdmm): the
     # GSDMM oracles assume JVM Math.log/exp == DuckDB libm bit-for-bit on
     # the exercised range. Replay Verify's pinned probe grid with EXACT
@@ -99,10 +112,16 @@ def main():
         else:
             print(f"transcendental probe: {len(probes)}/{len(probes)} "
                   "ln/exp bit-exact JVM≡DuckDB")
+    wanted_set = set(oracle) if len(sys.argv) > 3 and sys.argv[3].strip() \
+        else None
     results = {}
     for name in sorted(os.listdir(outdir)):
         d = os.path.join(outdir, name)
         if not os.path.isdir(d):
+            continue
+        # Under a query filter, result dirs from a broader Verify run are
+        # out of scope — don't grade them as ROWS_ONLY.
+        if wanted_set is not None and name not in wanted_set:
             continue
         files = glob.glob(os.path.join(d, "*.parquet"))
         got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True) \

@@ -20,7 +20,11 @@ SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   scripts/run_main.sh graft.Verify "$DIR" "$OUT" "$QUERIES"
 
 echo "[x100] DuckDB replay (run this ALONE — no Spark JVMs alive)"
+# check.py gets the SAME query filter as Verify: oracle_sql.json always
+# carries the full catalog, and without the filter every unrequested
+# query would stamp MISSING_RESULT and force exit 1 even on a clean run
+# (r10 ADVICE). No grep masking — the real exit code is the gate.
 GRAFT_DUCKDB_THREADS="${GRAFT_DUCKDB_THREADS:-4}" \
 GRAFT_DUCKDB_MEMLIMIT="${GRAFT_DUCKDB_MEMLIMIT:-100GB}" \
 GRAFT_DUCKDB_TMP="${GRAFT_DUCKDB_TMP:-/tmp/ducktmp}" \
-  python3 scripts/check.py "$OUT" "$DIR" | grep -v MISSING_RESULT
+  python3 scripts/check.py "$OUT" "$DIR" "$QUERIES"

@@ -162,13 +162,27 @@ object RangeWindow {
       val withPid = acc.withColumn(pidCol(i), pidOf(i, col(keyCol(i))))
       val order = (col(keyCol(i)) +: spec.tieKeys).map(_.asc)
       val w = Window.partitionBy(col(pidCol(i))).orderBy(order: _*)
+      // Loud contract enforcement (r10 ADVICE): the offsets map was built
+      // from the count job over THIS frame. If the deterministic-input /
+      // persisted contract is broken (an unpersisted nondeterministic
+      // frame recomputed between the two passes), a row can compute a pid
+      // the map never saw; element_at would return NULL and ranks would
+      // silently go NULL downstream. Fail the task instead.
+      def offAt(m: Map[Int, Long]): Column = coalesce(
+        element_at(typedLit(m), col(pidCol(i))),
+        raise_error(concat(
+          lit(s"RangeWindow: group id for spec '${spec.rankCol}' = "),
+          col(pidCol(i)).cast("string"),
+          lit(" is absent from the offsets map — the input frame changed " +
+            "between the count job and the main pass (nondeterministic " +
+            "unpersisted input violates the RangeWindow contract)")))
+          .cast("long"))
       val local = sumCol match {
-        case Some(c) => element_at(typedLit(soffMap), col(pidCol(i))) +
+        case Some(c) => offAt(soffMap) +
           sum(coalesce(c.cast("long"), lit(0L))).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         case None =>
-          element_at(typedLit(noffMap), col(pidCol(i))) +
-            row_number().over(w)
+          offAt(noffMap) + row_number().over(w)
       }
       withPid
         .withColumn(spec.rankCol, local.cast("long"))

@@ -693,8 +693,8 @@ object DedupQueries extends QueryBase {
         FROM cand
           JOIN sh sa ON cand.left_id = sa.doc_id
           JOIN sh sb ON cand.right_id = sb.doc_id
-        WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
-              len(list_distinct(sa.sh || sb.sh)) >= 0.5
+        WHERE round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+              len(list_distinct(sa.sh || sb.sh)), 6) >= 0.5
         ORDER BY left_id, right_id"""),
       doc = "MinHash(12) + LSH(4x3) near-dup with exact-Jaccard verify (training pipeline)"),
 
@@ -772,8 +772,8 @@ object DedupQueries extends QueryBase {
                      len(list_distinct(a.grams || b.grams)), 6) AS jaccard
         FROM blocked a JOIN blocked b
           ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-        WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
-              len(list_distinct(a.grams || b.grams)) >= 0.8
+        WHERE round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+              len(list_distinct(a.grams || b.grams)), 6) >= 0.8
         ORDER BY left_id, right_id"""),
       doc = "char-3-gram Jaccard near-dup, length-bucket blocking (training pipeline)"),
 

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ml.{Dbscan, Gsdmm}
+import graft.ml.Gsdmm
 import graft.multimodal.Multimodal
 
 /** ML stages (SURVEY §2.10 N7/N8/N9, §7.3 decision table).
@@ -1471,103 +1471,81 @@ ${p}top AS (SELECT CAST(zz AS INT) AS topic,
         "broadcast-cross-join KNN; reference predict.py:95-206"),
 
     // N7: DBSCAN over byte-histogram vectors (cosine, minPts=2, noise
-    // dropped) — reference post_opinion_patterns.py:169-210 clusters a
-    // small aggregated frame; here the driver fit likewise consumes only
-    // the POST-AGGREGATION distinct-vector frame (duplicates collapse to
-    // one weighted vertex), under a hard cap, and labels flow back over
-    // the full corpus as a broadcast join.
+    // dropped) — reference post_opinion_patterns.py:169-210. With
+    // minPts=2 DBSCAN degenerates to connected components of the
+    // eps-graph (plus weighted-singleton clusters: a distinct vector of
+    // multiplicity ≥ 2 is core on its own — its duplicates sit at
+    // distance 0), so the fit is FULLY DISTRIBUTED (r10 verdict item 1 —
+    // the 4096-vector driver cap is retired): distinct-vector frame →
+    // banded sign-LSH blocking + probe cap (DbscanCC.epsComponents, the
+    // dedup_embedding_cosine pair builder shape) → exact integer cosine
+    // verify → ConnectedComponents min-label propagation. Nothing is
+    // collected at any cardinality.
     //
     // The eps test runs on raw INTEGER histograms (cosine is
     // scale-invariant): dot² ≥ (1-eps)²·|a|²·|b|² — every quantity exact
     // in int64/double, so Spark and the DuckDB oracle agree bit-for-bit
-    // even at the threshold. With minPts=2 DBSCAN degenerates to
-    // connected components of the eps-graph, which the oracle recomputes
-    // independently via a recursive transitive closure.
+    // even at the threshold. The oracle (DbscanSql.ccSql) replays the
+    // identical md5-derived hyperplanes, cap and closure, and recomputes
+    // the components via a recursive transitive closure.
     Q(
       "ml_dbscan_clusters",
       (s, dir) => {
         val media = Multimodal.asMedia(th(s, dir, "documents"))
         val hists = Multimodal.extractHistograms(media)
-        // Bounded driver fit: distinct vectors only, largest multiplicity
-        // first, hard cap 4096 (beyond-cap vectors would label noise).
-        val distinctVecs = hists.groupBy("hist")
-          .agg(count(lit(1)).as("n_members"), min(col("media_id")).as("rep_id"))
-          .orderBy(col("n_members").desc, col("rep_id").asc)
-          .limit(4096)
-          .collect()
-        val vecs = distinctVecs.map(_.getSeq[Long](0).toArray)
-        val weights = distinctVecs.map(_.getLong(1).toInt)
-        val s2 = vecs.map(v => v.map(x => x * x).sum)
-        val c2 = 0.9999 * 0.9999 // (1 - eps)² with eps = 1e-4
-        def neighbor(i: Int, j: Int): Boolean =
-          s2(i) > 0L && s2(j) > 0L && {
-            var dot = 0L
-            var d = 0
-            val a = vecs(i); val b = vecs(j)
-            while (d < a.length) { dot += a(d) * b(d); d += 1 }
-            dot.toDouble * dot.toDouble >= c2 * s2(i).toDouble * s2(j).toDouble
-          }
-        val labels = Dbscan.fitGraph(vecs.length, neighbor, minPts = 2,
-          i => if (s2(i) > 0L) weights(i) else 1)
-        import s.implicits._
-        val labelDf = vecs.zip(labels).toSeq
-          .map { case (v, l) => (v.toSeq, l) }.toDF("hist", "cluster")
-        // Distributed assignment + rollup: histogram-keyed broadcast join.
-        hists.join(broadcast(labelDf), Seq("hist"))
-          .filter(col("cluster") >= 0)
-          .groupBy("cluster")
-          .agg(count(lit(1)).as("n_members"), min(col("media_id")).as("min_doc"))
+        // Post-aggregation distinct-vector frame: duplicates collapse to
+        // one weighted vertex. NO cap, NO collect.
+        val dv = hists.groupBy("hist")
+          .agg(count(lit(1)).as("n_dup"), min(col("media_id")).as("rep_id"))
+          .withColumn("s2",
+            expr("aggregate(hist, 0L, (a, x) -> a + x * x)"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val labels = graft.ml.DbscanCC.epsComponents(
+          dv, idCol = "rep_id", vecCol = "hist", s2Col = "s2",
+          dims = 16, bands = 8, bits = 8, cap = 128, salt = "dh",
+          cosine = 0.9999, requireDotPos = false)
+        // minPts=2 over weighted vertices: edged vertices are core;
+        // edge-less vertices cluster alone iff multiplicity ≥ 2 (and
+        // non-zero — zero vectors have no cosine and are always noise).
+        val out = dv
+          .join(labels.withColumnRenamed("id", "rep_id"), Seq("rep_id"), "left")
+          .filter(col("label").isNotNull ||
+            (col("s2") > 0 && col("n_dup") >= 2))
+          .groupBy(coalesce(col("label"), col("rep_id")).as("comp"))
+          .agg(sum(col("n_dup")).as("n_members"), min(col("rep_id")).as("min_doc"))
           .orderBy("min_doc")
           .select(col("n_members"), col("min_doc"))
+        // the returned lazy frame references the persisted dv; Verify
+        // releases it after materializing (CacheLedger contract).
+        graft.core.CacheLedger.track(dv)
+        out
       },
-      Some("""
+      Some(s"""
         WITH h0 AS (
           SELECT doc_id,
                  [CAST(len(list_filter(cps, x -> x // 16 = b)) AS BIGINT)
                   FOR b IN range(16)] AS hist
           FROM (SELECT doc_id, [unicode(c) FOR c IN split(text, '')] AS cps
                 FROM documents)),
-        -- Replay the engine's bounded-driver-fit cap: distinct vectors
-        -- ranked (multiplicity DESC, min doc ASC), top 4096 kept; docs
-        -- whose vector falls past the cap are unlabeled (noise), exactly
-        -- as in the Spark side. (At sf0.01 the cap never binds; at
-        -- sf0.1 it does — 4782 distinct vectors.)
-        kept AS (
-          SELECT hist FROM (
-            SELECT hist,
-                   row_number() OVER (ORDER BY count(*) DESC,
-                                      min(doc_id) ASC) AS rn
-            FROM h0 GROUP BY hist)
-          WHERE rn <= 4096),
-        h AS (SELECT h0.* FROM h0 JOIN kept USING (hist)),
-        n AS (
-          SELECT doc_id, hist,
+        dv AS (
+          SELECT hist, count(*) AS n_dup, min(doc_id) AS rep,
                  list_aggregate(list_transform(hist, x -> x * x), 'sum') AS s2
-          FROM h),
-        dots AS (
-          SELECT a.doc_id AS src, b.doc_id AS dst,
-                 list_aggregate(list_transform(list_zip(a.hist, b.hist),
-                                               p -> p[1] * p[2]), 'sum') AS dot,
-                 a.s2 AS sa, b.s2 AS sb
-          FROM n a JOIN n b ON a.doc_id < b.doc_id
-          WHERE a.s2 > 0 AND b.s2 > 0),
-        edges0 AS (
-          SELECT src, dst FROM dots
-          WHERE CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)
-                >= 0.9999 * 0.9999 * CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)),
-        edges AS (SELECT src, dst FROM edges0
-                  UNION ALL SELECT dst, src FROM edges0),
-        cc AS (
-          WITH RECURSIVE reach(id, r) AS (
-            SELECT DISTINCT src AS id, src AS r FROM edges
-            UNION
-            SELECT rc.id, e.dst FROM reach rc JOIN edges e ON e.src = rc.r)
-          SELECT id, min(r) AS comp FROM reach GROUP BY id)
-        SELECT count(*) AS n_members, min(id) AS min_doc
-        FROM cc GROUP BY comp ORDER BY min_doc"""),
+          FROM h0 GROUP BY hist),
+        ${DbscanSql.ccSql("d_", "dv", "rep", "hist", "s2",
+          dims = 16, bands = 8, bits = 8, cap = 128, salt = "dh",
+          cosineSql = "0.9999", requireDotPos = false)}
+        SELECT CAST(sum(n_dup) AS BIGINT) AS n_members, min(rep) AS min_doc
+        FROM (SELECT dv.n_dup, dv.rep, dv.s2,
+                     coalesce(c.comp, dv.rep) AS comp,
+                     c.comp IS NOT NULL AS edged
+              FROM dv LEFT JOIN d_cc c ON c.id = dv.rep)
+        WHERE edged OR (s2 > 0 AND n_dup >= 2)
+        GROUP BY comp ORDER BY min_doc"""),
       doc = "N7 DBSCAN (cosine, minPts=2) on post-aggregation distinct " +
-        "histogram vectors, distributed label join-back; oracle = recursive " +
-        "connected components; reference post_opinion_patterns.py:169-210"),
+        "histogram vectors — fully distributed: sign-LSH blocked eps-pairs " +
+        "+ connected components (minPts=2 DBSCAN ≡ CC of the eps-graph); " +
+        "oracle replays blocking + recursive closure; reference " +
+        "post_opinion_patterns.py:169-210"),
 
     // N8: GSDMM short-text topics. The driver fit consumes a BOUNDED
     // deterministic sample (hash-ordered top-256 docs); topic labels for

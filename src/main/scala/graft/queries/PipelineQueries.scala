@@ -355,28 +355,42 @@ ${p}matched AS (
         val lex = phrases.groupBy("aspect_phrase")
           .agg(count(lit(1)).as("occ"))
           .select(col("aspect_phrase") +: col("occ") +: dims: _*)
-        // N7: bounded driver fit on the distinct-vector frame only.
-        val rows = lex.orderBy(col("occ").desc, col("aspect_phrase").asc)
-          .limit(4096).collect()
-        val words = rows.map(_.getString(0))
-        val occs = rows.map(_.getLong(1).toInt)
-        val vecs = rows.map(r => Array.tabulate(4)(d => r.getLong(2 + d)))
-        val s2 = vecs.map(v => v.map(x => x * x).sum)
-        val c2 = 0.85 * 0.85 // cosine ≥ 0.85 i.e. eps = 0.15
-        def neighbor(i: Int, j: Int): Boolean =
-          s2(i) > 0L && s2(j) > 0L && {
-            var dot = 0L
-            var d = 0
-            while (d < 4) { dot += vecs(i)(d) * vecs(j)(d); d += 1 }
-            dot > 0L &&
-              dot.toDouble * dot.toDouble >= c2 * s2(i).toDouble * s2(j).toDouble
-          }
-        val labels = graft.ml.Dbscan.fitGraph(vecs.length, neighbor,
-          minPts = 2, i => if (s2(i) > 0L) occs(i) else 1)
-        val labelDf = words.zip(labels).toSeq.filter(_._2 >= 0)
-          .toDF("aspect_phrase", "cluster")
+          .withColumn("vec", array(col("v0"), col("v1"), col("v2"), col("v3")))
+          .withColumn("s2",
+            expr("aggregate(vec, 0L, (a, x) -> a + x * x)"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // the returned lazy frame references the persisted lexicon;
+        // Verify releases it after materializing (CacheLedger contract).
+        graft.core.CacheLedger.track(lex)
+        // N7: fully distributed (r10 verdict item 1 — the 4096-word
+        // driver cap is retired): minPts=2 weighted DBSCAN ≡ connected
+        // components of the eps-graph plus weighted singletons (a word
+        // occurring ≥ 2 times is core alone — its duplicates sit at
+        // distance 0). Pairs from sign-LSH blocking + probe cap
+        // (DbscanCC.epsComponents); exact integer cosine verify
+        // (dot > 0 AND dot² ≥ 0.85²·|a|²·|b|²); the oracle replays the
+        // identical hyperplanes/cap/closure (DbscanSql.ccSql).
+        val labels = graft.ml.DbscanCC.epsComponents(
+          lex, idCol = "aspect_phrase", vecCol = "vec", s2Col = "s2",
+          dims = 4, bands = 8, bits = 4, cap = 64, salt = "oa",
+          cosine = 0.85, requireDotPos = true)
+        val compAll = lex
+          .join(labels.withColumnRenamed("id", "aspect_phrase"),
+            Seq("aspect_phrase"), "left")
+          .select(col("aspect_phrase"),
+            coalesce(col("label"), col("aspect_phrase")).as("cluster"),
+            col("label").isNotNull.as("edged"), col("occ"), col("s2"))
+        val keep = compAll.groupBy("cluster")
+          .agg(max(col("edged")).as("any_edged"),
+            sum(col("occ")).as("occ_sum"), min(col("s2")).as("s2_min"))
+          .filter(col("any_edged") ||
+            (col("occ_sum") >= 2 && col("s2_min") > 0))
+          .select("cluster")
         // A16 rollup per bin, labels assigned distributedly.
-        phrases.join(broadcast(labelDf), Seq("aspect_phrase"))
+        phrases
+          .join(compAll.select("aspect_phrase", "cluster"),
+            Seq("aspect_phrase"))
+          .join(keep, Seq("cluster"), "left_semi")
           .groupBy("cluster")
           .agg(
             min(col("aspect_phrase")).as("rep_aspect"),
@@ -416,30 +430,18 @@ ${p}matched AS (
             CAST(concat('0x', substr(md5(aspect_phrase || ':3'), 1, 15)) AS BIGINT) % 2001 - 1000 AS v3
           FROM phrases GROUP BY aspect_phrase),
         lexn AS (
-          SELECT *, v0*v0 + v1*v1 + v2*v2 + v3*v3 AS s2 FROM lex),
-        edges0 AS (
-          SELECT a.aspect_phrase AS src, b.aspect_phrase AS dst
-          FROM lexn a JOIN lexn b ON a.aspect_phrase < b.aspect_phrase
-          WHERE a.s2 > 0 AND b.s2 > 0
-            AND (a.v0*b.v0 + a.v1*b.v1 + a.v2*b.v2 + a.v3*b.v3) > 0
-            AND CAST(a.v0*b.v0 + a.v1*b.v1 + a.v2*b.v2 + a.v3*b.v3 AS DOUBLE)
-                * CAST(a.v0*b.v0 + a.v1*b.v1 + a.v2*b.v2 + a.v3*b.v3 AS DOUBLE)
-                >= 0.85 * 0.85 * CAST(a.s2 AS DOUBLE) * CAST(b.s2 AS DOUBLE)),
-        edges AS (SELECT src, dst FROM edges0
-                  UNION ALL SELECT dst, src FROM edges0),
-        cc AS (
-          WITH RECURSIVE reach(id, r) AS (
-            SELECT DISTINCT src AS id, src AS r FROM edges
-            UNION
-            SELECT rc.id, e.dst FROM reach rc JOIN edges e ON e.src = rc.r)
-          SELECT id, min(r) AS comp FROM reach GROUP BY id),
+          SELECT aspect_phrase, occ, [v0, v1, v2, v3] AS vec,
+                 v0*v0 + v1*v1 + v2*v2 + v3*v3 AS s2 FROM lex),
+        ${DbscanSql.ccSql("o_", "lexn", "aspect_phrase", "vec", "s2",
+          dims = 4, bands = 8, bits = 4, cap = 64, salt = "oa",
+          cosineSql = "0.85", requireDotPos = true)},
         comp_all AS (
           SELECT l.aspect_phrase, coalesce(c.comp, l.aspect_phrase) AS comp,
-                 l.occ, l.s2
-          FROM lexn l LEFT JOIN cc c ON c.id = l.aspect_phrase),
+                 c.comp IS NOT NULL AS edged, l.occ, l.s2
+          FROM lexn l LEFT JOIN o_cc c ON c.id = l.aspect_phrase),
         keep AS (
           SELECT comp FROM comp_all GROUP BY comp
-          HAVING count(*) >= 2 OR (sum(occ) >= 2 AND min(s2) > 0)),
+          HAVING bool_or(edged) OR (sum(occ) >= 2 AND min(s2) > 0)),
         labeled AS (
           SELECT ph.pattern_name, ph.aspect_phrase, ph.sentiment_phrase, ca.comp
           FROM phrases ph JOIN comp_all ca USING (aspect_phrase)

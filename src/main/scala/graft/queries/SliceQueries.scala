@@ -133,8 +133,8 @@ object SliceQueries extends QueryBase {
         FROM cand
           JOIN sh sa ON cand.left_id = sa.doc_id
           JOIN sh sb ON cand.right_id = sb.doc_id
-        WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
-              len(list_distinct(sa.sh || sb.sh)) >= 0.5
+        WHERE round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+              len(list_distinct(sa.sh || sb.sh)), 6) >= 0.5
         ORDER BY left_id, right_id"""),
       doc = "dedup_minhash_lsh replayed on the md5-content slice (1/16 of " +
         "distinct contents, ALL their minted copies): same signatures, " +

@@ -1,30 +1,53 @@
 package graft
 
-import graft.ml.{Dbscan, Gsdmm}
+import graft.ml.{DbscanCC, Gsdmm}
 
 class MlSpec extends SparkSpec {
 
-  test("DBSCAN separates tight clusters and marks noise") {
-    def v(a: Double, b: Double) = Array(a, b)
-    val pts = Array(
-      v(1, 0), v(0.99, 0.01), v(0.98, 0.02), // cluster 0 (near 0°)
-      v(0, 1), v(0.01, 0.99), v(0.02, 0.98), // cluster 1 (near 90°)
-      v(-1, -1))                             // noise
-    val labels = Dbscan.fit(pts, eps = 0.01, minPts = 2)
-    assert(labels.take(3).distinct === Array(0))
-    assert(labels.slice(3, 6).distinct === Array(1))
-    assert(labels(6) === -1)
+  test("DbscanCC.epsComponents groups parallel vectors, omits edge-less " +
+      "and zero vectors") {
+    import spark.implicits._
+    // 4-dim integer vectors. cosine floor 0.9999: exactly parallel
+    // vectors (scaled copies) edge; orthogonal ones don't. Sign-LSH puts
+    // parallel vectors in the SAME bucket of every band (the hyperplane
+    // dot scales), so the blocking can never drop these edges.
+    val dv = Seq(
+      (1L, Seq(1000L, 0L, 0L, 0L)),
+      (2L, Seq(500L, 0L, 0L, 0L)),   // parallel to 1 → same component
+      (3L, Seq(0L, 1000L, 0L, 0L)),
+      (4L, Seq(0L, 2000L, 0L, 0L)),  // parallel to 3 → same component
+      (5L, Seq(707L, 707L, 0L, 0L)), // 45° from both — edge-less
+      (6L, Seq(0L, 0L, 0L, 0L)))     // zero vector — never edges
+      .toDF("id", "vec")
+      .withColumn("s2", org.apache.spark.sql.functions.expr(
+        "aggregate(vec, 0L, (a, x) -> a + x * x)"))
+    val labels = DbscanCC.epsComponents(dv, "id", "vec", "s2",
+      dims = 4, bands = 8, bits = 4, cap = 64, salt = "t",
+      cosine = 0.9999, requireDotPos = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L),
+      "parallel pairs form two components labeled by their min id; " +
+        "edge-less (5) and zero (6) vertices are absent")
   }
 
-  test("weighted DBSCAN: a multiplicity-2 singleton vertex is a cluster") {
-    // Two far-apart distinct vectors; the first stands for 2 identical
-    // points (weight 2), the second is a true singleton. minPts=2:
-    // the weighted vertex must form a cluster, the singleton is noise.
-    def far(i: Int, j: Int) = false
-    val labels = Dbscan.fitGraph(2, far, minPts = 2,
-      weight = i => if (i == 0) 2 else 1)
-    assert(labels(0) === 0)
-    assert(labels(1) === -1)
+  test("DbscanCC.epsComponents: identical vectors under distinct ids " +
+      "always edge (distance 0 collides in every band)") {
+    import spark.implicits._
+    val dv = Seq(
+      (10L, Seq(3L, 1L, 4L, 1L)),
+      (20L, Seq(3L, 1L, 4L, 1L)),
+      (30L, Seq(-3L, -1L, -4L, -1L))) // antipode: dot < 0
+      .toDF("id", "vec")
+      .withColumn("s2", org.apache.spark.sql.functions.expr(
+        "aggregate(vec, 0L, (a, x) -> a + x * x)"))
+    // The antipode's dot² passes the magnitude test but must not edge:
+    // sign-LSH gives it flipped bits in every band (no collision) and
+    // requireDotPos=true rejects it even if a bucket ever matched.
+    val labels = DbscanCC.epsComponents(dv, "id", "vec", "s2",
+      dims = 4, bands = 8, bits = 4, cap = 64, salt = "t",
+      cosine = 0.85, requireDotPos = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(10L -> 10L, 20L -> 10L))
   }
 
   test("GSDMM assign routes unseen docs to the matching fitted topic") {
