@@ -206,6 +206,11 @@ object Bench {
       case Some(f) => SparkEntry.queries.filter { case (n, _) => f(n) }
       case None => SparkEntry.queries
     }
+    // Baseline parsed BEFORE timing: the self-healing pass right after
+    // the loop needs the per-query repair thresholds.
+    val basePath = sys.env.getOrElse("SPARK_GRAFT_GATE_BASELINE",
+      "docs/BENCH_BASELINE.json")
+    val (baseline, declaredN) = parseBaseline(basePath)
     val (loadStart, jvmStart, sparkStart) = cotenancy()
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val contendedQueries = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -265,15 +270,77 @@ object Bench {
         f"[bench] $name%-28s cold $cold%8.2f s  warm $warm%8.2f s  rows=$rows")
       (name, cold, warm, runs, rows)
     }
-    // Full per-query detail (every repeat + row count) goes to a sidecar
-    // file; stdout carries only the compact one-line summary the driver
-    // captures (its tail window truncated the r2 line — keep it short and
-    // make it the LAST line printed).
-    val detail = results.map { case (name, _, _, runs, rows) =>
+    // --- Self-healing remeasure pass (r10 verdict item 2). Detection
+    // alone leaves the repair to a human re-run (the r10 driver capture
+    // stamped degraded:true and a human had to produce the clean
+    // artifact). Any query whose warm beat its repair threshold WHILE
+    // the co-tenant/own-load stamps showed external contention is
+    // re-measured here, at end of run, up to 3 attempts with a growing
+    // back-off; an attempt counts only if it demonstrably ran clean (no
+    // co-tenant Spark JVM, both loadavg samples within idle + own + 4 —
+    // remeasureClean, same form as the per-query flag). Healed queries
+    // lose their contended flag and their warm becomes the min over all
+    // clean runs; queries the pass could not repair are named in-band
+    // ("unrepaired") so the artifact still carries the evidence.
+    val warmByName0 = results.map { case (k, _, w, _, _) => k -> w }.toMap
+    val healedWarm =
+      scala.collection.mutable.Map.empty[String, Double] ++ warmByName0
+    val remeasuredQ = scala.collection.mutable.LinkedHashSet.empty[String]
+    val unrepaired = scala.collection.mutable.LinkedHashSet.empty[String]
+    val extraRuns = scala.collection.mutable.Map.empty[String, List[Double]]
+    // Back-off budget: 1-min loadavg needs ~30-60 s to decay after a
+    // co-tenant dies, so retries wait 10 s then 30 s — but the TOTAL
+    // sleep across all suspects is capped (a run contended end-to-end
+    // must not stall the artifact by suspects × 40 s; those queries
+    // just land in "unrepaired").
+    var sleepBudgetMs = 120000L
+    healSuspects(warmByName0, contendedQueries.toSet, baseline)
+      .foreach { name =>
+        SparkEntry.queries.get(name).foreach { fn =>
+          var attempts = 0
+          var healed = false
+          while (attempts < 3 && !healed) {
+            if (attempts > 0) {
+              val want = if (attempts == 1) 10000L else 30000L
+              val t = math.min(want, sleepBudgetMs)
+              sleepBudgetMs -= t
+              if (t > 0) Thread.sleep(t)
+            }
+            attempts += 1
+            val (l1, _, s1) = cotenancy(); val o1 = OwnLoad.sample()
+            val r1 = timeOne(name, fn)
+            val r2 = timeOne(name, fn)
+            val (l2, _, s2) = cotenancy(); val o2 = OwnLoad.sample()
+            extraRuns(name) = extraRuns.getOrElse(name, Nil) ++ List(r1, r2)
+            if (remeasureClean(s1, s2, l1, o1, l2, o2, loadIdle)) {
+              healedWarm(name) =
+                math.min(healedWarm(name), math.min(r1, r2))
+              remeasuredQ += name
+              contendedQueries -= name
+              healed = true
+              System.err.println(f"[bench] $name%-28s remeasured clean: " +
+                f"warm ${healedWarm(name)}%.2f s (contended run said " +
+                f"${warmByName0(name)}%.2f s)")
+            }
+          }
+          if (!healed) {
+            unrepaired += name
+            System.err.println(s"[bench] $name could not be remeasured " +
+              s"clean in $attempts attempts — left contended")
+          }
+        }
+      }
+    // Full per-query detail (every repeat + row count + remeasure runs)
+    // goes to a sidecar file; stdout carries only the compact one-line
+    // summary the driver captures (its tail window truncated the r2
+    // line — keep it short and make it the LAST line printed).
+    val detail = results.map { case (name, _, _, runs0, rows) =>
+      val runs = runs0 ++ extraRuns.getOrElse(name, Nil)
       val rs = runs.map(r => f"$r%.3f").mkString("[", ",", "]")
       val ld = f"${perQueryLoad.getOrElse(name, -1.0)}%.1f"
       val ct = contendedQueries.contains(name)
-      s""""$name":{"runs":$rs,"rows":$rows,"load":$ld,"contended":$ct}"""
+      val rm = remeasuredQ.contains(name)
+      s""""$name":{"runs":$rs,"rows":$rows,"load":$ld,"contended":$ct,"remeasured":$rm}"""
     }.mkString("{", ",", "}")
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
@@ -286,15 +353,19 @@ object Bench {
     // totals (agg/join/dedup/...) so the whole catalog is still summarized
     // in-band; the complete per-query detail (every repeat, rows, load,
     // contention flag) is in the BENCH_DETAIL sidecar named by "detail".
-    val warmByName = results.map { case (k, _, w, _, _) => k -> w }.toMap
+    // Every downstream number reads the HEALED warm map — the remeasured
+    // values are the plan's real cost; the contended originals live on
+    // in the detail sidecar's runs arrays.
+    val warmByName = healedWarm.toMap
     val qs = headline.filter(warmByName.contains)
       .map(k => "\"" + k + "\":" + f"${warmByName(k)}%.2f")
       .mkString("{", ",", "}")
     val families = results.groupBy(_._1.takeWhile(_ != '_'))
       .toSeq.sortBy(_._1)
-      .map { case (fam, rs) => "\"" + fam + "\":" + f"${rs.map(_._3).sum}%.1f" }
+      .map { case (fam, rs) =>
+        "\"" + fam + "\":" + f"${rs.map(r => warmByName(r._1)).sum}%.1f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._3).sum
+    val total = results.map(r => warmByName(r._1)).sum
     val coldTotal = results.map(_._2).sum
     val errs = failed.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Co-tenancy stamp: numbers from a contended run (another Spark JVM
@@ -316,9 +387,6 @@ object Bench {
     // so a moderately co-tenant round artifact can never read as clean.
     // Filtered runs with <20 common queries stamp null (not comparable:
     // single-query noise would dominate the 15% band).
-    val basePath = sys.env.getOrElse("SPARK_GRAFT_GATE_BASELINE",
-      "docs/BENCH_BASELINE.json")
-    val (baseline, declaredN) = parseBaseline(basePath)
     val common = warmByName.keySet.intersect(baseline.keySet).toSeq
     val baseSum = common.map(baseline).sum
     val warmSum = common.map(warmByName).sum
@@ -327,7 +395,13 @@ object Bench {
       else (warmSum > 1.15 * baseSum).toString
     val vsBase =
       if (baseSum > 0) f"${warmSum / baseSum}%.3f" else "null"
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size},"cold_total":$coldTotal%.2f,"errors":$errs,"load_idle":$loadIdle%.1f,"load_start":$loadStart%.1f,"load_end":$loadEnd%.1f,"other_jvms":${math.max(jvmStart, jvmEnd)},"other_spark_jvms":${math.max(sparkStart, sparkEnd)},"contended":$contended,"contended_n":${contendedQueries.size},"contended_queries":$cq,"degraded":$degraded,"warm_vs_baseline":$vsBase,"families":$families,"queries":$qs,"detail":"$detailPath","sf":"$sfDir"}""")
+    // remeasured/unrepaired stamps: a reader seeing contended_n drop to 0
+    // with remeasured_n > 0 knows the numbers were HEALED, not born clean;
+    // unrepaired names (capped like contended_queries) say exactly which
+    // seconds are still polluted.
+    val unrep = unrepaired.toSeq.take(10).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size},"cold_total":$coldTotal%.2f,"errors":$errs,"load_idle":$loadIdle%.1f,"load_start":$loadStart%.1f,"load_end":$loadEnd%.1f,"other_jvms":${math.max(jvmStart, jvmEnd)},"other_spark_jvms":${math.max(sparkStart, sparkEnd)},"contended":$contended,"contended_n":${contendedQueries.size},"contended_queries":$cq,"remeasured_n":${remeasuredQ.size},"unrepaired":$unrep,"degraded":$degraded,"warm_vs_baseline":$vsBase,"families":$families,"queries":$qs,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
     // A bench run with ANY erroring query must not look like a clean perf
     // gate (r4: window_sessionize failed with rows=-1 yet rc=0, so the
@@ -391,6 +465,34 @@ object Bench {
       if (bad > 0) sys.exit(2)
     }
   }
+
+  /** Self-healing suspects (r10 verdict item 2): queries flagged
+    * contended whose warm ALSO beat the repair threshold
+    * max(1.5 × baseline, baseline + 0.5 s) — contention that didn't
+    * move a query's number needs no repair, and a slow query that ran
+    * clean is the plan's own fault (the gate's business, not the
+    * healer's). Queries without a baseline entry are skipped: there is
+    * no "expected" to heal toward. Sorted for deterministic retry
+    * order. */
+  private[graft] def healSuspects(warm: Map[String, Double],
+      contended: Set[String], baseline: Map[String, Double]): Seq[String] =
+    contended.toSeq.sorted.filter { n =>
+      baseline.get(n).exists(b =>
+        warm.getOrElse(n, 0.0) > math.max(1.5 * b, b + 0.5))
+    }
+
+  /** A remeasure attempt counts only if it demonstrably ran clean: no
+    * co-tenant Spark JVM at either boundary (an unknown count from a
+    * /proc walk failure reads -1 and is treated as clean, matching the
+    * per-query flag), and both loadavg samples within
+    * idle + own-runnable-EWMA + 4 — the same contention form the main
+    * loop applies, so "healed" means "re-ran under conditions the run
+    * itself would have called uncontended". */
+  private[graft] def remeasureClean(sparks1: Int, sparks2: Int,
+      load1: Double, own1: Double, load2: Double, own2: Double,
+      loadIdle: Double): Boolean =
+    math.max(sparks1, sparks2) <= 0 &&
+      load1 <= loadIdle + own1 + 4 && load2 <= loadIdle + own2 + 4
 
   /** Parse `{"n":N,"sf":...,"warm":{"name":sec,...}}` without a JSON
     * library (none on the classpath beyond Spark's shaded ones). The
