@@ -583,7 +583,72 @@ object JoinQueries extends QueryBase {
         FROM vocab v JOIN sx s1 ON s1.word = v.word
         ORDER BY v.word"""),
       doc = "dense soundex parity: every alphabetic corpus word coded " +
-        "by Spark's built-in vs the oracle's independent SQL soundex"))
+        "by Spark's built-in vs the oracle's independent SQL soundex"),
+
+    // Dynamic partition pruning over the partitioned gold layout (r10
+    // verdict item 4): the reference's date-bounded exhibition_day reads
+    // (migration_018.sql:32-41 consumers) are fact×dim joins where the
+    // dim's filter — not a literal on the fact — decides which
+    // partitions matter. Writing the fact partitionBy(month) (the
+    // pipe_upsert_partitioned layout) and joining it to a broadcast dim
+    // filtered on an attribute makes Catalyst inject a
+    // `dynamicpruningexpression` PARTITION filter into the fact scan,
+    // reusing the broadcast as the pruning subquery: at 100 TB the scan
+    // reads only the dim-selected months' files instead of the whole
+    // fact. DppSpec pins the plan (dynamicpruning filter present;
+    // partitions-read metric = selected months, not all) — the oracle
+    // replays the join relationally, where pruning is invisible by
+    // construction.
+    Q(
+      "join_dpp_partitioned",
+      (s, dir) => {
+        val tbl = graft.sources.Sources.scratchDir(dir, "dpp_fact_tbl")
+        val p = new org.apache.hadoop.fs.Path(tbl)
+        val hfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (hfs.exists(p)) hfs.delete(p, true) // fresh fixture per run
+        // one file per month partition: repartition on the partition key
+        // before the partitionBy write (the small-files guard)
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+          .repartition(col("order_month"))
+          .write.partitionBy("order_month").parquet(tbl)
+        val fact = s.read.parquet(tbl)
+        // dim: month catalog with an aggregate attribute; the filter
+        // (December months) lives on the DIM — the fact scan has no
+        // static predicate on order_month, only the dynamic one.
+        val dim = t(s, dir, "orders")
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM")
+            .as("order_month"))
+          .agg(count(lit(1)).as("month_orders"))
+          .filter(substring(col("order_month"), 6, 2) === "12")
+        fact.join(broadcast(dim), Seq("order_month"))
+          .groupBy("order_month")
+          .agg(count(lit(1)).as("n_rows"),
+            dsum(col("o_totalprice"), 10000L).as("total_price"),
+            max(col("month_orders")).as("month_orders"))
+          .orderBy("order_month")
+      },
+      Some("""
+        WITH fact AS (
+          SELECT o_orderkey, o_totalprice,
+                 strftime(o_orderdate, '%Y-%m') AS order_month
+          FROM orders),
+        dim AS (
+          SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+                 count(*) AS month_orders
+          FROM orders GROUP BY 1),
+        sel AS (SELECT * FROM dim WHERE substr(order_month, 6, 2) = '12')
+        SELECT f.order_month, count(*) AS n_rows,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+                 AS total_price,
+               max(month_orders) AS month_orders
+        FROM fact f JOIN sel USING (order_month)
+        GROUP BY f.order_month ORDER BY f.order_month"""),
+      doc = "dynamic partition pruning on the partitioned gold layout: " +
+        "dim-side filter prunes fact partitions via the reused broadcast " +
+        "(dynamicpruningexpression pinned by DppSpec); reference " +
+        "migration_018.sql:32-41 date-bounded exhibition_day reads"))
 
   /** DuckDB face of American Soundex over the corpus vocabulary plus
     * the probe set — `vocab(word)`, `probes(word, probe)`, `sx(word,

@@ -943,14 +943,6 @@ ${p}matched AS (
     Q(
       "pipe_zorder_layout",
       (s, dir) => {
-        def spread(c: Column): Column = {
-          var x = c.bitwiseAND(lit(65535L))
-          x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(16711935L))
-          x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(252645135L))
-          x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(858993459L))
-          x = x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(1431655765L))
-          x
-        }
         // Persisted: the two layouts each run RangeWindow's sketch +
         // count actions plus the main pass against this frame (6 scans
         // otherwise); tracked in CacheLedger, released by drivers after
@@ -959,8 +951,8 @@ ${p}matched AS (
           t(s, dir, "lineitem")
             .select(col("l_orderkey"), col("l_linenumber"),
               col("l_partkey").as("x"), col("l_suppkey").as("y"))
-            .withColumn("z", spread(col("x"))
-              .bitwiseOR(shiftleft(spread(col("y")), 1)))
+            .withColumn("z",
+              graft.core.Morton.interleave16(col("x"), col("y")))
             .persist())
         def layout(rangeKey: Column, tieKeys: Seq[Column], label: String) = {
           val (ranked, n) = graft.plans.RangeWindow.withRank(
