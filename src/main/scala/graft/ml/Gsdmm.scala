@@ -130,31 +130,51 @@ object Gsdmm {
     Result(labels, mz, top, nzw.map(_.toMap), nz, vocab, k, alpha, beta)
   }
 
-  /** Deterministic topic assignment for an unseen document: argmax over
-    * the fitted counts of the same movie-group score used during the
-    * Gibbs sweep (new-doc form — the doc's own counts are not in the
-    * model). Ties break to the lowest topic id. */
+  /** Movie-group log-score of `doc` under topic `z` (new-doc form — the
+    * doc's own counts are not in the model). Fused ln(a)-ln(b) terms in
+    * token order, left-fold sum: the exact arithmetic the DuckDB replay
+    * computes, so scores are bit-identical across engines. */
+  def score(model: Result, doc: Array[String], z: Int): Double = {
+    var s = math.log(model.clusterDocCount(z) + model.alpha)
+    val wc = model.wordCounts(z)
+    val seen = collection.mutable.HashMap.empty[String, Int]
+    var j = 0
+    while (j < doc.length) {
+      val w = doc(j)
+      val prior = seen.getOrElse(w, 0)
+      // same fused-term rounding order as the fit sweep (oracle parity)
+      s += math.log(wc.getOrElse(w, 0) + model.beta + prior) -
+        math.log(model.clusterWordTotal(z) + model.vocab * model.beta + j)
+      seen(w) = prior + 1
+      j += 1
+    }
+    s
+  }
+
+  /** Deterministic topic assignment for an unseen document: argmax of
+    * [[score]] over topics. Ties break to the lowest topic id. */
   def assign(model: Result, doc: Array[String]): Int = {
     var best = 0
     var bestS = Double.NegativeInfinity
     var z = 0
     while (z < model.k) {
-      var s = math.log(model.clusterDocCount(z) + model.alpha)
-      val wc = model.wordCounts(z)
-      val seen = collection.mutable.HashMap.empty[String, Int]
-      var j = 0
-      while (j < doc.length) {
-        val w = doc(j)
-        val prior = seen.getOrElse(w, 0)
-        // same fused-term rounding order as the fit sweep (oracle parity)
-        s += math.log(wc.getOrElse(w, 0) + model.beta + prior) -
-          math.log(model.clusterWordTotal(z) + model.vocab * model.beta + j)
-        seen(w) = prior + 1
-        j += 1
-      }
+      val s = score(model, doc, z)
       if (s > bestS) { bestS = s; best = z }
       z += 1
     }
     best
+  }
+
+  /** Max of [[score]] over topics — the held-out fit-quality term
+    * (ml_gsdmm_topics' `heldout_ll` column). */
+  def bestScore(model: Result, doc: Array[String]): Double = {
+    var bestS = Double.NegativeInfinity
+    var z = 0
+    while (z < model.k) {
+      val s = score(model, doc, z)
+      if (s > bestS) bestS = s
+      z += 1
+    }
+    bestS
   }
 }

@@ -200,10 +200,23 @@ ${p}top AS (SELECT CAST(zz AS INT) AS topic,
     * popularity 0 there, exercising the reference's fallback branches),
     * one closing timespan, one limited-entries timespan.
     */
-  private def knnFrame(s: SparkSession, dir: String): DataFrame = {
+  private def knnFrame(s: SparkSession, dir: String,
+      dropLastDays: Int = 0): DataFrame = {
     val ev = t(s, dir, "events")
-    val daily = ev.groupBy(to_date(col("ts")).as("day"))
+    val daily0 = ev.groupBy(to_date(col("ts")).as("day"))
       .agg(dsum(col("value")).as("entries"))
+    // Sample-prediction variant (predict.py:123-124: `all_entries =
+    // all_entries.iloc[:-days_to_predict]`): drop the LAST n observed
+    // days (row-based, matching pandas iloc over the one-row-per-day
+    // frame) before the span/grid build, so the 14 predicted days
+    // overlap held-back actuals. Anti-join against the top-n days — no
+    // global window needed.
+    val daily =
+      if (dropLastDays == 0) daily0
+      else daily0.join(
+        broadcast(daily0.select("day")
+          .orderBy(col("day").desc).limit(dropLastDays)),
+        Seq("day"), "left_anti")
     val span = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
     // Day grid = observed days + 14 days to predict, appended BEFORE
     // feature building so everything is preprocessed together
@@ -241,18 +254,28 @@ ${p}top AS (SELECT CAST(zz AS INT) AS topic,
       .drop("pmin", "pmax", "qmin", "qmax", "progress", "popularity")
   }
 
-  /** Literal interval predicates shared by every oracle below. */
-  private val knnOracleFrame = """
-    WITH daily AS (
+  /** Prefixed CTE chain `<p>daily0 … <p>frame` — the DuckDB face of
+    * [[knnFrame]] with the same literal interval predicates and the
+    * optional row-based drop of the last `dropLast` observed days
+    * (the sample-prediction variant, predict.py:123-124). ONE generator
+    * feeds ml_knn_features, ml_knn_forecast and both ml_knn_combined
+    * variants, so the faces cannot drift. */
+  private def knnFrameCtes(p: String, dropLast: Int): String = {
+    val dailySel =
+      if (dropLast == 0) s"SELECT * FROM ${p}daily0"
+      else s"""SELECT * FROM ${p}daily0 WHERE day NOT IN
+            (SELECT day FROM ${p}daily0 ORDER BY day DESC LIMIT $dropLast)"""
+    s"""${p}daily0 AS (
       SELECT CAST(ts AS DATE) AS day,
              CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS entries
       FROM events GROUP BY 1),
-    span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
-    grid AS (
+    ${p}daily AS ($dailySel),
+    ${p}span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ${p}daily),
+    ${p}grid AS (
       SELECT CAST(unnest(generate_series(d0, d1 + INTERVAL 14 DAY,
                                          INTERVAL 1 DAY)) AS DATE) AS day
-      FROM span),
-    f1 AS (
+      FROM ${p}span),
+    ${p}f1 AS (
       SELECT g.day, d.entries,
         CASE WHEN g.day BETWEEN DATE '2024-01-08' AND DATE '2024-01-09'
              THEN 1 ELSE 0 END AS is_closed,
@@ -267,15 +290,93 @@ ${p}top AS (SELECT CAST(zz AS INT) AS topic,
              WHEN g.day BETWEEN DATE '2024-01-21' AND DATE '2024-02-13' THEN 80.0
              ELSE 0.0 END AS popularity,
         CAST(isodow(g.day) - 1 AS INT) AS wd
-      FROM grid g LEFT JOIN daily d ON d.day = g.day),
-    sc AS (SELECT min(progress) AS pmin, max(progress) AS pmax,
-                  min(popularity) AS qmin, max(popularity) AS qmax FROM f1),
-    frame AS (
+      FROM ${p}grid g LEFT JOIN ${p}daily d ON d.day = g.day),
+    ${p}sc AS (SELECT min(progress) AS pmin, max(progress) AS pmax,
+                  min(popularity) AS qmin, max(popularity) AS qmax
+               FROM ${p}f1),
+    ${p}frame AS (
       SELECT f1.day, f1.entries, f1.is_closed, f1.limited_entries, f1.wd,
              (progress - pmin) / (pmax - pmin) AS progress_s,
              (popularity - qmin) / (qmax - qmin) AS popularity_s
-      FROM f1 CROSS JOIN sc)
-  """
+      FROM ${p}f1 f1 CROSS JOIN ${p}sc)"""
+  }
+
+  /** Prefixed CTE chain `<p>train … <p>out` — the DuckDB face of
+    * [[knnForecast]] over `<p>frame`; `<p>out` yields (day, predicted). */
+  private def knnForecastCtes(p: String): String = s"""
+    ${p}train AS (SELECT * FROM ${p}frame WHERE entries IS NOT NULL),
+    ${p}predict AS (SELECT * FROM ${p}frame WHERE entries IS NULL),
+    ${p}pairs AS (
+      SELECT p.day AS pday, p.is_closed, p.wd, t.day AS tday, t.entries,
+        CAST(p.is_closed - t.is_closed AS DOUBLE) * CAST(p.is_closed - t.is_closed AS DOUBLE)
+        + CAST(p.limited_entries - t.limited_entries AS DOUBLE) * CAST(p.limited_entries - t.limited_entries AS DOUBLE)
+        + (p.progress_s - t.progress_s) * (p.progress_s - t.progress_s)
+        + (p.popularity_s - t.popularity_s) * (p.popularity_s - t.popularity_s)
+        + CASE WHEN p.wd = t.wd THEN 0.0 ELSE 2.0 END AS dist2
+      FROM ${p}predict p CROSS JOIN ${p}train t),
+    ${p}ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY pday
+                                   ORDER BY dist2 ASC, tday ASC) AS rn
+      FROM ${p}pairs),
+    ${p}avg5 AS (
+      SELECT pday, any_value(is_closed) AS is_closed, any_value(wd) AS wd,
+             CAST(sum(CAST(round(entries * 100) AS BIGINT)) AS DOUBLE)
+               / 500.0 AS knn_pred
+      FROM ${p}ranked WHERE rn <= 5 GROUP BY pday),
+    ${p}minv AS (SELECT min(entries) AS min_e FROM ${p}train),
+    ${p}out AS (
+      SELECT strftime(pday, '%Y-%m-%d') AS day,
+             CAST(floor(CASE WHEN is_closed = 1 OR wd = 1 THEN min_e
+                             ELSE knn_pred END) AS BIGINT) AS predicted
+      FROM ${p}avg5 CROSS JOIN ${p}minv)"""
+
+  /** Literal interval predicates shared by every oracle below. */
+  private val knnOracleFrame = "\n    WITH " + knnFrameCtes("", 0) + "\n  "
+
+  /** KNN-5 visitor forecast over a [[knnFrame]]-shaped frame (N9;
+    * reference predict.py:95-206): train = rows with observed entries,
+    * predict = null-entry rows; exact integer-cents 5-NN mean with the
+    * closed-day/Monday min-fallback. Returns (day string, predicted) —
+    * shared by `ml_knn_forecast` and the two-variant `ml_knn_combined`. */
+  private def knnForecast(frame: DataFrame): DataFrame = {
+    val train = frame.filter(col("entries").isNotNull).select(
+      col("day").as("tday"), col("entries"),
+      col("is_closed").as("t_ic"), col("limited_entries").as("t_le"),
+      col("progress_s").as("t_pr"), col("popularity_s").as("t_po"),
+      col("wd").as("t_wd"))
+    val predict = frame.filter(col("entries").isNull)
+      .drop("entries")
+    val dIc = (col("is_closed") - col("t_ic")).cast("double")
+    val dLe = (col("limited_entries") - col("t_le")).cast("double")
+    val dPr = col("progress_s") - col("t_pr")
+    val dPo = col("popularity_s") - col("t_po")
+    // One-hot weekday distance: 0 if same weekday else 2 (exact).
+    val dWd = when(col("wd") === col("t_wd"), 0.0).otherwise(2.0)
+    val dist2 = dIc * dIc + dLe * dLe + dPr * dPr + dPo * dPo + dWd
+    val w = Window.partitionBy("pday")
+      .orderBy(col("dist2").asc, col("tday").asc)
+    val top5 = predict.select(col("day").as("pday"), col("is_closed"),
+        col("limited_entries"), col("progress_s"), col("popularity_s"),
+        col("wd"))
+      .join(broadcast(train))
+      .withColumn("dist2", dist2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+    // Exact mean of 5 raw entries: integer-cents sum (always 5 rows
+    // per group — no overflow headroom needed) / 500.0 as ONE double
+    // division, identical on the oracle side.
+    val knnPred = top5
+      .groupBy("pday", "is_closed", "wd")
+      .agg((sum(round(col("entries") * 100).cast("long")).cast("double")
+        / lit(500.0)).as("knn_pred"))
+    val minTrain = frame.filter(col("entries").isNotNull)
+      .agg(min(col("entries")).as("min_e"))
+    knnPred.crossJoin(broadcast(minTrain))
+      .select(
+        date_format(col("pday"), "yyyy-MM-dd").as("day"),
+        floor(when(col("is_closed") === 1 || col("wd") === 1, col("min_e"))
+          .otherwise(col("knn_pred"))).cast("long").as("predicted"))
+  }
 
   /** Jaccard link prediction over the customer–part bipartite graph —
     * the classic common-neighbors recommender signal (Liben-Nowell &
@@ -1401,74 +1502,41 @@ ${p}top AS (SELECT CAST(zz AS INT) AS topic,
     // in history size; one window per predict day ranks neighbors.
     Q(
       "ml_knn_forecast",
-      (s, dir) => {
-        val frame = knnFrame(s, dir)
-        val train = frame.filter(col("entries").isNotNull).select(
-          col("day").as("tday"), col("entries"),
-          col("is_closed").as("t_ic"), col("limited_entries").as("t_le"),
-          col("progress_s").as("t_pr"), col("popularity_s").as("t_po"),
-          col("wd").as("t_wd"))
-        val predict = frame.filter(col("entries").isNull)
-          .drop("entries")
-        val dIc = (col("is_closed") - col("t_ic")).cast("double")
-        val dLe = (col("limited_entries") - col("t_le")).cast("double")
-        val dPr = col("progress_s") - col("t_pr")
-        val dPo = col("popularity_s") - col("t_po")
-        // One-hot weekday distance: 0 if same weekday else 2 (exact).
-        val dWd = when(col("wd") === col("t_wd"), 0.0).otherwise(2.0)
-        val dist2 = dIc * dIc + dLe * dLe + dPr * dPr + dPo * dPo + dWd
-        val w = Window.partitionBy("pday")
-          .orderBy(col("dist2").asc, col("tday").asc)
-        val top5 = predict.select(col("day").as("pday"), col("is_closed"),
-            col("limited_entries"), col("progress_s"), col("popularity_s"),
-            col("wd"))
-          .join(broadcast(train))
-          .withColumn("dist2", dist2)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 5)
-        // Exact mean of 5 raw entries: integer-cents sum (always 5 rows
-        // per group — no overflow headroom needed) / 500.0 as ONE double
-        // division, identical on the oracle side.
-        val knnPred = top5
-          .groupBy("pday", "is_closed", "wd")
-          .agg((sum(round(col("entries") * 100).cast("long")).cast("double")
-            / lit(500.0)).as("knn_pred"))
-        val minTrain = frame.filter(col("entries").isNotNull)
-          .agg(min(col("entries")).as("min_e"))
-        knnPred.crossJoin(broadcast(minTrain))
-          .select(
-            date_format(col("pday"), "yyyy-MM-dd").as("day"),
-            floor(when(col("is_closed") === 1 || col("wd") === 1, col("min_e"))
-              .otherwise(col("knn_pred"))).cast("long").as("predicted"))
-          .orderBy("day")
-      },
-      Some(knnOracleFrame + """
-        , train AS (SELECT * FROM frame WHERE entries IS NOT NULL),
-        predict AS (SELECT * FROM frame WHERE entries IS NULL),
-        pairs AS (
-          SELECT p.day AS pday, p.is_closed, p.wd, t.day AS tday, t.entries,
-            CAST(p.is_closed - t.is_closed AS DOUBLE) * CAST(p.is_closed - t.is_closed AS DOUBLE)
-            + CAST(p.limited_entries - t.limited_entries AS DOUBLE) * CAST(p.limited_entries - t.limited_entries AS DOUBLE)
-            + (p.progress_s - t.progress_s) * (p.progress_s - t.progress_s)
-            + (p.popularity_s - t.popularity_s) * (p.popularity_s - t.popularity_s)
-            + CASE WHEN p.wd = t.wd THEN 0.0 ELSE 2.0 END AS dist2
-          FROM predict p CROSS JOIN train t),
-        ranked AS (
-          SELECT *, row_number() OVER (PARTITION BY pday
-                                       ORDER BY dist2 ASC, tday ASC) AS rn
-          FROM pairs),
-        avg5 AS (
-          SELECT pday, any_value(is_closed) AS is_closed, any_value(wd) AS wd,
-                 CAST(sum(CAST(round(entries * 100) AS BIGINT)) AS DOUBLE)
-                   / 500.0 AS knn_pred
-          FROM ranked WHERE rn <= 5 GROUP BY pday),
-        minv AS (SELECT min(entries) AS min_e FROM train)
-        SELECT strftime(pday, '%Y-%m-%d') AS day,
-               CAST(floor(CASE WHEN is_closed = 1 OR wd = 1 THEN min_e
-                               ELSE knn_pred END) AS BIGINT) AS predicted
-        FROM avg5 CROSS JOIN minv ORDER BY day"""),
+      (s, dir) => knnForecast(knnFrame(s, dir)).orderBy("day"),
+      Some(knnOracleFrame + "," + knnForecastCtes("") + """
+        SELECT day, predicted FROM out ORDER BY day"""),
       doc = "N9 KNN visitor prediction, full feature frame, distributed " +
         "broadcast-cross-join KNN; reference predict.py:95-206"),
+
+    // CombinePredictions (reference predict.py:35-56): the SAME forecast
+    // run twice — is_sample=false trains on everything and predicts the
+    // next 14 days; is_sample=true first drops the last 14 observed days
+    // (iloc[:-14]) so its 14 predictions overlap held-back actuals —
+    // then unioned with the flag. Each variant rebuilds its own frame
+    // (span, grid, MinMax scalers) exactly like the reference's
+    // per-variant preprocessing.
+    Q(
+      "ml_knn_combined",
+      (s, dir) => {
+        val full = knnForecast(knnFrame(s, dir))
+          .withColumn("is_sample", lit(false))
+        val sample = knnForecast(knnFrame(s, dir, dropLastDays = 14))
+          .withColumn("is_sample", lit(true))
+        full.unionByName(sample).orderBy("is_sample", "day")
+      },
+      Some(s"""
+        WITH ${knnFrameCtes("f_", 0)},
+        ${knnForecastCtes("f_")},
+        ${knnFrameCtes("s_", 14)},
+        ${knnForecastCtes("s_")}
+        SELECT day, predicted, is_sample FROM (
+          SELECT day, predicted, false AS is_sample FROM f_out
+          UNION ALL
+          SELECT day, predicted, true AS is_sample FROM s_out)
+        ORDER BY is_sample, day"""),
+      doc = "CombinePredictions two-variant union: full forecast + " +
+        "sample forecast over the last-14-days-held-back frame, " +
+        "is_sample-flagged; reference predict.py:35-56,123-124"),
 
     // N7: DBSCAN over byte-histogram vectors (cosine, minPts=2, noise
     // dropped) — reference post_opinion_patterns.py:169-210. With
@@ -1561,13 +1629,39 @@ ${p}top AS (SELECT CAST(zz AS INT) AS topic,
       (s, dir) => {
         val toksAll = th(s, dir, "documents")
           .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
-        val sample = toksAll
+        // Fixed 256-doc fit cap (documented choice, docs/SCALE.md §gsdmm):
+        // the reference fits hundreds of posts (topic_modeling.py), and
+        // GSDMM's Gibbs sweep is inherently sequential — a bigger cap
+        // buys driver time, not model capacity for k=10 short-text
+        // topics. What the cap COSTS at scale is measured, not assumed:
+        // the 64 docs ranked directly AFTER the sample in the same h64
+        // order (disjoint by construction) score a held-out mean best
+        // log-likelihood, emitted as `heldout_ll` — a corpus that
+        // outgrows the sample shows up as this metric degrading across
+        // sfs/mints, in-band, per run.
+        val ranked = toksAll
           .orderBy(h64(col("doc_id")).asc, col("doc_id").asc)
-          .limit(256)
+          .limit(320)
           .collect()
+        val sample = ranked.take(256)
+        val heldout = ranked.drop(256)
         val docs = sample.map(r => (r.getLong(0), r.getSeq[String](1).toArray))
           .sortBy(_._1).map(_._2)
         val model = Gsdmm.fit(docs, k = 10, alpha = 0.1, beta = 0.1, iters = 10)
+        // Held-out mean best-score: per-doc FLOOR to integer micro-units
+        // (floor of a double is an exact binary op — bit-identical in
+        // both engines, unlike half-up rounding which detours through
+        // decimal strings), exact integer sum (order-independent), one
+        // double division; the final 6-decimal rounding goes through
+        // Spark SQL round vs DuckDB round — the repo's established
+        // parity pair.
+        val hoMicro = heldout.map { r =>
+          math.floor(
+            Gsdmm.bestScore(model, r.getSeq[String](1).toArray) * 1e6).toLong
+        }.sum
+        val heldoutLL =
+          if (heldout.isEmpty) 0.0
+          else hoMicro.toDouble / (heldout.length * 1e6)
         val bc = s.sparkContext.broadcast(model)
         val assignU = udf((toks: Seq[String]) =>
           Gsdmm.assign(bc.value, toks.toArray))
@@ -1579,23 +1673,42 @@ ${p}top AS (SELECT CAST(zz AS INT) AS topic,
           .groupBy("topic")
           .agg(count(lit(1)).as("n_docs"))
           .join(broadcast(topDf), Seq("topic"))
+          .withColumn("heldout_ll", round(lit(heldoutLL), 6))
           .orderBy("topic")
-          .select("topic", "n_docs", "top_words")
+          .select("topic", "n_docs", "top_words", "heldout_ll")
       },
       // The oracle COMPUTES (r7 verdict item 5 — the pinned-literal
       // oracle is retired): the counter-based sampler makes the Gibbs
       // trajectory a pure function, and the recursive CTE replays it
       // bit-for-bit — init, all 10 sweeps, final counts, full-corpus
-      // argmax assignment, top-3 words — at ANY corpus/sf.
+      // argmax assignment, top-3 words, held-out fit metric — at ANY
+      // corpus/sf.
       Some(s"""
         WITH RECURSIVE d0 AS (
           SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk
           FROM documents),
-        ${gsdmmReplaySql("q_", "d0", k = 10, iters = 10, sampleN = 256)}
+        ${gsdmmReplaySql("q_", "d0", k = 10, iters = 10, sampleN = 256)},
+        q_ho AS (
+          SELECT doc_id FROM d0
+          ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) ASC,
+                   doc_id ASC
+          LIMIT 64 OFFSET 256),
+        q_hobest AS (
+          SELECT sc.doc_id, max(sc.s) AS s
+          FROM q_ascore sc JOIN q_ho ho ON ho.doc_id = sc.doc_id
+          GROUP BY sc.doc_id),
+        q_hll AS (
+          SELECT coalesce(round(
+            CAST(sum(CAST(floor(s * 1000000) AS BIGINT)) AS DOUBLE)
+              / (count(*) * 1000000.0), 6), 0.0) AS heldout_ll
+          FROM q_hobest)
         SELECT a.topic, CAST(count(*) AS BIGINT) AS n_docs,
-               coalesce(t.top_words, '') AS top_words
-        FROM q_assign a LEFT JOIN q_top t ON t.topic = a.topic
-        GROUP BY a.topic, t.top_words ORDER BY a.topic"""),
+               coalesce(t.top_words, '') AS top_words,
+               h.heldout_ll
+        FROM q_assign a
+          LEFT JOIN q_top t ON t.topic = a.topic
+          CROSS JOIN q_hll h
+        GROUP BY a.topic, t.top_words, h.heldout_ll ORDER BY a.topic"""),
       doc = "N8 GSDMM bounded-sample fit + distributed broadcast argmax " +
         "assignment; reference topic_modeling.py:181-245; oracle replays " +
         "the counter-based Gibbs trajectory as a recursive CTE"),
