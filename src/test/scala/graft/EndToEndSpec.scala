@@ -140,4 +140,64 @@ class EndToEndSpec extends SparkSpec {
       ("Facebook Post", 0.8, 1L),     // "echter"
       ("Google Maps", 0.0, 2L)))      // "pictures" + "nicht"
   }
+
+  test("quotas acceptance invariants: scraped fill satisfies the " +
+      "migration_052 schema contract") {
+    // The reference's acceptance trio, quotas domain
+    // (tests/schema/check_quotas.py + the DDL constraints the fill must
+    // satisfy, migration_052.sql:4-23): presence, PK uniqueness, the
+    // capacity CHECK (max - sold - reserved = available), and REFERENCES
+    // gomus_quota — run over the engine's own scraped path on the
+    // reference's HTML fixtures, through the K1 upsert sink.
+    val refData = java.nio.file.Paths.get("/root/reference/tests/test_data/gomus")
+    assume(java.nio.file.Files.isDirectory(refData))
+    val dir = Files.createTempDirectory("graft-e2e-quotas").toString
+    val qDir = Files.createDirectory(java.nio.file.Paths.get(dir, "qpages"))
+    val cDir = Files.createDirectory(java.nio.file.Paths.get(dir, "cpages"))
+    Seq("quotas_1.html", "quotas_34.html").foreach(f =>
+      Files.copy(refData.resolve(s"quotas/$f"), qDir.resolve(f)))
+    // the 2021-04-19 page is the reference's ValueError fixture (no
+    // basic cells, no ignored message) — it belongs to the raise test in
+    // GomusScrapeSpec, not to a fill
+    Seq("capacities_1_2019-10-28.html", "capacities_30_2020-10-26.html",
+        "capacities_18_2021-04-12.html").foreach(f =>
+      Files.copy(refData.resolve(s"capacities/$f"), cDir.resolve(f)))
+
+    val quotas = graft.bronze.Scrape.quotaDetails(spark, qDir.toString)
+    val caps0 = graft.bronze.Scrape.capacities(spark, cDir.toString,
+      java.time.LocalDate.parse("2021-04-12"))
+    // REFERENCES gomus_quota: the engine's FK stage (J2) enforces what
+    // the reference delegates to the DDL — fixture capacity pages cover
+    // quotas 1/30/18 while the quota pages cover 1/34, so the violating
+    // fills drop here instead of failing a DB constraint.
+    val caps = graft.core.FkFilter.filter(caps0, Seq(
+      graft.core.FkFilter.Fk(Seq("quota_id"), "gomus_quota",
+        quotas.select(col("quota_id")), Seq("quota_id"))))
+
+    Upsert.upsertWrite(spark, s"$dir/gomus_quota", quotas, Seq("quota_id"))
+    Upsert.upsertWrite(spark, s"$dir/gomus_capacity", caps,
+      Seq("quota_id", "date", "time"))
+    val quota = spark.read.parquet(s"$dir/gomus_quota")
+    val capacity = spark.read.parquet(s"$dir/gomus_capacity")
+
+    // check_quotas.py:18-31 — presence of both fills
+    assert(quota.count() > 0, "No quota is present")
+    assert(capacity.count() > 0, "No capacity is present")
+    // PK uniqueness (quota_id) / (quota_id, date, time)
+    assert(quota.groupBy("quota_id").count()
+      .filter($"count" > 1).count() === 0)
+    assert(capacity.groupBy("quota_id", "date", "time").count()
+      .filter($"count" > 1).count() === 0)
+    // the capacity CHECK, migration_052.sql:21
+    assert(capacity.filter(
+      $"max" - $"sold" - $"reserved" =!= $"available").count() === 0,
+      "CHECK (max - sold - reserved = available) violated")
+    // FK holds after the filter stage
+    val known = quota.select($"quota_id").as[Int].collect().toSet
+    assert(capacity.select($"quota_id").distinct().as[Int].collect()
+      .forall(known), "capacity.quota_id must reference gomus_quota")
+    // and the filter actually had to bite (quotas 30/18 have no page)
+    assert(caps0.select($"quota_id").distinct().count() >
+      capacity.select($"quota_id").distinct().count())
+  }
 }
