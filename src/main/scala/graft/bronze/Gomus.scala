@@ -63,7 +63,7 @@ object Gomus {
     val span = minsOf(col("Uhrzeit bis")) - minsOf(col("Uhrzeit von"))
     raw.select(
       // double-hop cast: the report reads ids as floats ("10101.0")
-      col("Buchung").cast("double").cast("int").as("booking_id"),
+      col("Buchung").cast("double").cast("long").as("booking_id"),
       col("Angebotskategorie").as("category"),
       coalesce(col("Anzahl Teilnehmende").cast("double").cast("int"), lit(0))
         .as("participants"),
@@ -97,7 +97,7 @@ object Gomus {
     val regDate = try_to_date(col("Erstellt am"), "dd.MM.yyyy")
     raw.select(
       when(email.isNotNull, privacyHash("`E-Mail`"))
-        .otherwise(col("Nummer").cast("double").cast("int")).as("customer_id"),
+        .otherwise(col("Nummer").cast("double").cast("long")).as("customer_id"),
       regexp_replace(col("PLZ").cast("string"), "\\.0$", "").as("postal_code"),
       (col("Newsletter") === "ja").as("newsletter"),
       when(col("Anrede") === "Frau", "w")
@@ -125,9 +125,9 @@ object Gomus {
   def gomusToCustomerMapping(raw: DataFrame): DataFrame = {
     GraftFunctions.register(raw.sparkSession)
     raw.select(
-      col("Nummer").cast("double").cast("int").as("gomus_id"),
+      col("Nummer").cast("double").cast("long").as("gomus_id"),
       when(col("E-Mail").isNotNull, privacyHash("`E-Mail`"))
-        .otherwise(col("Nummer").cast("double").cast("int"))
+        .otherwise(col("Nummer").cast("double").cast("long"))
         .as("customer_id"))
   }
 
@@ -153,12 +153,12 @@ object Gomus {
     */
   def extractOrders(raw: DataFrame, mapping: DataFrame): DataFrame = {
     val orders = raw.select(
-      col("Bestellnummer").cast("double").cast("int").as("order_id"),
+      col("Bestellnummer").cast("double").cast("long").as("order_id"),
       // Missing-ness must be captured BEFORE the 0 fallback: a report id
       // that is LITERALLY 0 still goes through the mapping lookup.
       col("Kundennummer").isNull.as("__missing"),
       xlDate(col("Erstellt")).as("order_date"),
-      coalesce(col("Kundennummer").cast("double").cast("int"), lit(0))
+      coalesce(col("Kundennummer").cast("double").cast("long"), lit(0L))
         .as("gomus_id"),
       (lower(col("ist gültig?")) === "ja").as("valid"),
       (lower(col("Bezahlstatus")) === "bezahlt").as("paid"),
@@ -189,7 +189,7 @@ object Gomus {
     val counts = array(hourCols.map(h =>
       coalesce(col(s"`$h`").cast("double").cast("int"), lit(0))): _*)
     sheet.select(
-        coalesce(col("ID").cast("double").cast("int"), lit(0)).as("id"),
+        coalesce(col("ID").cast("double").cast("long"), lit(0L)).as("id"),
         col("Ticket").as("ticket"),
         posexplode(counts).as(Seq("hour", countName)))
       .select(col("id"), col("ticket"),
@@ -248,10 +248,10 @@ object Gomus {
       .select("booking_id", "category")
     sheets.join(latest2, Seq("booking_id"))
       .select(
-        col("ID").cast("double").cast("int").as("id"),
-        col("booking_id").cast("int").as("event_id"),
-        coalesce(privacyHash("`E-Mail`"),
-          col("`E-Mail`").cast("double").cast("int"), lit(0))
+        col("ID").cast("double").cast("long").as("id"),
+        col("booking_id").cast("long").as("event_id"),
+        coalesce(privacyHash("`E-Mail`").cast("long"),
+          col("`E-Mail`").cast("double").cast("long"), lit(0L))
           .as("customer_id"),
         col("`Plätze`").cast("double").cast("int").as("reservation_count"),
         xlDate(col("`gebucht am`")).as("order_date"),

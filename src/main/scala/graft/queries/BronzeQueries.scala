@@ -187,7 +187,7 @@ object BronzeQueries extends QueryBase {
         // gomus→customer mapping: even customer keys map, odd are unknown
         val mapping = c.filter(col("c_custkey") % 2 === 0)
           .select(col("c_custkey").as("gomus_id"),
-            (col("c_custkey") * 2 + 1).cast("int").as("customer_id"))
+            (col("c_custkey") * 2 + 1).cast("long").as("customer_id"))
         Gomus.extractOrders(raw, mapping)
           .select(col("order_id"),
             date_format(col("order_date"), "yyyy-MM-dd").as("order_day"),
@@ -204,7 +204,7 @@ object BronzeQueries extends QueryBase {
           -- the golden fixture pair in GomusGoldenSpec); only present ids
           -- go through the mapping, where odd keys are unmapped -> NULL.
           CASE WHEN o_orderkey % 7 = 0 THEN 0
-               WHEN o_custkey % 2 = 0 THEN CAST(o_custkey * 2 + 1 AS INT)
+               WHEN o_custkey % 2 = 0 THEN CAST(o_custkey * 2 + 1 AS BIGINT)
           END AS customer_id,
           o_orderkey % 3 IN (0, 1) AS valid,
           o_orderkey % 4 IN (0, 1) AS paid,
@@ -356,7 +356,7 @@ object BronzeQueries extends QueryBase {
         val o = t(s, dir, "orders")
         val key = col("o_orderkey")
         val bookings = o.select(
-          key.cast("int").as("booking_id"),
+          key.cast("long").as("booking_id"),
           when(key % 4 === 0, "Führung")
             .when(key % 4 === 1, "Öffentliche Führung")
             .when(key % 4 === 2, "Workshop")
@@ -371,7 +371,7 @@ object BronzeQueries extends QueryBase {
         val sheets = o.select(key.as("bk"),
             explode(sequence(lit(0), lit(3))).as("r"))
           .select(
-            col("bk").cast("int").as("booking_id"),
+            col("bk").cast("long").as("booking_id"),
             (col("bk") * 10 + col("r")).cast("string").as("ID"),
             when((col("bk") * 10 + col("r")) % 3 === 0,
               lit(null).cast("string"))
@@ -414,7 +414,7 @@ object BronzeQueries extends QueryBase {
             END AS email
           FROM kept s, LATERAL (SELECT unnest(range(0, 4)) AS r) r),
         ${Mm3Sql.chain("raw", "rid", "email", 18, 666L, "m")}
-        SELECT CAST(r.rid AS INT) AS id, CAST(r.k AS INT) AS event_id,
+        SELECT CAST(r.rid AS BIGINT) AS id, CAST(r.k AS BIGINT) AS event_id,
           coalesce(m.hash, 0) AS customer_id,
           CAST((r.k + r.r) % 7 AS INT) AS reservation_count,
           strftime(DATE '1899-12-30' + CAST(r.k % 2000 + 40000 AS INT),

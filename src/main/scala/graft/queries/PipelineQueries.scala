@@ -778,12 +778,12 @@ ${p}matched AS (
           when(key % 2 === 0, "online").otherwise("kasse").as("Herkunft"))
         val mapping = c.filter(col("c_custkey") % 2 === 0)
           .select(col("c_custkey").as("gomus_id"),
-            (col("c_custkey") * 2 + 1).cast("int").as("customer_id"))
+            (col("c_custkey") * 2 + 1).cast("long").as("customer_id"))
         val normalized = graft.bronze.Gomus.extractOrders(raw, mapping)
         // FK filter: only customers with c_custkey % 4 == 0 exist in the
         // reference table → mapped-but-unknown ids drop, NULLs escape
         val ref = c.filter(col("c_custkey") % 4 === 0)
-          .select((col("c_custkey") * 2 + 1).cast("int").as("customer_id"))
+          .select((col("c_custkey") * 2 + 1).cast("long").as("customer_id"))
         val filtered = graft.core.FkFilter.filter(normalized, Seq(
           graft.core.FkFilter.Fk(Seq("customer_id"), "customer", ref,
             Seq("customer_id"))))

@@ -164,18 +164,18 @@ class BronzeSpec extends SparkSpec {
       .toDF("booking_id", "ID", "E-Mail", "Plätze", "gebucht am", "cancelled")
     val out = Gomus.extractEvents(bookings, sheets)
       .orderBy("id").collect()
-    assert(out.map(_.getAs[Int]("id")).toSeq === Seq(20, 21, 30, 40))
+    assert(out.map(_.getAs[Long]("id")).toSeq === Seq(20L, 21L, 30L, 40L))
     val r20 = out(0)
-    assert(r20.getAs[Int]("event_id") === 2)
-    assert(r20.getAs[Int]("customer_id") ===
-      graft.functions.Murmur3Ops.hashBytes("mail@example.de".getBytes("UTF-8"), 666))
+    assert(r20.getAs[Long]("event_id") === 2L)
+    assert(r20.getAs[Long]("customer_id") ===
+      graft.functions.Murmur3Ops.hashBytes("mail@example.de".getBytes("UTF-8"), 666).toLong)
     assert(r20.getAs[Int]("reservation_count") === 2)
     // xldate epoch 1899-12-30: serial 44000 → 2020-06-18; .5 floors away
     assert(r20.getAs[java.sql.Date]("order_date").toString === "2020-06-18")
     assert(r20.getAs[String]("status") === "Gebucht")
     assert(r20.getAs[String]("path_key") === "Fuehrung")
     // null email → hash fallback 0; cancelled sheet → Storniert
-    assert(out(1).getAs[Int]("customer_id") === 0)
+    assert(out(1).getAs[Long]("customer_id") === 0L)
     assert(out(1).getAs[String]("status") === "Storniert")
   }
 
