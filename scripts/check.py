@@ -6,11 +6,15 @@ Usage: python3 scripts/check.py <verify_out_dir> <sf_dir> [query,query,...]
 For each query: load Spark's parquet result, run the oracle SQL in DuckDB
 over the same sf dir, sort columns by name, sort rows, compare values.
 
-The optional third argument restricts the run to a comma-separated query
-list (the same filter Verify accepts): oracle_sql.json always carries the
-FULL catalog, so a filtered Verify run would otherwise stamp every
-unrequested query MISSING_RESULT and fail the gate even when all targeted
-queries hash-match (x100_gate.sh is the consumer).
+The optional third argument restricts the run to a comma-separated list of
+query-name PREFIXES — the same filter contract Verify.scala applies
+(startsWith), so x100_gate.sh can pass one $QUERIES string to both stages.
+oracle_sql.json always carries the FULL catalog, so a filtered Verify run
+would otherwise stamp every unrequested query MISSING_RESULT and fail the
+gate even when all targeted queries hash-match. A prefix that selects a
+result dir without an oracle entry grades ROWS_ONLY (exactly as an
+unfiltered run would); a prefix matching neither an oracle key nor a
+result dir is a typo and fails loudly.
 """
 import sys, os, json, glob
 import duckdb
@@ -74,13 +78,24 @@ def main():
             path = f"{path}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    # Parsed ONCE; every later filter decision reads these prefixes.
+    prefixes = None
     if len(sys.argv) > 3 and sys.argv[3].strip():
-        wanted = [q.strip() for q in sys.argv[3].split(",") if q.strip()]
-        unknown = [q for q in wanted if q not in oracle]
+        prefixes = [q.strip() for q in sys.argv[3].split(",") if q.strip()]
+
+    def selected(name):
+        return prefixes is None or any(name.startswith(p) for p in prefixes)
+
+    if prefixes is not None:
+        result_dirs = {n for n in os.listdir(outdir)
+                       if os.path.isdir(os.path.join(outdir, n))}
+        unknown = [p for p in prefixes
+                   if not any(k.startswith(p) for k in oracle)
+                   and not any(n.startswith(p) for n in result_dirs)]
         if unknown:
-            sys.exit(f"query filter names unknown queries: {unknown} "
-                     "(not in oracle_sql.json)")
-        oracle = {k: v for k, v in oracle.items() if k in wanted}
+            sys.exit(f"query filter prefixes match nothing: {unknown} "
+                     "(neither an oracle_sql.json key nor a result dir)")
+        oracle = {k: v for k, v in oracle.items() if selected(k)}
     # Transcendental self-check (see Verify.scala / graft.ml.Gsdmm): the
     # GSDMM oracles assume JVM Math.log/exp == DuckDB libm bit-for-bit on
     # the exercised range. Replay Verify's pinned probe grid with EXACT
@@ -112,16 +127,15 @@ def main():
         else:
             print(f"transcendental probe: {len(probes)}/{len(probes)} "
                   "ln/exp bit-exact JVM≡DuckDB")
-    wanted_set = set(oracle) if len(sys.argv) > 3 and sys.argv[3].strip() \
-        else None
     results = {}
     for name in sorted(os.listdir(outdir)):
         d = os.path.join(outdir, name)
         if not os.path.isdir(d):
             continue
         # Under a query filter, result dirs from a broader Verify run are
-        # out of scope — don't grade them as ROWS_ONLY.
-        if wanted_set is not None and name not in wanted_set:
+        # out of scope — don't grade them as ROWS_ONLY. (Prefix match, so
+        # an in-scope rows-only dir with no oracle entry IS graded.)
+        if not selected(name):
             continue
         files = glob.glob(os.path.join(d, "*.parquet"))
         got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True) \
@@ -156,6 +170,15 @@ def main():
     for name in oracle:
         if name not in results:
             results[name] = "MISSING_RESULT (Spark-side failure — see verify stderr)"
+    # Optional machine-readable dump (GRAFT_CHECK_JSON=path): the scale
+    # gates (x10/x100 protocol scripts) commit these as CORRECTNESS_*
+    # artifacts instead of re-parsing the human lines.
+    if os.environ.get("GRAFT_CHECK_JSON"):
+        with open(os.environ["GRAFT_CHECK_JSON"], "w") as f:
+            json.dump({"sf_dir": sfdir, "queries": results,
+                       "n_ok": sum(1 for v in results.values()
+                                   if v.startswith("OK")),
+                       "n_total": len(results)}, f, indent=1)
     n_ok = sum(1 for v in results.values() if v.startswith("OK"))
     # An EMPTY rows-only result is a failure: a crashed run that still wrote
     # an empty dir (or a query that degenerated to 0 rows) must not pass.

@@ -1,0 +1,28 @@
+#!/usr/bin/env bash
+# FULL-CATALOG x10 result-parity gate: mint the x10 dir, run every
+# SparkEntry query through Verify, replay every oracle in DuckDB
+# (alone, capped). The heavy-family subset lives in CORRECTNESS_X10.json
+# (r7-r10 protocol); this is the whole-surface decade-up proof —
+# 233/233 expected. Artifact: CORRECTNESS_X10_FULL.json.
+# Usage: scripts/x10_gate.sh [mint_dir] (default /tmp/sf1)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+DIR="${1:-/tmp/sf1}"
+OUT=/tmp/x10_gate_out
+
+if [ ! -f "$DIR/documents.parquet/_SUCCESS" ] && [ ! -d "$DIR/documents.parquet" ]; then
+  echo "[x10] minting $DIR from /root/testdata/sf0.1 (x10)"
+  scripts/run_main.sh graft.MintScale /root/testdata/sf0.1 "$DIR" 10
+fi
+
+echo "[x10] Spark side: full catalog"
+rm -rf "$OUT"
+SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+  scripts/run_main.sh graft.Verify "$DIR" "$OUT"
+
+echo "[x10] DuckDB replay (run this ALONE — no Spark JVMs alive)"
+GRAFT_DUCKDB_THREADS="${GRAFT_DUCKDB_THREADS:-4}" \
+GRAFT_DUCKDB_MEMLIMIT="${GRAFT_DUCKDB_MEMLIMIT:-100GB}" \
+GRAFT_DUCKDB_TMP="${GRAFT_DUCKDB_TMP:-/tmp/ducktmp}" \
+GRAFT_CHECK_JSON="${GRAFT_CHECK_JSON:-/tmp/x10_full_check.json}" \
+  python3 scripts/check.py "$OUT" "$DIR"

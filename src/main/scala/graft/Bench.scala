@@ -266,6 +266,13 @@ object Bench {
       // the reported seconds) — lets the artifact distinguish "plan got
       // slower" from "plan produced different work".
       val rows = try fn(spark, sfDir).count() catch { case _: Throwable => failed += name; -1L }
+      // Ledger-tracked persists (aspect-match score table, the DBSCAN
+      // distinct-vector frame) outlive their lazy builders; without this
+      // per-query release a full bench session accumulates one persisted
+      // copy per distinct plan and later queries time against squatted
+      // executor memory. Safe here: every run of this query has
+      // materialized (noop sink + count).
+      graft.core.CacheLedger.release()
       System.err.println(
         f"[bench] $name%-28s cold $cold%8.2f s  warm $warm%8.2f s  rows=$rows")
       (name, cold, warm, runs, rows)
@@ -294,12 +301,38 @@ object Bench {
     // must not stall the artifact by suspects × 40 s; those queries
     // just land in "unrepaired").
     var sleepBudgetMs = 120000L
-    def healPass(suspects: Seq[String], why: String): Unit =
-      suspects.foreach { name =>
+    // A heal re-run that THROWS must not become the healed warm: timeOne
+    // returns seconds-to-failure (near zero for an early crash) and adds
+    // to `failed`, flipping the whole bench to exit 1 even though the
+    // main loop measured the query fine. Heal attempts run through this
+    // non-polluting runner instead — a crash discards the attempt and
+    // keeps the main-loop measurement.
+    def timeHealRun(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) =>
+          org.apache.spark.sql.DataFrame): Option[Double] = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name heal re-run FAILED — attempt " +
+          s"discarded, main-loop measurement kept: ${e.getMessage}")
+        None
+      }
+    }
+    // maxAttempts: 3 for the targeted contended pass; the degraded sweep
+    // passes 1 — its cap×attempts×2-runs product is otherwise 6× the
+    // "one remeasure pass" its comment promises on a still-contended host.
+    def healPass(suspects: Seq[String], why: String,
+        maxAttempts: Int = 3): Unit =
+      // Queries that FAILED in the main loop have nothing to heal (their
+      // warm is a crash duration already surfaced via errors/exit 1) and
+      // would crash again here, 2×maxAttempts more times.
+      suspects.filterNot(failed).foreach { name =>
         SparkEntry.queries.get(name).foreach { fn =>
           var attempts = 0
           var healed = false
-          while (attempts < 3 && !healed) {
+          while (attempts < maxAttempts && !healed) {
             if (attempts > 0) {
               val want = if (attempts == 1) 10000L else 30000L
               val t = math.min(want, sleepBudgetMs)
@@ -308,13 +341,16 @@ object Bench {
             }
             attempts += 1
             val (l1, _, s1) = cotenancy(); val o1 = OwnLoad.sample()
-            val r1 = timeOne(name, fn)
-            val r2 = timeOne(name, fn)
+            val r1 = timeHealRun(name, fn)
+            val r2 = timeHealRun(name, fn)
+            graft.core.CacheLedger.release()
             val (l2, _, s2) = cotenancy(); val o2 = OwnLoad.sample()
-            extraRuns(name) = extraRuns.getOrElse(name, Nil) ++ List(r1, r2)
-            if (remeasureClean(s1, s2, l1, o1, l2, o2, loadIdle)) {
+            val ok = List(r1, r2).flatten
+            extraRuns(name) = extraRuns.getOrElse(name, Nil) ++ ok
+            if (ok.size == 2 &&
+                remeasureClean(s1, s2, l1, o1, l2, o2, loadIdle)) {
               healedWarm(name) =
-                math.min(healedWarm(name), math.min(r1, r2))
+                math.min(healedWarm(name), ok.min)
               remeasuredQ += name
               contendedQueries -= name
               healed = true
@@ -347,7 +383,7 @@ object Bench {
       val warmSum0 = common0.toSeq.map(healedWarm).sum
       if (common0.size >= 20 && baseSum0 > 0 && warmSum0 > 1.15 * baseSum0)
         healPass(degradedSweep(healedWarm.toMap, baseline, remeasuredQ.toSet),
-          "degraded-sweep")
+          "degraded-sweep", maxAttempts = 1)
     }
     // Full per-query detail (every repeat + row count + remeasure runs)
     // goes to a sidecar file; stdout carries only the compact one-line
@@ -416,11 +452,12 @@ object Bench {
       if (baseSum > 0) f"${warmSum / baseSum}%.3f" else "null"
     // remeasured/unrepaired stamps: a reader seeing contended_n drop to 0
     // with remeasured_n > 0 knows the numbers were HEALED, not born clean;
-    // unrepaired names (capped like contended_queries) say exactly which
-    // seconds are still polluted.
+    // unrepaired names say which seconds are still polluted — and like
+    // contended_queries, the capped list travels WITH its true count
+    // (unrepaired_n), so truncation can't read as the full set.
     val unrep = unrepaired.toSeq.take(10).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size},"cold_total":$coldTotal%.2f,"errors":$errs,"load_idle":$loadIdle%.1f,"load_start":$loadStart%.1f,"load_end":$loadEnd%.1f,"other_jvms":${math.max(jvmStart, jvmEnd)},"other_spark_jvms":${math.max(sparkStart, sparkEnd)},"contended":$contended,"contended_n":${contendedQueries.size},"contended_queries":$cq,"remeasured_n":${remeasuredQ.size},"unrepaired":$unrep,"degraded":$degraded,"warm_vs_baseline":$vsBase,"families":$families,"queries":$qs,"detail":"$detailPath","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size},"cold_total":$coldTotal%.2f,"errors":$errs,"load_idle":$loadIdle%.1f,"load_start":$loadStart%.1f,"load_end":$loadEnd%.1f,"other_jvms":${math.max(jvmStart, jvmEnd)},"other_spark_jvms":${math.max(sparkStart, sparkEnd)},"contended":$contended,"contended_n":${contendedQueries.size},"contended_queries":$cq,"remeasured_n":${remeasuredQ.size},"unrepaired_n":${unrepaired.size},"unrepaired":$unrep,"degraded":$degraded,"warm_vs_baseline":$vsBase,"families":$families,"queries":$qs,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
     // A bench run with ANY erroring query must not look like a clean perf
     // gate (r4: window_sessionize failed with rows=-1 yet rc=0, so the

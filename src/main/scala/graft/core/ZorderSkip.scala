@@ -50,10 +50,15 @@ object ZorderSkip {
 
   def run(spark: SparkSession, sfDir: String, scratch: String,
       files: Int = 64): Result = {
+    // Persisted: the projection + Morton interleave otherwise recomputes
+    // from the lineitem scan THREE times (two repartitionByRange writes
+    // plus the quantile pass) — at the ×10 scale this probe documents,
+    // that triples its wall time for no accuracy gain.
     val li = Tables.load(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_partkey").as("x"), col("l_suppkey").as("y"))
       .withColumn("z", Morton.interleave16(col("x"), col("y")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val zDir = s"$scratch/zorder"
     val nDir = s"$scratch/natural"
     val conf = spark.sessionState.newHadoopConf()
@@ -73,6 +78,7 @@ object ZorderSkip {
     // the assertions are inequalities with margin, not exact counts).
     val q = li.stat.approxQuantile(Array("x", "y"),
       Array(0.45, 0.55), 0.001)
+    li.unpersist(false) // both layouts written, quantiles taken
     val (xLo, xHi) = (q(0)(0).toLong, q(0)(1).toLong)
     val (yLo, yHi) = (q(1)(0).toLong, q(1)(1).toLong)
     val (zNeed, zTotal) = filesNeeded(spark, zDir, xLo, xHi, yLo, yHi)

@@ -1,8 +1,6 @@
 package graft
 
 import graft.queries.Catalog
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
 /** Plan + metric proof for `join_dpp_partitioned` (r10 verdict item 4):
   * the dim-side filter must reach the partitioned fact scan as a
@@ -10,22 +8,14 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   * pruning subquery), and the scan must then READ only the dim-selected
   * month partitions — otherwise the query demonstrates a join, not
   * pruning.
+  *
+  * Scan collection reuses graft.core.ZorderSkip.fileScans — the one AQE
+  * descent in the repo — so a Spark-version fix to the wrapper traversal
+  * lands in both consumers at once.
   */
 class DppSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
-
-  /** Collect FileSourceScanExec nodes, descending through the AQE
-    * wrappers plain TreeNode traversal treats as leaves
-    * (AdaptiveSparkPlanExec and materialized QueryStageExec). */
-  private def allScans(p: SparkPlan)
-      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
-    p.collect {
-      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
-      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        allScans(q.plan)
-    }.flatten
 
   test("fact scan carries a dynamicpruning partition filter and reads " +
       "only the selected partitions") {
@@ -50,7 +40,8 @@ class DppSpec extends SparkSpec {
       .count(_.getName.matches("order_month=\\d{4}-12"))
     assert(decMonths > 0 && decMonths < allMonths,
       s"fixture must have prunable layout ($decMonths of $allMonths)")
-    val scans = allScans(df.queryExecution.executedPlan).filter(
+    val scans = graft.core.ZorderSkip.fileScans(
+      df.queryExecution.executedPlan).filter(
       _.relation.location.rootPaths.exists(_.toString.contains("dpp_fact_tbl")))
     assert(scans.nonEmpty, "partitioned fact scan not found in final plan")
     val scan = scans.head
