@@ -118,6 +118,34 @@ object ArrayKernelOps {
       scala.collection.immutable.ArraySeq.unsafeWrapArray(v)))
   }
 
+  /** Banded sign-LSH bucket keys over an INTEGER vector (the DbscanCC
+    * blocking): per band, `bits` hyperplane sign bits packed into a long.
+    * Exact long arithmetic — bit-identical to the `element_at` mul-add
+    * expression chain it replaces and to the DuckDB face (DbscanSql).
+    * Contract: elements non-null, length = the planes' dim count. */
+  def bandKeysL(a: ArrayData, planes: Array[Array[Long]], bands: Int,
+      bits: Int): ArrayData = {
+    val v = a.toLongArray()
+    val out = new Array[Long](bands)
+    var bd = 0
+    while (bd < bands) {
+      var key = 0L
+      var j = 0
+      while (j < bits) {
+        val plane = planes(bd * bits + j)
+        var dot = 0L
+        var d = 0
+        val n = if (v.length < plane.length) v.length else plane.length
+        while (d < n) { dot += v(d) * plane(d); d += 1 }
+        if (dot > 0) key |= (1L << j)
+        j += 1
+      }
+      out(bd) = key
+      bd += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Set-Jaccard of two string arrays over raw UTF8Strings. */
   def jaccard(a: ArrayData, b: ArrayData): Double = {
     val sa = new java.util.HashSet[UTF8String]()
@@ -297,6 +325,40 @@ case class BandKeysF(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev,
       c => s"graft.functions.ArrayKernelOps.bandKeysF($c)")
   override protected def withNewChildInternal(c: Expression): BandKeysF =
+    copy(child = c)
+}
+
+/** `band_keys_l(array<long>, salt, bands, bits, dims) → array<long>` —
+  * banded sign-LSH bucket keys over integer vectors with the md5-derived
+  * hyperplanes of [[graft.ml.DbscanCC.coef]] (salt/bands/bits/dims are
+  * literals; the coefficient table is built once at plan time and shipped
+  * as a reference object). The inline expression form this replaces
+  * (bands × bits × dims `element_at` mul-add terms in one Project —
+  * 1,024 at the N7 config) overflowed Janino's 64 KB method limit and
+  * silently dropped the whole stage out of whole-stage codegen (observed
+  * on the ×10 gate run); the kernel is one compiled loop at any config.
+  */
+case class BandKeysL(child: Expression, salt: String, bands: Int,
+    bits: Int, dims: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<long>, got $other")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "band_keys_l"
+  @transient private lazy val planes: Array[Array[Long]] =
+    Array.tabulate(bands * bits)(p =>
+      Array.tabulate(dims)(d => graft.ml.DbscanCC.coef(salt, p, d)))
+  override protected def nullSafeEval(a: Any): Any =
+    ArrayKernelOps.bandKeysL(a.asInstanceOf[ArrayData], planes, bands, bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bkPlanes", planes, "long[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ArrayKernelOps.bandKeysL($c, $ref, $bands, $bits)")
+  }
+  override protected def withNewChildInternal(c: Expression): BandKeysL =
     copy(child = c)
 }
 

@@ -36,6 +36,13 @@ object GraftFunctions {
       s"expected a numeric literal, got $other")
   }
 
+  private def strOf(e: Expression): String = e.eval() match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+    case s: String => s
+    case other => throw new IllegalArgumentException(
+      s"expected a string literal, got $other")
+  }
+
   private def binOf(e: Expression): Array[Byte] = e.eval() match {
     case b: Array[Byte] => b
     case other => throw new IllegalArgumentException(
@@ -53,6 +60,8 @@ object GraftFunctions {
     "cosine_ff" -> (exprs => CosineFF(exprs(0), exprs(1))),
     "cosine_fd" -> (exprs => CosineFD(exprs(0), exprs(1))),
     "band_keys_f" -> (exprs => BandKeysF(exprs(0))),
+    "band_keys_l" -> (exprs => BandKeysL(exprs(0), strOf(exprs(1)),
+      seedOf(exprs(2)), seedOf(exprs(3)), seedOf(exprs(4)))),
     "bigram_stats" -> (exprs => BigramStats(exprs(0))),
     "repetition_keep" -> (exprs =>
       RepetitionKeep(exprs(0), dblOf(exprs(1)), dblOf(exprs(2)))),

@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Fully distributed minPts=2 (weighted) DBSCAN over cosine distance —
@@ -76,22 +76,20 @@ object DbscanCC {
       s2Col: String, dims: Int, bands: Int, bits: Int, cap: Int,
       salt: String, cosine: Double, requireDotPos: Boolean): DataFrame = {
     require(bits <= 8, "bkey is bit-packed into the low byte per band")
+    graft.functions.GraftFunctions.register(dv.sparkSession)
     val nz = dv.filter(col(s2Col) > 0)
       .select(col(idCol).as("id"), col(vecCol).as("vec"), col(s2Col).as("s2"))
-    // Band keys: sign bits of `bits` integer hyperplane dots, packed.
-    // Coefficients are literals (computed ONCE here, not per row); the
-    // dot is a codegen'd long mul-add chain.
-    val bandCols: Seq[Column] = (0 until bands).map { bd =>
-      val bkey = (0 until bits).map { j =>
-        val dot = (0 until dims).map(d =>
-          element_at(col("vec"), d + 1) * lit(coef(salt, bd * bits + j, d)))
-          .reduce(_ + _)
-        when(dot > 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(bd).as("bd"), bkey.as("bkey"))
-    }
-    val bkt = nz.select(col("id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("id"), col("b.bd").as("bd"), col("b.bkey").as("bkey"))
+    // Band keys: sign bits of `bits` integer hyperplane dots, packed —
+    // computed by the compiled band_keys_l kernel (coefficients built
+    // once at plan time from `coef`, same values as the DuckDB face).
+    // The previous inline expression form (bands × bits × dims
+    // element_at mul-add terms in ONE Project — 1,024 at the N7 config)
+    // overflowed Janino's 64 KB method limit and dropped the stage out
+    // of whole-stage codegen; the kernel keeps it compiled at any
+    // config, bit-identical results.
+    val bkt = nz.select(col("id"),
+      posexplode(expr(s"band_keys_l(vec, '$salt', $bands, $bits, $dims)"))
+        .as(Seq("bd", "bkey")))
     val capped = graft.plans.TopK.perKey(
       bkt, Seq("bd", "bkey"), Seq(("id", true)), cap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
