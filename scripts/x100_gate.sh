@@ -9,7 +9,11 @@ DIR="${1:-/tmp/sf100}"
 OUT=/tmp/x100_gate_out
 QUERIES=dedup_minhash_slice,dedup_winnowing_slice,dedup_containment_slice,ml_linkpred_slice,pipe_zorder_layout,window_rfm_scores,window_pareto_abc
 
-if [ ! -f "$DIR/documents.parquet/_SUCCESS" ] && [ ! -d "$DIR/documents.parquet" ]; then
+# Mint completeness sentinel: embeddings is the LAST table MintScale
+# writes (Tables order), so its _SUCCESS proves the whole mint landed —
+# a documents-only check would accept an interrupted mint and grade the
+# gate against partial data.
+if [ ! -f "$DIR/embeddings.parquet/_SUCCESS" ]; then
   echo "[x100] minting $DIR from /root/testdata/sf0.1 (x100)"
   scripts/run_main.sh graft.MintScale /root/testdata/sf0.1 "$DIR" 100
 fi

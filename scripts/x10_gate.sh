@@ -10,7 +10,11 @@ cd "$(dirname "$0")/.."
 DIR="${1:-/tmp/sf1}"
 OUT=/tmp/x10_gate_out
 
-if [ ! -f "$DIR/documents.parquet/_SUCCESS" ] && [ ! -d "$DIR/documents.parquet" ]; then
+# Mint completeness sentinel: embeddings is the LAST table MintScale
+# writes (Tables order), so its _SUCCESS proves the whole mint landed —
+# a documents-only check would accept an interrupted mint and grade the
+# gate against partial data.
+if [ ! -f "$DIR/embeddings.parquet/_SUCCESS" ]; then
   echo "[x10] minting $DIR from /root/testdata/sf0.1 (x10)"
   scripts/run_main.sh graft.MintScale /root/testdata/sf0.1 "$DIR" 10
 fi

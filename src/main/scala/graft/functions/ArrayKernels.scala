@@ -126,6 +126,15 @@ object ArrayKernelOps {
   def bandKeysL(a: ArrayData, planes: Array[Array[Long]], bands: Int,
       bits: Int): ArrayData = {
     val v = a.toLongArray()
+    // A dims/vector-length mismatch must FAIL, not truncate: a partial
+    // dot can flip a sign bit that the DuckDB face (full-length list
+    // arithmetic) and the replaced expression form (NULL-propagating
+    // element_at past the end) would never set — a silent blocking
+    // divergence at exactly the parity boundary.
+    if (planes.length > 0 && v.length != planes(0).length)
+      throw new IllegalArgumentException(
+        s"band_keys_l: vector length ${v.length} != configured dims " +
+          s"${planes(0).length}")
     val out = new Array[Long](bands)
     var bd = 0
     while (bd < bands) {
@@ -135,8 +144,7 @@ object ArrayKernelOps {
         val plane = planes(bd * bits + j)
         var dot = 0L
         var d = 0
-        val n = if (v.length < plane.length) v.length else plane.length
-        while (d < n) { dot += v(d) * plane(d); d += 1 }
+        while (d < plane.length) { dot += v(d) * plane(d); d += 1 }
         if (dot > 0) key |= (1L << j)
         j += 1
       }

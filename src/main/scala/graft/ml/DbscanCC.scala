@@ -76,7 +76,6 @@ object DbscanCC {
       s2Col: String, dims: Int, bands: Int, bits: Int, cap: Int,
       salt: String, cosine: Double, requireDotPos: Boolean): DataFrame = {
     require(bits <= 8, "bkey is bit-packed into the low byte per band")
-    graft.functions.GraftFunctions.register(dv.sparkSession)
     val nz = dv.filter(col(s2Col) > 0)
       .select(col(idCol).as("id"), col(vecCol).as("vec"), col(s2Col).as("s2"))
     // Band keys: sign bits of `bits` integer hyperplane dots, packed —
@@ -86,10 +85,16 @@ object DbscanCC {
     // element_at mul-add terms in ONE Project — 1,024 at the N7 config)
     // overflowed Janino's 64 KB method limit and dropped the stage out
     // of whole-stage codegen; the kernel keeps it compiled at any
-    // config, bit-identical results.
+    // config, bit-identical results. The expression is constructed
+    // directly (no SQL string round-trip: salt is an arbitrary caller
+    // String, and the registry route would rewrite the session's
+    // experimental optimizations as a side effect on every call).
+    val bandKeys = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.BandKeysL(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("vec")),
+        salt, bands, bits, dims))
     val bkt = nz.select(col("id"),
-      posexplode(expr(s"band_keys_l(vec, '$salt', $bands, $bits, $dims)"))
-        .as(Seq("bd", "bkey")))
+      posexplode(bandKeys).as(Seq("bd", "bkey")))
     val capped = graft.plans.TopK.perKey(
       bkt, Seq("bd", "bkey"), Seq(("id", true)), cap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

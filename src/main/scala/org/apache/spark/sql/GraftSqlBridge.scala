@@ -11,4 +11,14 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Wrap a raw Catalyst expression in a public Column (and back) —
+    * `classic.ExpressionUtils` is private[sql]. Lets builders construct
+    * parameterized custom expressions (e.g. band_keys_l) directly
+    * instead of round-tripping through a SQL string + the function
+    * registry (string quoting hazard, registration side effects). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }
