@@ -87,14 +87,24 @@ def main():
         return prefixes is None or any(name.startswith(p) for p in prefixes)
 
     if prefixes is not None:
-        result_dirs = {n for n in os.listdir(outdir)
-                       if os.path.isdir(os.path.join(outdir, n))}
+        # Prefixes are validated against CATALOG NAMES, not stale result
+        # dirs: Verify dumps queries_all.json (every catalog query name,
+        # including rows-only ones with no oracle entry), so a typo'd
+        # prefix fails loudly even when outdir still holds result dirs
+        # from a prior broader run (r11 ADVICE — a stale dir used to
+        # launder a typo into a silent ROWS_ONLY grade). Result dirs are
+        # the fallback only when the manifest predates this contract.
+        manifest_path = os.path.join(outdir, "queries_all.json")
+        if os.path.exists(manifest_path):
+            known = set(json.load(open(manifest_path))) | set(oracle)
+        else:
+            known = set(oracle) | {n for n in os.listdir(outdir)
+                                   if os.path.isdir(os.path.join(outdir, n))}
         unknown = [p for p in prefixes
-                   if not any(k.startswith(p) for k in oracle)
-                   and not any(n.startswith(p) for n in result_dirs)]
+                   if not any(k.startswith(p) for k in known)]
         if unknown:
             sys.exit(f"query filter prefixes match nothing: {unknown} "
-                     "(neither an oracle_sql.json key nor a result dir)")
+                     "(no catalog query name starts with them)")
         oracle = {k: v for k, v in oracle.items() if selected(k)}
     # Transcendental self-check (see Verify.scala / graft.ml.Gsdmm): the
     # GSDMM oracles assume JVM Math.log/exp == DuckDB libm bit-for-bit on
@@ -173,24 +183,29 @@ def main():
     # Optional machine-readable dump (GRAFT_CHECK_JSON=path): the scale
     # gates (x10/x100 protocol scripts) commit these as CORRECTNESS_*
     # artifacts instead of re-parsing the human lines.
-    if os.environ.get("GRAFT_CHECK_JSON"):
-        with open(os.environ["GRAFT_CHECK_JSON"], "w") as f:
-            json.dump({"sf_dir": sfdir, "queries": results,
-                       "n_ok": sum(1 for v in results.values()
-                                   if v.startswith("OK")),
-                       "n_total": len(results)}, f, indent=1)
     n_ok = sum(1 for v in results.values() if v.startswith("OK"))
     # An EMPTY rows-only result is a failure: a crashed run that still wrote
     # an empty dir (or a query that degenerated to 0 rows) must not pass.
     n_rows_only = sum(1 for v in results.values()
                       if v.startswith("ROWS_ONLY") and "EMPTY" not in v)
+    passed = n_ok + n_rows_only == len(results)
+    # Machine-readable dump carries the SAME pass criterion as the exit
+    # code (n_ok + non-empty rows-only == total) as an explicit boolean —
+    # a consumer gating on n_ok == n_total alone would disagree with the
+    # exit code whenever rows-only queries are in scope (r11 ADVICE).
+    if os.environ.get("GRAFT_CHECK_JSON"):
+        with open(os.environ["GRAFT_CHECK_JSON"], "w") as f:
+            json.dump({"sf_dir": sfdir, "queries": results,
+                       "n_ok": n_ok, "n_rows_only": n_rows_only,
+                       "n_total": len(results), "passed": passed},
+                      f, indent=1)
     for k, v in results.items():
         mark = "✓" if v.startswith("OK") else (
             "·" if v.startswith("ROWS_ONLY") and "EMPTY" not in v else "✗")
         print(f"{mark} {k}: {v}")
     print(f"\n{n_ok} OK, {n_rows_only} rows-only, "
           f"{len(results) - n_ok - n_rows_only} FAILED of {len(results)}")
-    sys.exit(0 if n_ok + n_rows_only == len(results) else 1)
+    sys.exit(0 if passed else 1)
 
 
 if __name__ == "__main__":

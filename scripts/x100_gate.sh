@@ -12,8 +12,21 @@ QUERIES=dedup_minhash_slice,dedup_winnowing_slice,dedup_containment_slice,ml_lin
 # Mint completeness sentinel: embeddings is the LAST table MintScale
 # writes (Tables order), so its _SUCCESS proves the whole mint landed —
 # a documents-only check would accept an interrupted mint and grade the
-# gate against partial data.
+# gate against partial data. A NON-EMPTY dir without the sentinel is
+# ambiguous — an interrupted mint (safe to overwrite) or a
+# hand-provisioned dataset without Spark _SUCCESS markers (re-minting
+# would destroy it) — so it requires an explicit opt-in instead of a
+# silent mode(overwrite) (r11 ADVICE).
 if [ ! -f "$DIR/embeddings.parquet/_SUCCESS" ]; then
+  if [ -d "$DIR" ] && [ -n "$(ls -A "$DIR" 2>/dev/null)" ] \
+     && [ "${GRAFT_REMINT_OK:-}" != "1" ]; then
+    echo "[x100] $DIR exists non-empty but has no mint sentinel" >&2
+    echo "[x100] (embeddings.parquet/_SUCCESS). If it is an interrupted" >&2
+    echo "[x100] mint, re-run with GRAFT_REMINT_OK=1 to overwrite it;" >&2
+    echo "[x100] if it is a hand-provisioned dataset, refusing to" >&2
+    echo "[x100] destroy it." >&2
+    exit 3
+  fi
   echo "[x100] minting $DIR from /root/testdata/sf0.1 (x100)"
   scripts/run_main.sh graft.MintScale /root/testdata/sf0.1 "$DIR" 100
 fi

@@ -13,8 +13,19 @@ OUT=/tmp/x10_gate_out
 # Mint completeness sentinel: embeddings is the LAST table MintScale
 # writes (Tables order), so its _SUCCESS proves the whole mint landed —
 # a documents-only check would accept an interrupted mint and grade the
-# gate against partial data.
+# gate against partial data. A NON-EMPTY dir without the sentinel could
+# also be a hand-provisioned dataset (no Spark _SUCCESS markers) —
+# re-minting would destroy it, so that case needs GRAFT_REMINT_OK=1
+# (r11 ADVICE; same guard as x100_gate.sh).
 if [ ! -f "$DIR/embeddings.parquet/_SUCCESS" ]; then
+  if [ -d "$DIR" ] && [ -n "$(ls -A "$DIR" 2>/dev/null)" ] \
+     && [ "${GRAFT_REMINT_OK:-}" != "1" ]; then
+    echo "[x10] $DIR exists non-empty without the mint sentinel" >&2
+    echo "[x10] (embeddings.parquet/_SUCCESS) — interrupted mint or" >&2
+    echo "[x10] hand-provisioned data. Re-run with GRAFT_REMINT_OK=1" >&2
+    echo "[x10] to overwrite." >&2
+    exit 3
+  fi
   echo "[x10] minting $DIR from /root/testdata/sf0.1 (x10)"
   scripts/run_main.sh graft.MintScale /root/testdata/sf0.1 "$DIR" 10
 fi

@@ -47,6 +47,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Full catalog-name manifest (INCLUDING rows-only queries that have
+    // no oracle entry): check.py validates query-filter prefixes against
+    // these names, so a typo'd prefix fails loudly instead of matching a
+    // stale result dir from a prior broader run (r11 ADVICE).
+    Files.writeString(Paths.get(s"$outDir/queries_all.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     // Transcendental probe: GSDMM oracle parity rests on Math.log/exp
     // agreeing bit-for-bit with DuckDB's libm on the inputs the corpus
     // exercises (graft.ml.Gsdmm header). Dump the JVM's ln/exp output

@@ -126,11 +126,18 @@ object ArrayKernelOps {
   def bandKeysL(a: ArrayData, planes: Array[Array[Long]], bands: Int,
       bits: Int): ArrayData = {
     val v = a.toLongArray()
-    // A dims/vector-length mismatch must FAIL, not truncate: a partial
-    // dot can flip a sign bit that the DuckDB face (full-length list
-    // arithmetic) and the replaced expression form (NULL-propagating
-    // element_at past the end) would never set — a silent blocking
-    // divergence at exactly the parity boundary.
+    // A dims/vector-length mismatch must FAIL in BOTH directions, not
+    // truncate or pad. Shorter: a partial dot can flip a sign bit that
+    // the DuckDB face (full-length list arithmetic) and the replaced
+    // expression form (NULL-propagating element_at past the end) would
+    // never set — a silent blocking divergence at exactly the parity
+    // boundary. Longer: the replaced element_at form silently IGNORED
+    // trailing elements, but "padded" vectors are not a legitimate input
+    // here — every caller (DbscanCC, the dedup blockers) builds vectors
+    // whose length IS the configured dims, and a longer vector means the
+    // caller's dims constant is stale, which the oracle (which always
+    // dots the full list) would disagree with. Crashing names the bug;
+    // the old form shipped it (r11 ADVICE documents this choice).
     if (planes.length > 0 && v.length != planes(0).length)
       throw new IllegalArgumentException(
         s"band_keys_l: vector length ${v.length} != configured dims " +

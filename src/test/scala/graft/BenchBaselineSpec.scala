@@ -85,6 +85,62 @@ class BenchBaselineSpec extends AnyFunSuite {
     assert(Bench.remeasureClean(-1, -1, 5.0, 2.0, 6.0, 3.0, 1.0))
   }
 
+  // --- idle-anchor floor (r11 verdict item 3) ---
+
+  test("idleAnchor: a busy-start capture gets the strict threshold") {
+    // BENCH_r11 shape: the pre-session sample read 9.2 on a loaded host
+    // with no other JVMs alive — the anchor floors it to 2.0, so the
+    // per-query contention threshold (anchor + own + 4) is ~7 points
+    // stricter than the raw sample would have made it.
+    assert(Bench.idleAnchor(9.2, 0) == 2.0)
+    // a genuinely idle host keeps its (smaller) sample
+    assert(Bench.idleAnchor(1.3, 0) == 1.3)
+    // other live JVMs legitimately raise idle load: one point each
+    assert(Bench.idleAnchor(9.2, 3) == 5.0)
+    // unknown JVM count (/proc walk failure, -1) contributes zero —
+    // strict, not lenient
+    assert(Bench.idleAnchor(9.2, -1) == 2.0)
+  }
+
+  // --- ratio-space gate (r11 verdict item 2) ---
+
+  test("ratioGate catches a localized regression the absolute gate " +
+      "misses, under a uniform epoch drift") {
+    // Fault injection: 24 sub-second queries all drifted a uniform
+    // 1.15× (hypervisor epoch), one 0.4 s query regressed 1.8×. The
+    // absolute gate's limit max(2×, +1 s) never trips (0.72 s < 1.4 s);
+    // the ratio gate flags exactly the planted query against the run
+    // median of 1.15.
+    val base = (1 to 24).map(i => s"q$i" -> 0.4).toMap + ("planted" -> 0.4)
+    val warm = base.map { case (n, b) =>
+      n -> (if (n == "planted") b * 1.8 else b * 1.15)
+    }
+    // absolute gate would pass everything:
+    assert(warm.forall { case (n, w) =>
+      w <= math.max(2 * base(n), base(n) + 1.0) })
+    val (median, bad) = Bench.ratioGate(warm, base)
+    assert(math.abs(median - 1.15) < 1e-9)
+    assert(bad.map(_._1) == Seq("planted"))
+    assert(math.abs(bad.head._2 - 1.8) < 1e-9)
+  }
+
+  test("ratioGate: uniform drift alone trips nothing; noise floor and " +
+      "small-run cutoff hold") {
+    val base = (1 to 25).map(i => s"q$i" -> 1.0).toMap
+    // uniform 1.3× drift: median moves with it, zero failures
+    val drifted = base.map { case (n, b) => n -> b * 1.3 }
+    assert(Bench.ratioGate(drifted, base)._2.isEmpty)
+    // a 0.02 s query "doubling" is timer jitter, not a regression:
+    // ratio 2.0 > 1.5×median but warm-base = 20 ms < the 100 ms floor
+    val tinyBase = base + ("tiny" -> 0.02)
+    val tinyWarm = base.map { case (n, b) => n -> b } + ("tiny" -> 0.04)
+    assert(Bench.ratioGate(tinyWarm, tinyBase)._2.isEmpty)
+    // fewer than 20 shared queries: gate declines (NaN median, no bad)
+    val few = (1 to 5).map(i => s"q$i" -> 1.0).toMap
+    val (m, b) = Bench.ratioGate(few.map { case (n, v) => n -> v * 9 }, few)
+    assert(m.isNaN && b.isEmpty)
+  }
+
   test("a drifted entry shrinks the parsed map below the declared n") {
     // uppercase name: a drift shape the name regex deliberately rejects —
     // the count check catches the shrink. Scientific notation is PARSED
