@@ -218,6 +218,50 @@ object ArrayKernelOps {
     val topFrac = 2.0 * top / math.max(nTok, 1)
     dup <= dupMax && topFrac <= topMax
   }
+
+  /** Luhn digit sum over an all-digit string with the DOUBLED-ODD-LEFT-
+    * INDEX convention: 1-based left positions 1,3,5,… double (and fold
+    * >9 back by −9). For an EVEN-length candidate this is exactly ISO/
+    * IEC 7812 Luhn (the check digit lands on an even left index and is
+    * never doubled); for the 15-digit mint payload it is the sum the
+    * appended check digit must complement — the two call sites of
+    * pipe_pii_redact, whose DuckDB oracle replays the identical parity
+    * rule. Returns −1 on any non-digit char (validity tests then fail
+    * instead of masking on garbage). The HOF fold form of this
+    * (aggregate∘transform∘substring per digit) evaluated interpreted at
+    * ~50 µs/row and put the whole PII projection on the slow path; this
+    * kernel is one char loop. */
+  def luhnSum(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    var sum = 0
+    var i = 0
+    while (i < bytes.length) {
+      val c = bytes(i) - '0'
+      if (c < 0 || c > 9) return -1
+      // 1-based left index = i + 1; doubled when odd ⇔ i even
+      val d = if ((i & 1) == 0) { val t = 2 * c; if (t > 9) t - 9 else t }
+              else c
+      sum += d
+      i += 1
+    }
+    sum
+  }
+
+  /** Left fold (acc·10 + digit) mod 97 over an all-digit string — the
+    * ISO 13616 IBAN remainder (exact at any length; 97 · 10 + 9 fits an
+    * int). Returns −1 on any non-digit char. */
+  def mod97Fold(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    var acc = 0
+    var i = 0
+    while (i < bytes.length) {
+      val c = bytes(i) - '0'
+      if (c < 0 || c > 9) return -1
+      acc = (acc * 10 + c) % 97
+      i += 1
+    }
+    acc
+  }
 }
 
 private[functions] trait StringArrayInput { self: Expression =>
@@ -421,6 +465,40 @@ case class RepetitionKeep(child: Expression, dupMax: Double, topMax: Double)
     defineCodeGen(ctx, ev,
       c => s"graft.functions.ArrayKernelOps.repetitionKeep($c, $dupMax, $topMax)")
   override protected def withNewChildInternal(c: Expression): RepetitionKeep =
+    copy(child = c)
+}
+
+/** `luhn_sum(string) → int` (−1 on non-digit input) */
+case class LuhnSum(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"luhn_sum requires string, got $other")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "luhn_sum"
+  override protected def nullSafeEval(a: Any): Any =
+    ArrayKernelOps.luhnSum(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ArrayKernelOps.luhnSum($c)")
+  override protected def withNewChildInternal(c: Expression): LuhnSum =
+    copy(child = c)
+}
+
+/** `mod97_fold(string) → int` (ISO 13616 remainder; −1 on non-digit) */
+case class Mod97Fold(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"mod97_fold requires string, got $other")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "mod97_fold"
+  override protected def nullSafeEval(a: Any): Any =
+    ArrayKernelOps.mod97Fold(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ArrayKernelOps.mod97Fold($c)")
+  override protected def withNewChildInternal(c: Expression): Mod97Fold =
     copy(child = c)
 }
 

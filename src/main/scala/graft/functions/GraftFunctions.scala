@@ -65,6 +65,8 @@ object GraftFunctions {
     "bigram_stats" -> (exprs => BigramStats(exprs(0))),
     "repetition_keep" -> (exprs =>
       RepetitionKeep(exprs(0), dblOf(exprs(1)), dblOf(exprs(2)))),
+    "luhn_sum" -> (exprs => LuhnSum(exprs(0))),
+    "mod97_fold" -> (exprs => Mod97Fold(exprs(0))),
     "bloom_contains" -> (exprs => BloomContainsLong(exprs(0), binOf(exprs(1)))),
     "misra_gries" -> (exprs => MisraGriesAgg(exprs(0), seedOf(exprs(1)))))
 

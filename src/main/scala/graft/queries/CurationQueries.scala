@@ -286,19 +286,70 @@ object CurationQueries extends QueryBase {
         "inside hash-split (lang, stream) packing partitions"),
 
     // PII redaction — the scrub pass a curation job runs before text ever
-    // reaches a tokenizer: mask emails and phone numbers, count what was
-    // masked (the counts feed the pipeline's privacy audit). The test
-    // tables carry no live PII, so the query first MINTS a support-note
-    // column from customer fields (deterministically, identically in the
-    // oracle — the minting is fixture plumbing, the redaction is the op).
-    // Patterns stay in the RE2 ∩ java.util.regex common dialect so both
-    // engines compile them identically. Row-level map work, no shuffle.
+    // reaches a tokenizer. Tier 1: mask emails and phone numbers by
+    // regex. Tier 2 (r11 verdict item 7): IPv4/IPv6 addresses by regex,
+    // and credit-card / IBAN candidates gated by their CHECKSUMS — a
+    // 16-digit number is masked only if Luhn-valid, a DE IBAN only if
+    // its ISO 13616 mod-97 remainder is 1, both as integer-exact
+    // higher-order folds that evaluate bit-identically in Spark and
+    // DuckDB. Every row plants one VALID and one checksum-broken
+    // candidate of each class (some rows invalid-only, so the audit
+    // counts vary), proving the gate: the broken twin survives
+    // redaction. Per-reason counts feed the privacy-audit ledger. The
+    // test tables carry no live PII, so the query first MINTS the
+    // support-note column from customer fields (deterministically,
+    // identically in the oracle — the minting is fixture plumbing, the
+    // redaction is the op). Patterns stay in the RE2 ∩ java.util.regex
+    // common dialect. Row-level map work, no shuffle.
     Q(
       "pipe_pii_redact",
       (s, dir) => {
-        val c = t(s, dir, "customer")
         val emailRe = "[a-z0-9.]+@[a-z0-9.-]+"
         val phoneRe = "\\+\\d{2}-\\d{3}-\\d{4}"
+        val ip4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        val ip6Re = "[0-9a-f]{1,4}::(?:[0-9a-f]{1,4}:)*[0-9a-f]{1,4}"
+        val cardRe = "\\b\\d{16}\\b"
+        val ibanRe = "\\bDE\\d{20}\\b"
+        // Checksums run as the compiled luhn_sum / mod97_fold kernels
+        // (functions/ArrayKernels.scala): the HOF-fold forms
+        // (aggregate∘transform∘substring per digit) evaluate interpreted
+        // and put the whole map-only projection on the slow path
+        // (measured 5.0 s warm at sf0.1 vs 0.5 s for the tier-1 query).
+        // Both kernels double/fold with exactly the parity rule the
+        // DuckDB oracle replays in SQL. Constructed directly — no
+        // registration side effect on the session.
+        def luhnSum(sc: Column): Column =
+          org.apache.spark.sql.GraftSqlBridge.column(
+            graft.functions.LuhnSum(
+              org.apache.spark.sql.GraftSqlBridge.expression(sc)))
+        def mod97(sc: Column): Column =
+          org.apache.spark.sql.GraftSqlBridge.column(
+            graft.functions.Mod97Fold(
+              org.apache.spark.sql.GraftSqlBridge.expression(sc)))
+        val k = col("c_custkey").cast("long")
+        val ip4 = concat_ws(".", lit("10"), (k % 256).cast("string"),
+          ((k * 3) % 256).cast("string"), ((k * 7) % 256).cast("string"))
+        val ip6 = concat(lit("fe80::"),
+          lpad((k % 9999).cast("string"), 4, "0"), lit(":"),
+          lpad(((k * 3) % 9999).cast("string"), 4, "0"))
+        val card15 = concat(lit("4"),
+          lpad(((k * 13) % 100000000000000L).cast("string"), 14, "0"))
+        val luhnCheck = pmod(lit(10) - pmod(luhnSum(card15), lit(10)),
+          lit(10))
+        val validCard = concat(card15, luhnCheck.cast("string"))
+        val brokenCard = concat(card15,
+          pmod(luhnCheck + 1, lit(10)).cast("string"))
+        val bban = concat(
+          lpad(((k * 37) % 1000000000L).cast("string"), 9, "0"),
+          lpad(((k * 91) % 1000000000L).cast("string"), 9, "0"))
+        // ISO 13616: check digits = 98 − (BBAN ∥ '1314' ∥ '00') mod 97
+        // ('1314' = the letters DE moved to the tail and digitized)
+        val ibanCheck = lit(98) - mod97(concat(bban, lit("131400")))
+        val validIban = concat(lit("DE"),
+          lpad(ibanCheck.cast("string"), 2, "0"), bban)
+        val brokenIban = concat(lit("DE"),
+          lpad((pmod(ibanCheck - 1, lit(97)) + 2).cast("string"), 2, "0"),
+          bban)
         val txt = concat(
           lit("reach "), col("c_name"), lit(" <"),
           lower(regexp_replace(col("c_name"), "#", ".")),
@@ -306,36 +357,145 @@ object CurationQueries extends QueryBase {
           lpad((col("c_custkey") % 900 + 100).cast("string"), 3, "0"),
           lit("-"),
           lpad(((col("c_custkey") * 7) % 10000).cast("string"), 4, "0"),
-          lit(" re: "), col("c_mktsegment"))
-        c.select(col("c_custkey"), txt.as("txt"))
+          lit(" re: "), col("c_mktsegment"),
+          lit(" ip "), ip4, lit(" v6 "), ip6,
+          // every third row plants ONLY the checksum-broken card, every
+          // fifth ONLY the broken IBAN — audit counts vary per row and
+          // the <CC>/<IBAN> masks are absent exactly there
+          when(k % 3 === 0, concat(lit(" card "), brokenCard))
+            .otherwise(concat(lit(" card "), validCard, lit(" alt "),
+              brokenCard)),
+          when(k % 5 === 0, concat(lit(" acct "), brokenIban))
+            .otherwise(concat(lit(" acct "), validIban, lit(" alt2 "),
+              brokenIban)))
+        def luhnOk(cand: Column): Column =
+          pmod(luhnSum(cand), lit(10)) === 0
+        def ibanOk(cand: Column): Column =
+          mod97(concat(cand.substr(lit(5), lit(18)), lit("1314"),
+            cand.substr(lit(3), lit(2)))) === 1
+        t(s, dir, "customer").select(col("c_custkey"), txt.as("txt"))
+          .select(col("c_custkey"), col("txt"),
+            filter(regexp_extract_all(col("txt"), lit(cardRe), lit(0)),
+              luhnOk(_)).as("vcards"),
+            filter(regexp_extract_all(col("txt"), lit(ibanRe), lit(0)),
+              ibanOk(_)).as("vibans"))
           .select(col("c_custkey"),
-            regexp_replace(
-              regexp_replace(col("txt"), emailRe, "<EMAIL>"),
-              phoneRe, "<PHONE>").as("redacted"),
+            aggregate(col("vibans"),
+              aggregate(col("vcards"),
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                  col("txt"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>"),
+                  ip4Re, "<IP4>"), ip6Re, "<IP6>"),
+                (acc, cd) => replace(acc, cd, lit("<CC>"))),
+              (acc, ib) => replace(acc, ib, lit("<IBAN>"))).as("redacted"),
             size(regexp_extract_all(col("txt"), lit(emailRe), lit(0)))
               .as("n_emails"),
             size(regexp_extract_all(col("txt"), lit(phoneRe), lit(0)))
-              .as("n_phones"))
+              .as("n_phones"),
+            size(regexp_extract_all(col("txt"), lit(ip4Re), lit(0)))
+              .as("n_ip4"),
+            size(regexp_extract_all(col("txt"), lit(ip6Re), lit(0)))
+              .as("n_ip6"),
+            size(regexp_extract_all(col("txt"), lit(cardRe), lit(0)))
+              .as("n_cards_seen"),
+            size(col("vcards")).as("n_cards_valid"),
+            size(regexp_extract_all(col("txt"), lit(ibanRe), lit(0)))
+              .as("n_ibans_seen"),
+            size(col("vibans")).as("n_ibans_valid"))
           .orderBy("c_custkey")
       },
       Some("""
-        WITH minted AS (
+        WITH base AS (
+          SELECT c_custkey, c_name, c_mktsegment,
+                 CAST(c_custkey AS BIGINT) AS k,
+                 concat('4', lpad(CAST((CAST(c_custkey AS BIGINT) * 13)
+                   % 100000000000000 AS VARCHAR), 14, '0')) AS card15,
+                 concat(lpad(CAST((CAST(c_custkey AS BIGINT) * 37)
+                     % 1000000000 AS VARCHAR), 9, '0'),
+                   lpad(CAST((CAST(c_custkey AS BIGINT) * 91)
+                     % 1000000000 AS VARCHAR), 9, '0')) AS bban
+          FROM customer),
+        checked AS (
+          SELECT *,
+            (10 - list_aggregate(list_transform(generate_series(1, 15),
+               i -> CASE WHEN i % 2 = 1
+                 THEN CASE WHEN 2 * CAST(substring(card15, i, 1) AS INT) > 9
+                   THEN 2 * CAST(substring(card15, i, 1) AS INT) - 9
+                   ELSE 2 * CAST(substring(card15, i, 1) AS INT) END
+                 ELSE CAST(substring(card15, i, 1) AS INT) END),
+               'sum') % 10) % 10 AS lc,
+            list_reduce(list_transform(generate_series(1, 24),
+               i -> CAST(substring(concat(bban, '131400'), i, 1) AS INT)),
+               (a, d) -> (a * 10 + d) % 97) AS m97
+          FROM base),
+        minted AS (
           SELECT c_custkey,
-            'reach ' || c_name || ' <' || lower(replace(c_name, '#', '.')) ||
-            '@example.com> or +49-' ||
-            lpad(CAST(c_custkey % 900 + 100 AS VARCHAR), 3, '0') || '-' ||
-            lpad(CAST((c_custkey * 7) % 10000 AS VARCHAR), 4, '0') ||
-            ' re: ' || c_mktsegment AS txt
-          FROM customer)
+            concat('reach ', c_name, ' <', lower(replace(c_name, '#', '.')),
+              '@example.com> or +49-',
+              lpad(CAST(c_custkey % 900 + 100 AS VARCHAR), 3, '0'), '-',
+              lpad(CAST((c_custkey * 7) % 10000 AS VARCHAR), 4, '0'),
+              ' re: ', c_mktsegment,
+              ' ip 10.', CAST(k % 256 AS VARCHAR), '.',
+              CAST((k * 3) % 256 AS VARCHAR), '.',
+              CAST((k * 7) % 256 AS VARCHAR),
+              ' v6 fe80::', lpad(CAST(k % 9999 AS VARCHAR), 4, '0'), ':',
+              lpad(CAST((k * 3) % 9999 AS VARCHAR), 4, '0'),
+              CASE WHEN k % 3 = 0
+                THEN concat(' card ', card15,
+                  CAST((lc + 1) % 10 AS VARCHAR))
+                ELSE concat(' card ', card15, CAST(lc AS VARCHAR),
+                  ' alt ', card15, CAST((lc + 1) % 10 AS VARCHAR)) END,
+              CASE WHEN k % 5 = 0
+                THEN concat(' acct DE',
+                  lpad(CAST((98 - m97 - 1) % 97 + 2 AS VARCHAR), 2, '0'),
+                  bban)
+                ELSE concat(' acct DE',
+                  lpad(CAST(98 - m97 AS VARCHAR), 2, '0'), bban,
+                  ' alt2 DE',
+                  lpad(CAST((98 - m97 - 1) % 97 + 2 AS VARCHAR), 2, '0'),
+                  bban) END) AS txt
+          FROM checked),
+        scanned AS (
+          SELECT c_custkey, txt,
+            list_filter(regexp_extract_all(txt, '\b\d{16}\b'),
+              c -> list_aggregate(list_transform(generate_series(1, 16),
+                i -> CASE WHEN i % 2 = 1
+                  THEN CASE WHEN 2 * CAST(substring(c, i, 1) AS INT) > 9
+                    THEN 2 * CAST(substring(c, i, 1) AS INT) - 9
+                    ELSE 2 * CAST(substring(c, i, 1) AS INT) END
+                  ELSE CAST(substring(c, i, 1) AS INT) END),
+                'sum') % 10 = 0) AS vcards,
+            list_filter(regexp_extract_all(txt, '\bDE\d{20}\b'),
+              c -> list_reduce(list_transform(generate_series(1, 24),
+                i -> CAST(substring(concat(substring(c, 5, 18), '1314',
+                  substring(c, 3, 2)), i, 1) AS INT)),
+                (a, d) -> (a * 10 + d) % 97) = 1) AS vibans
+          FROM minted)
         SELECT c_custkey,
-          regexp_replace(regexp_replace(txt, '[a-z0-9.]+@[a-z0-9.-]+',
-                                        '<EMAIL>', 'g'),
-                         '\+\d{2}-\d{3}-\d{4}', '<PHONE>', 'g') AS redacted,
+          list_reduce(list_prepend(
+            list_reduce(list_prepend(
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                txt, '[a-z0-9.]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+                '\+\d{2}-\d{3}-\d{4}', '<PHONE>', 'g'),
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP4>', 'g'),
+                '[0-9a-f]{1,4}::(?:[0-9a-f]{1,4}:)*[0-9a-f]{1,4}',
+                '<IP6>', 'g'),
+              vcards), (a, c) -> replace(a, c, '<CC>')),
+            vibans), (a, c) -> replace(a, c, '<IBAN>')) AS redacted,
           len(regexp_extract_all(txt, '[a-z0-9.]+@[a-z0-9.-]+')) AS n_emails,
-          len(regexp_extract_all(txt, '\+\d{2}-\d{3}-\d{4}')) AS n_phones
-        FROM minted ORDER BY c_custkey"""),
-      doc = "PII redaction (email/phone masking + audit counts) over minted " +
-        "support notes; regex in the RE2-compatible common dialect"),
+          len(regexp_extract_all(txt, '\+\d{2}-\d{3}-\d{4}')) AS n_phones,
+          len(regexp_extract_all(txt,
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip4,
+          len(regexp_extract_all(txt,
+            '[0-9a-f]{1,4}::(?:[0-9a-f]{1,4}:)*[0-9a-f]{1,4}')) AS n_ip6,
+          len(regexp_extract_all(txt, '\b\d{16}\b')) AS n_cards_seen,
+          len(vcards) AS n_cards_valid,
+          len(regexp_extract_all(txt, '\bDE\d{20}\b')) AS n_ibans_seen,
+          len(vibans) AS n_ibans_valid
+        FROM scanned ORDER BY c_custkey"""),
+      doc = "PII redaction tier 1+2: email/phone/IPv4/IPv6 regex masking " +
+        "plus checksum-GATED credit-card (Luhn) and IBAN (mod-97) masking " +
+        "— integer-exact folds both engines replay; planted checksum-" +
+        "broken twins survive, audit counts per reason"),
 
     // Batch face of the shared batch/streaming curation intake
     // (curateChunks): repetition gate -> chunk explode in one lineage.

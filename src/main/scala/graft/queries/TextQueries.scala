@@ -228,7 +228,131 @@ object TextQueries extends QueryBase {
       "their first-occurrence doc (min doc_id), novelty = owned/total " +
       "per doc; one gram shuffle + join-back, linear in corpus grams")
 
-  val all: Seq[Q] = Seq(readabilityQ, rakeQ, noveltyQ) ++ Seq(
+  /** jusText-style boilerplate stripping (Pomikálek 2011; the
+    * trafilatura-class block-classification every web-corpus curation
+    * run applies before dedup — r11 verdict item 6). A page is split
+    * into BLOCKS; each block is classified by the three jusText core
+    * signals — link density, length, stop-word density — and the doc is
+    * rewritten from its content blocks only, with a per-reason audit.
+    *
+    * Pages are minted per document (fixture plumbing, identically in
+    * the oracle): nav and footer blocks with high link density, a
+    * shouty zero-stopword promo block, and the document's text split
+    * across two paragraph blocks. Thresholds are evaluated in INTEGER
+    * cross-multiplied form (10·link_chars > 3·text_chars ⟺ density
+    * > 0.3; 50·n_stop < n_words ⟺ density < 0.02) so both engines
+    * decide every block bit-identically — no float division anywhere.
+    *
+    * Scale shape: the whole pass is ONE projection — split, per-block
+    * transform/filter higher-order expressions, tag-strip and link-text
+    * regex per block — so at 100 TB it runs inside the scan stage with
+    * zero shuffles (the final ORDER BY is presentation only). This is
+    * the expression-only form the HTML source path feeds:
+    * sources/Html.scala parses real markup to the same
+    * block-per-line shape. */
+  private val boilerplateQ = Q(
+    "text_boilerplate_strip",
+    (s, dir) => {
+      val toks = split(col("text"), " ")
+      val h = expr("(size(split(text, ' ')) + 1) DIV 2")
+      val page = concat_ws("\n",
+        lit("<div class=\"nav\"><a href=\"/\">Home</a> | " +
+          "<a href=\"/s\">Search</a> | <a href=\"/c\">Contact</a></div>"),
+        concat(lit("<p>"), array_join(slice(toks, lit(1), h), " "),
+          lit("</p>")),
+        lit("<div>SUBSCRIBE NOW FOR PREMIUM ACCESS TODAY</div>"),
+        concat(lit("<p>"),
+          array_join(slice(toks, h + 1, size(toks) - h), " "), lit("</p>")),
+        lit("<footer>(c) 2020 <a href=\"/p\">Privacy</a> " +
+          "<a href=\"/t\">Terms</a></footer>"))
+      val blocks = split(col("page"), "\n")
+      def btextOf(b: org.apache.spark.sql.Column) =
+        trim(regexp_replace(regexp_replace(b, lit("<[^>]*>"), lit(" ")),
+          lit("\\s+"), lit(" ")))
+      def featOf(b: org.apache.spark.sql.Column) = {
+        val btext = btextOf(b)
+        val linkLen = aggregate(
+          regexp_extract_all(b, lit("<a[^>]*>([^<]*)</a>"), lit(1)),
+          lit(0), (acc, x) => acc + length(x))
+        val words = filter(split(btext, " "), w => w =!= "")
+        val nWords = size(words)
+        val nStop = size(filter(words,
+          w => lower(w).isin("the", "a", "of", "and", "to")))
+        val verdict = when(lit(10) * linkLen > lit(3) * length(btext), "link")
+          .when(nWords < 4, "short")
+          .when(lit(50) * nStop < nWords, "lowstop")
+          .otherwise("content")
+        struct(btext.as("btext"), verdict.as("v"))
+      }
+      def nBy(v: String) = size(filter(col("feat"),
+        f => f.getField("v") === v)).cast("long")
+      t(s, dir, "documents")
+        .select(col("doc_id"), page.as("page"))
+        .select(col("doc_id"), transform(blocks, featOf(_)).as("feat"))
+        .select(col("doc_id"),
+          size(col("feat")).cast("long").as("n_blocks"),
+          nBy("content").as("n_content"),
+          nBy("link").as("n_link"),
+          nBy("short").as("n_short"),
+          nBy("lowstop").as("n_lowstop"),
+          array_join(transform(
+            filter(col("feat"), f => f.getField("v") === "content"),
+            f => f.getField("btext")), " ").as("kept_text"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH tk AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               (len(string_split(text, ' ')) + 1) // 2 AS h
+        FROM documents),
+      page AS (
+        SELECT doc_id, concat(
+          '<div class="nav"><a href="/">Home</a> | <a href="/s">Search</a> | <a href="/c">Contact</a></div>',
+          chr(10), '<p>', array_to_string(toks[1:h], ' '), '</p>',
+          chr(10), '<div>SUBSCRIBE NOW FOR PREMIUM ACCESS TODAY</div>',
+          chr(10), '<p>', array_to_string(toks[h+1:len(toks)], ' '), '</p>',
+          chr(10), '<footer>(c) 2020 <a href="/p">Privacy</a> <a href="/t">Terms</a></footer>')
+          AS pg
+        FROM tk),
+      blocks AS (
+        SELECT doc_id, i AS bidx, bl[i] AS block
+        FROM (SELECT doc_id, string_split(pg, chr(10)) AS bl FROM page),
+             LATERAL (SELECT unnest(range(1, len(bl) + 1)) AS i)),
+      feat AS (
+        SELECT doc_id, bidx,
+          trim(regexp_replace(regexp_replace(block, '<[^>]*>', ' ', 'g'),
+                              '\s+', ' ', 'g')) AS btext,
+          coalesce(list_aggregate(list_transform(
+            regexp_extract_all(block, '<a[^>]*>([^<]*)</a>', 1),
+            x -> len(x)), 'sum'), 0) AS link_len
+        FROM blocks),
+      cls AS (
+        SELECT doc_id, bidx, btext,
+          CASE WHEN 10 * link_len > 3 * len(btext) THEN 'link'
+               WHEN n_words < 4 THEN 'short'
+               WHEN 50 * n_stop < n_words THEN 'lowstop'
+               ELSE 'content' END AS v
+        FROM (
+          SELECT *, len(words) AS n_words,
+                 len(list_filter(words, w -> list_contains(
+                   ['the', 'a', 'of', 'and', 'to'], lower(w)))) AS n_stop
+          FROM (SELECT *, list_filter(string_split(btext, ' '),
+                            w -> w <> '') AS words
+                FROM feat)))
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(count(*) FILTER (WHERE v = 'content') AS BIGINT) AS n_content,
+             CAST(count(*) FILTER (WHERE v = 'link') AS BIGINT) AS n_link,
+             CAST(count(*) FILTER (WHERE v = 'short') AS BIGINT) AS n_short,
+             CAST(count(*) FILTER (WHERE v = 'lowstop') AS BIGINT) AS n_lowstop,
+             coalesce(string_agg(btext, ' ' ORDER BY bidx)
+               FILTER (WHERE v = 'content'), '') AS kept_text
+      FROM cls GROUP BY doc_id ORDER BY doc_id"""),
+    doc = "jusText-style boilerplate strip: per-block link-density / " +
+      "length / stopword-density classification (integer cross-" +
+      "multiplied thresholds), content-only rewrite + per-reason audit; " +
+      "one shuffle-free projection")
+
+  val all: Seq[Q] = Seq(readabilityQ, rakeQ, noveltyQ, boilerplateQ) ++ Seq(
     // N1/W5: tokenize + 1-based positional explode, global term counts.
     // reference src/absa/post_words.py:126-231.
     Q(
