@@ -38,7 +38,33 @@ import org.apache.spark.sql.functions._
   * splits these partitions; docs/SCALE.md carries the measured
   * uniform-vs-skew table.
   *
+  * RESEED MODE (`--reseed` or `--reseed=<seed>`, default seed 20260816):
+  * every gate so far ran on mints derived from ONE generator family, so
+  * in principle an oracle or threshold could be overfit to the fixture
+  * seed (r11 verdict item 9). --reseed mints a same-shape sibling under
+  * a new seed and the full oracle gate must stay green on it:
+  *
+  *  - fact PRIMARY KEYS are permuted by a hash-rank bijection INTO THE
+  *    SAME dense range (new = min + rank_by_xxhash64(key, seed) − 1), so
+  *    every keep-first order, %-derived planted group, and +offset
+  *    fixture shift redistributes while the range assumptions the
+  *    fixtures rely on stay intact; o_orderkey and l_orderkey go through
+  *    the SAME map (join cardinality preserved);
+  *  - documents.text is token-ROTATED by a per-doc seeded offset —
+  *    every shingle, gram, minhash and LSH bucket changes while token
+  *    multisets (and text length, which some corpus signatures sum)
+  *    are preserved;
+  *  - embeddings get ONE seed-drawn dimension permutation applied to
+  *    every vector — all pairwise dot products and norms are exactly
+  *    preserved (recall/threshold geometry identical in distribution)
+  *    while every hyperplane sign and IVF/LSH bucket key changes.
+  *
+  * Row counts and dims are untouched; K is forced to 1. The DuckDB
+  * oracle gate runs on the reseeded dir unchanged — a pinned literal or
+  * seed-overfit threshold anywhere in the catalog goes red by name.
+  *
   * Usage: runMain graft.MintScale <srcDir> <outDir> [K=10] [--skew[=a]]
+  *        [--reseed[=seed]]
   */
 object MintScale {
   private val KeyOffset = 1000000000L
@@ -61,9 +87,14 @@ object MintScale {
       case f if f.startsWith("--skew") =>
         f.split("=").lift(1).map(_.toDouble).getOrElse(1.2)
     }
+    val reseed: Option[Long] = flags.collectFirst {
+      case f if f.startsWith("--reseed") =>
+        f.split("=").lift(1).map(_.toLong).getOrElse(20260816L)
+    }
     val src = pos.headOption.getOrElse("/root/testdata/sf0.1")
     val out = pos.lift(1).getOrElse("/tmp/sf1")
-    val k = pos.lift(2).map(_.toInt).getOrElse(if (skew.isDefined) 1 else 10)
+    val k = pos.lift(2).map(_.toInt)
+      .getOrElse(if (skew.isDefined || reseed.isDefined) 1 else 10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -87,10 +118,70 @@ object MintScale {
           d.withColumn(key, col(key) + lit(c.toLong * KeyOffset)))
       }.reduce(_.unionAll(_))
 
+    // Reseed: hash-rank key bijections per fact-PK domain, built once.
+    // A window rank over the whole domain is single-partition, which is
+    // fine for a mint tool (largest domain = lineitem's parent orders).
+    def keyMap(table: String, key: String, seed: Long): DataFrame = {
+      val d = graft.core.Tables.load(spark, src, table)
+        .select(col(key).cast("long").as("_old")).distinct()
+      val minKey = d.agg(min(col("_old"))).head().getLong(0)
+      d.withColumn("_new",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(xxhash64(col("_old"), lit(seed)), col("_old")))
+          .cast("long") - 1L + minKey)
+    }
+    lazy val reseedMaps: Map[String, DataFrame] = reseed.map { seed =>
+      Map(
+        "orders" -> keyMap("orders", "o_orderkey", seed),
+        "documents" -> keyMap("documents", "doc_id", seed),
+        "events" -> keyMap("events", "event_id", seed),
+        "embeddings" -> keyMap("embeddings", "vec_id", seed))
+    }.getOrElse(Map.empty)
+
+    def applyReseed(name: String, df: DataFrame, seed: Long): DataFrame = {
+      val cols = df.columns.toSeq
+      def remap(d: DataFrame, key: String, map: DataFrame): DataFrame =
+        d.join(map, d(key) === map("_old"))
+          .drop("_old").withColumn(key, col("_new")).drop("_new")
+          .select(cols.map(col): _*)
+      val keyed = name match {
+        case "orders" => remap(df, "o_orderkey", reseedMaps("orders"))
+        case "lineitem" => remap(df, "l_orderkey", reseedMaps("orders"))
+        case "documents" => remap(df, "doc_id", reseedMaps("documents"))
+        case "events" => remap(df, "event_id", reseedMaps("events"))
+        case "embeddings" => remap(df, "vec_id", reseedMaps("embeddings"))
+        case _ => df // dims copy through
+      }
+      name match {
+        case "documents" =>
+          // token rotation: multiset + length preserved, all grams change
+          keyed.withColumn("text", expr(
+            s"""array_join(concat(
+               |  slice(split(text, ' '),
+               |    pmod(xxhash64(doc_id, ${seed}L), size(split(text, ' '))) + 1,
+               |    size(split(text, ' ')) -
+               |      pmod(xxhash64(doc_id, ${seed}L), size(split(text, ' ')))),
+               |  slice(split(text, ' '), 1,
+               |    pmod(xxhash64(doc_id, ${seed}L), size(split(text, ' '))))),
+               |' ')""".stripMargin))
+        case "embeddings" =>
+          // one global dimension permutation — dots/norms exact-preserved
+          val dim = keyed.select(size(col("embedding"))).head().getInt(0)
+          val perm = new scala.util.Random(seed).shuffle((1 to dim).toVector)
+          keyed.withColumn("embedding",
+            array(perm.map(j => element_at(col("embedding"), j)): _*))
+        case _ => keyed
+      }
+    }
+
     graft.core.Tables.names.foreach { name =>
-      val base =
+      val base0 =
         if (name == "events") graft.core.Tables.events(spark, src)
         else graft.core.Tables.load(spark, src, name)
+      val base = reseed match {
+        case Some(seed) => applyReseed(name, base0, seed)
+        case None => base0
+      }
       val scaled0 = rekey.get(name) match {
         case Some(keys) =>
           // Repartition so the output lands as multiple row groups —
