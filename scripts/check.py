@@ -142,6 +142,11 @@ def main():
         d = os.path.join(outdir, name)
         if not os.path.isdir(d):
             continue
+        # progress marker (stderr): heavy oracle replays on big minted
+        # dirs can die on allocation mid-loop — without this the
+        # traceback names pandas, not the query whose oracle blew the
+        # memory budget moments earlier.
+        print(f"[check] {name}", file=sys.stderr, flush=True)
         # Under a query filter, result dirs from a broader Verify run are
         # out of scope — don't grade them as ROWS_ONLY. (Prefix match, so
         # an in-scope rows-only dir with no oracle entry IS graded.)
