@@ -147,11 +147,22 @@ object JoinQueries extends QueryBase {
       (s, dir) => {
         val ev = t(s, dir, "events")
         val kind = when(col("event_type") === "purchase", 1).otherwise(0)
+        // Forward as-of via a REVERSE-ordered RUNNING frame: "first
+        // non-null at-or-after this row in (ts, kind, event_id) order"
+        // ≡ "last non-null up-to-current in the reversed order". The
+        // running (UnboundedPreceding→CurrentRow) frame updates one
+        // aggregate buffer per row — O(rows) per user — while the
+        // forward-literal (CurrentRow→UnboundedFollowing) frame
+        // re-evaluates its aggregate from every row to the partition
+        // end: O(rows²) per user. user_id is NOT rekeyed by MintScale,
+        // so per-user groups grow with the mint and the quadratic frame
+        // was the catalog's one super-linear ×100 exponent (e=1.61,
+        // 3.4 s → 139.7 s; this form measures e≈1 — docs/SCALE.md §r12).
         val w = Window.partitionBy("user_id")
-          .orderBy(col("ts"), kind, col("event_id"))
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+          .orderBy(col("ts").desc, kind.desc, col("event_id").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ev.withColumn("p_ts",
-            first(when(col("event_type") === "purchase", col("ts")),
+            last(when(col("event_type") === "purchase", col("ts")),
               ignoreNulls = true).over(w))
           .filter(col("event_type") === "signup")
           .withColumn("in_tol",
