@@ -185,6 +185,20 @@ def main():
     for name in oracle:
         if name not in results:
             results[name] = "MISSING_RESULT (Spark-side failure — see verify stderr)"
+    # A prefix that names a real catalog query can still grade NOTHING
+    # when this check run and the Verify run used different filters: a
+    # rows-only query (no oracle entry) with no result dir leaves no
+    # trace above, and "0 OK ... of 0" would exit 0 (r12 ADVICE). Every
+    # prefix must select at least one graded name, and a filtered run
+    # must grade something.
+    if prefixes is not None:
+        ungraded = [p for p in prefixes
+                    if not any(n.startswith(p) for n in results)]
+        if ungraded or not results:
+            sys.exit("query filter selected nothing gradable: prefixes "
+                     f"{ungraded or prefixes} match a catalog name but "
+                     "neither an oracle entry nor a result dir — did the "
+                     "Verify invocation use a different filter?")
     # Optional machine-readable dump (GRAFT_CHECK_JSON=path): the scale
     # gates (x10/x100 protocol scripts) commit these as CORRECTNESS_*
     # artifacts instead of re-parsing the human lines.

@@ -27,6 +27,17 @@ def main():
     def exp(a, b):
         return math.log10(b / a) if a > 0 and b > 0 else float("nan")
 
+    # NaN keys make max() order-dependent in Python — a 0/negative time
+    # (e.g. a failed sweep entry carried through) could name an arbitrary
+    # query as the worst exponent (r12 ADVICE). Drop them loudly up front.
+    dropped = [q for q in common
+               if math.isnan(exp(d01[q], d10[q]))
+               or math.isnan(exp(d10[q], d100[q]))]
+    if dropped:
+        print(f"WARNING: dropped {len(dropped)} queries with non-positive "
+              f"times from exponent fits: {dropped}", file=sys.stderr)
+        common = [q for q in common if q not in set(dropped)]
+
     fam = defaultdict(lambda: [0.0, 0.0, 0.0])
     for q in common:
         f = q.split("_")[0]

@@ -20,9 +20,15 @@ object BenchColdSweep {
     val only = args.lift(2)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // The r12 exponent table attributed three e>1.1 entries to shuffle
+    // spill at the contract's FIXED 32 local partitions; this override
+    // exists to test that attribution with data (r12 verdict item 3) —
+    // a cluster sizes shuffle partitions to the data, the local
+    // contract can't.
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
@@ -34,17 +40,27 @@ object BenchColdSweep {
       case None => SparkEntry.queries
     }
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    val times = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // `sec` is taken BEFORE CacheLedger.release() so the sweep times the
+    // same window Bench's per-run timing does, and a failed query is
+    // dropped from the cold map entirely — a fast-failing query's abort
+    // time must never enter the exponent fits downstream (r12 ADVICE:
+    // make_exponents.py never consults `errors`).
+    val times = selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[sweep] $name FAILED: ${e.getMessage}")
-      }
-      graft.core.CacheLedger.release()
+      val ok =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          true
+        } catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[sweep] $name FAILED: ${e.getMessage}")
+          false
+        }
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[sweep] $name%-30s $sec%8.2f s")
-      name -> sec
+      graft.core.CacheLedger.release()
+      System.err.println(
+        f"[sweep] $name%-30s $sec%8.2f s${if (ok) "" else " (FAILED, dropped)"}")
+      if (ok) Some(name -> sec) else None
     }
     val total = times.map(_._2).sum
     val body = times

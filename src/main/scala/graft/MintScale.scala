@@ -120,10 +120,20 @@ object MintScale {
 
     // Reseed: hash-rank key bijections per fact-PK domain, built once.
     // A window rank over the whole domain is single-partition, which is
-    // fine for a mint tool (largest domain = lineitem's parent orders).
+    // fine for a mint tool (largest domain = lineitem's parent orders) —
+    // but ONLY at fixture scale, so the bound is enforced, not assumed:
+    // pointing --reseed at a large minted dir would otherwise sort the
+    // whole key domain on one task until it OOMs (r12 ADVICE). Reseed
+    // bigger sources by reseeding their sf0.1 ancestor and re-expanding.
     def keyMap(table: String, key: String, seed: Long): DataFrame = {
       val d = graft.core.Tables.load(spark, src, table)
         .select(col(key).cast("long").as("_old")).distinct()
+      val domain = d.count()
+      require(domain <= 10000000L,
+        s"--reseed key domain for $table is $domain rows; the bijection " +
+          "rank is a deliberate single-partition window sized for " +
+          "fixture mints (<= 1e7 keys) — reseed the sf0.1 source and " +
+          "re-expand with xK instead of reseeding a large minted dir")
       val minKey = d.agg(min(col("_old"))).head().getLong(0)
       d.withColumn("_new",
         row_number().over(org.apache.spark.sql.expressions.Window

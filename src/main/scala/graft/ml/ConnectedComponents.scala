@@ -48,8 +48,16 @@ object ConnectedComponents {
     // (LogicalRDD keeps outputPartitioning) — without the repartition
     // each round re-exchanged the full edge table (r11 verdict item 4:
     // per-round fixed cost dominated ml_dbscan_clusters at sf0.1).
-    val sym = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // Symmetrization is a single explode pass, NOT a self-union: the
+    // union form executed the caller's edge subtree once per branch,
+    // which for an expensive edge builder (the DBSCAN bucket join)
+    // doubled the whole blocking pipeline inside this checkpoint job
+    // (r12 verdict item 6).
+    val sym = edges
+      .select(explode(array(
+        struct(col("src").as("src"), col("dst").as("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .repartition(col("dst"))
       .localCheckpoint()

@@ -125,8 +125,8 @@ object DbscanCC {
           col("dot").cast("double") * col("dot").cast("double") >=
             lit(c2) * col("a.s2").cast("double") * col("b.s2").cast("double"))
       .select(col("a.id").as("src"), col("b.id").as("dst"))
-    // run() localCheckpoints edges up front, so the bucket table can be
-    // dropped as soon as the labels exist.
+    // run() localCheckpoints edges up front (single-scan symmetrize),
+    // so the bucket table can be dropped as soon as the labels exist.
     val labels = ConnectedComponents.run(edges)
     capped.unpersist()
     labels

@@ -285,6 +285,95 @@ object CurationQueries extends QueryBase {
       doc = "token-budget shard packing: greedy cumulative assignment " +
         "inside hash-split (lang, stream) packing partitions"),
 
+    // Domain-level curation (r12 verdict item 8) — the CommonCrawl-
+    // pipeline stage between URL normalization and quality scoring:
+    // registrable-domain extraction, a BROADCAST blocklist, and a
+    // per-domain quality prior joined back to every document. The crawl
+    // frontier is minted deterministically (five hosts over two-label
+    // registrable domains; docs on the spam host get repeated commerce
+    // tokens appended so their DOMAIN's pooled distinct-token ratio
+    // drops — the planted low-quality domain). Quality is integer-exact:
+    // per-doc (distinct tokens, tokens) counts, pooled per domain as two
+    // integer sums, one rounded division at the end; the low-quality
+    // gate is the cross-multiplied 20·Σdistinct < 7·Σtokens (pooled
+    // ratio < 0.35 — planted domain sits at ~0.29, organic ones ≥ 0.42).
+    //
+    // Plan shape at 100 TB: quality counts are map-only on the scan; the
+    // ONLY keyed shuffle is the domain rollup, whose output is
+    // domain-cardinality (thousands, not documents) and re-enters as a
+    // BROADCAST — the corpus never reshuffles. The blocklist is a
+    // broadcast by construction. Verdict precedence: blocklist, then
+    // low-quality domain, then keep.
+    Q(
+      "pipe_domain_filter",
+      (s, dir) => {
+        val host = element_at(array(
+          lit("news.example.com"), lit("spam-ads.example.biz"),
+          lit("blog.sample.org"), lit("cdn.tracker.net"),
+          lit("wiki.sample.org")), (col("doc_id") % 5 + 1).cast("int"))
+        val scoreText = when(col("doc_id") % 5 === 1,
+          concat(col("text"), lit(" buy" * 30))).otherwise(col("text"))
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"), host.as("host"),
+            split(lower(scoreText), " ").as("tk"))
+          .withColumn("domain",
+            array_join(slice(split(col("host"), "\\."), -2, 2), "."))
+          .select(col("doc_id"), col("domain"),
+            size(array_distinct(col("tk"))).cast("long").as("qn"),
+            size(col("tk")).cast("long").as("qd"))
+        val dom = base.groupBy("domain")
+          .agg(count(lit(1)).as("n_dom_docs"),
+            sum("qn").as("sqn"), sum("qd").as("sqd"))
+        val block = s.createDataFrame(Seq(Tuple1("tracker.net")))
+          .toDF("domain").withColumn("blocked", lit(true))
+        base.join(broadcast(dom), Seq("domain"))
+          .join(broadcast(block), Seq("domain"), "left")
+          .select(col("doc_id"), col("domain"),
+            round(col("qn").cast("double") / col("qd"), 6).as("q"),
+            round(col("sqn").cast("double") / col("sqd"), 6).as("dom_q"),
+            col("n_dom_docs"),
+            when(col("blocked"), "blocklist")
+              .when(lit(20) * col("sqn") < lit(7) * col("sqd"),
+                "lowq_domain")
+              .otherwise("keep").as("verdict"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id,
+            CASE doc_id % 5 WHEN 0 THEN 'news.example.com'
+                            WHEN 1 THEN 'spam-ads.example.biz'
+                            WHEN 2 THEN 'blog.sample.org'
+                            WHEN 3 THEN 'cdn.tracker.net'
+                            ELSE 'wiki.sample.org' END AS host,
+            string_split(lower(CASE WHEN doc_id % 5 = 1
+              THEN text || repeat(' buy', 30) ELSE text END), ' ') AS tk
+          FROM documents),
+        q AS (
+          SELECT doc_id,
+                 array_to_string(string_split(host, '.')[-2:], '.') AS domain,
+                 CAST(len(list_distinct(tk)) AS BIGINT) AS qn,
+                 CAST(len(tk) AS BIGINT) AS qd
+          FROM b),
+        dom AS (
+          SELECT domain, count(*) AS n_dom_docs,
+                 CAST(sum(qn) AS BIGINT) AS sqn,
+                 CAST(sum(qd) AS BIGINT) AS sqd
+          FROM q GROUP BY domain)
+        SELECT q.doc_id, q.domain,
+               round(qn * 1.0 / qd, 6) AS q,
+               round(sqn * 1.0 / sqd, 6) AS dom_q,
+               n_dom_docs,
+               CASE WHEN q.domain = 'tracker.net' THEN 'blocklist'
+                    WHEN 20 * sqn < 7 * sqd THEN 'lowq_domain'
+                    ELSE 'keep' END AS verdict
+        FROM q JOIN dom ON dom.domain = q.domain
+        ORDER BY doc_id"""),
+      doc = "domain-level curation: registrable-domain extraction, " +
+        "broadcast blocklist, per-domain pooled quality prior joined " +
+        "back (integer-exact counts, one domain-sized aggregate); " +
+        "planted blocklisted + low-quality domains"),
+
     // PII redaction — the scrub pass a curation job runs before text ever
     // reaches a tokenizer. Tier 1: mask emails and phone numbers by
     // regex. Tier 2 (r11 verdict item 7): IPv4/IPv6 addresses by regex,
@@ -373,33 +462,52 @@ object CurationQueries extends QueryBase {
         def ibanOk(cand: Column): Column =
           mod97(concat(cand.substr(lit(5), lit(18)), lit("1314"),
             cand.substr(lit(3), lit(2)))) === 1
+        // r12 shipped this as 12 full-text regex passes (8 extract_all +
+        // 4 regexp_replace) — the catalog's priciest per-row chain at
+        // 2.9 s warm. Fused (r12 verdict item 7): ONE alternation scan
+        // extracts every candidate of every class; audit counts classify
+        // the SHORT match strings (contains '@' / starts '+' / '::' /
+        // 'DE' / 16-digit) instead of re-scanning the document; redaction
+        // folds the match list with literal replaces — exactly how the
+        // checksum-gated card/IBAN path already worked, now for all six
+        // classes. Class patterns are position-disjoint (each match
+        // string occurs once, in matched context), so per-literal
+        // replacement equals the sequential regexp_replace chain; the
+        // oracle SQL keeps the original 12-pass form, making the fusion
+        // itself oracle-checked.
+        val allRe = s"(?:$emailRe)|(?:$phoneRe)|(?:$ip6Re)|(?:$ip4Re)" +
+          s"|(?:$ibanRe)|(?:$cardRe)"
+        def isEmail(m: Column): Column = m.contains("@")
+        def isPhone(m: Column): Column = m.startsWith("+")
+        def isIp6(m: Column): Column = m.contains("::")
+        def isIban(m: Column): Column = m.startsWith("DE")
+        def isCard(m: Column): Column = m.rlike("^\\d{16}$")
         t(s, dir, "customer").select(col("c_custkey"), txt.as("txt"))
           .select(col("c_custkey"), col("txt"),
-            filter(regexp_extract_all(col("txt"), lit(cardRe), lit(0)),
-              luhnOk(_)).as("vcards"),
-            filter(regexp_extract_all(col("txt"), lit(ibanRe), lit(0)),
-              ibanOk(_)).as("vibans"))
+            regexp_extract_all(col("txt"), lit(allRe), lit(0)).as("ms"))
+          .select(col("c_custkey"), col("txt"), col("ms"),
+            filter(col("ms"), m => isCard(m) && luhnOk(m)).as("vcards"),
+            filter(col("ms"), m => isIban(m) && ibanOk(m)).as("vibans"))
           .select(col("c_custkey"),
-            aggregate(col("vibans"),
-              aggregate(col("vcards"),
-                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-                  col("txt"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>"),
-                  ip4Re, "<IP4>"), ip6Re, "<IP6>"),
-                (acc, cd) => replace(acc, cd, lit("<CC>"))),
-              (acc, ib) => replace(acc, ib, lit("<IBAN>"))).as("redacted"),
-            size(regexp_extract_all(col("txt"), lit(emailRe), lit(0)))
-              .as("n_emails"),
-            size(regexp_extract_all(col("txt"), lit(phoneRe), lit(0)))
-              .as("n_phones"),
-            size(regexp_extract_all(col("txt"), lit(ip4Re), lit(0)))
-              .as("n_ip4"),
-            size(regexp_extract_all(col("txt"), lit(ip6Re), lit(0)))
-              .as("n_ip6"),
-            size(regexp_extract_all(col("txt"), lit(cardRe), lit(0)))
-              .as("n_cards_seen"),
+            aggregate(col("ms"), col("txt"), (acc, m) =>
+              when(isEmail(m), replace(acc, m, lit("<EMAIL>")))
+                .when(isPhone(m), replace(acc, m, lit("<PHONE>")))
+                .when(isIp6(m), replace(acc, m, lit("<IP6>")))
+                .when(isIban(m),
+                  when(ibanOk(m), replace(acc, m, lit("<IBAN>")))
+                    .otherwise(acc))
+                .when(isCard(m),
+                  when(luhnOk(m), replace(acc, m, lit("<CC>")))
+                    .otherwise(acc))
+                .otherwise(replace(acc, m, lit("<IP4>")))).as("redacted"),
+            size(filter(col("ms"), isEmail(_))).as("n_emails"),
+            size(filter(col("ms"), isPhone(_))).as("n_phones"),
+            size(filter(col("ms"), m => !isEmail(m) && !isPhone(m) &&
+              !isIp6(m) && !isIban(m) && !isCard(m))).as("n_ip4"),
+            size(filter(col("ms"), isIp6(_))).as("n_ip6"),
+            size(filter(col("ms"), isCard(_))).as("n_cards_seen"),
             size(col("vcards")).as("n_cards_valid"),
-            size(regexp_extract_all(col("txt"), lit(ibanRe), lit(0)))
-              .as("n_ibans_seen"),
+            size(filter(col("ms"), isIban(_))).as("n_ibans_seen"),
             size(col("vibans")).as("n_ibans_valid"))
           .orderBy("c_custkey")
       },

@@ -95,8 +95,9 @@ object DedupQueries extends QueryBase {
   }
 
   /** Distinct word-3-shingles of lower(text) (shared with the ×100
-    * stratified-slice twins in [[SliceQueries]]). */
-  private[queries] def shingles3: Column = {
+    * stratified-slice twins in [[SliceQueries]] and the streaming
+    * near-dup admission gate in [[graft.streaming.Incremental]]). */
+  private[graft] def shingles3: Column = {
     val tk = split(lower(col("text")), "\\s+")
     array_distinct(
       when(size(tk) >= 3,
@@ -584,18 +585,25 @@ object DedupQueries extends QueryBase {
     * length L ≥ k is covered by its L−k+1 duplicated k-grams and the
     * UNION of their spans is exactly the repeat (the paper's "extension"
     * step, subsumed because overlapping k-grams chain); (2) keep-first
-    * rank per gram under the total order (doc_id, pos) — the grouping key
+    * per gram = the per-gram minimum (doc_id, pos), computed as a
+    * partial-aggregable min(struct) + join-back — the grouping key
     * is the exact gram STRING, so no hash-collision verify pass is
     * needed; (3) duplicated occurrences explode to covered token indices
     * (span union) and an interval-merge window counts the contiguous
     * removed spans for the audit; (4) anti-join rewrite reassembles each
     * doc from its uncovered tokens.
     *
-    * Scale: one gram-keyed window shuffle (group size = that gram's true
-    * dup count; at 100 TB the sort key becomes (xxhash64(gram), gram) so
-    * the exchange carries 8-byte prefixes — same plan), one doc-keyed
-    * window + groupBy for spans, one anti-join + groupBy for the rewrite
-    * — all key-hash shuffles, nothing driver-side. The planted fixture
+    * Scale: one gram-keyed aggregate + join (map-side combine folds each
+    * task's occurrences of a gram to one min-candidate before the
+    * exchange, so a corpus-frequent boilerplate gram never concentrates
+    * its occurrences — let alone sorts them — in one task; the join-back
+    * is AQE-skew-splittable because no per-key ordering survives it; at
+    * 100 TB the key becomes (xxhash64(gram), gram) so the exchange
+    * carries 8-byte prefixes — same plan), ONE doc-keyed aggregate for
+    * the whole per-doc dup surface (audit counts + covered indices via
+    * per-row array folds, bounded by doc length), one join + groupBy
+    * for the rewrite — all key-hash shuffles, nothing driver-side, no
+    * per-key ordering anywhere. The planted fixture
     * re-keys every 10th doc with tokens 4..27 of the original behind a
     * 3-token filler prefix: a 24-token repeat at alignment shift 3, which
     * the 10-word segment grid of `dedup_paragraphs` cannot see.
@@ -617,24 +625,55 @@ object DedupQueries extends QueryBase {
             s"i -> array_join(slice(toks, i, $k), ' ')) " +
             "ELSE array() END")).as(Seq("p0", "gram")))
         .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gram"))
-      val wg = Window.partitionBy("gram").orderBy("doc_id", "pos")
-      val dup = grams.withColumn("r", row_number().over(wg))
-        .filter(col("r") > 1).select("doc_id", "pos")
-      // span union → covered token indices (k-wide, overlap collapses)
-      val removed = dup
+      // Keep-first needs only the per-gram MINIMUM (doc_id, pos) — not a
+      // rank over the whole group. The former row_number window sorted
+      // every occurrence of a gram inside ONE task: a boilerplate 8-gram
+      // repeated 1e8 times at 100 TB is a single-partition sort-everything
+      // group (the exact hot spot ExactSubstr exists for). min(struct) is
+      // partial-aggregable — each map task folds its local occurrences to
+      // one candidate before the exchange — and the join-back is a plain
+      // hash join on gram that AQE can skew-split. Identical rows: the
+      // struct min under (doc_id, pos) IS the keep-first total order.
+      val firstOcc = grams.groupBy("gram")
+        .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+      val dup = grams.join(firstOcc, Seq("gram"))
+        .filter(col("doc_id") =!= col("first.doc_id") ||
+          col("pos") =!= col("first.pos"))
+        .select("doc_id", "pos")
+      // ONE doc-keyed aggregate over dup yields the whole per-doc dup
+      // surface: the audit counts AND the covered-index set. A doc's dup
+      // positions are bounded by its token count, so the sorted-array
+      // fold is per-row work (the same bound the rewrite's collect_list
+      // already assumes); deriving spans from the array replaces the
+      // doc-keyed window AND keeps dup single-consumer — the r12 form
+      // ran one window pass and one explode pass over dup, which after
+      // the keep-first de-skew would have re-executed the gram join
+      // twice.
+      val docDup = dup.groupBy("doc_id")
+        .agg(sort_array(collect_list(col("pos"))).as("ps"))
         .select(col("doc_id"),
-          explode(sequence(col("pos"), col("pos") + (k - 1))).as("idx"))
-        .distinct()
-      // interval-merge audit: spans sorted by pos merge when overlapping
-      // or adjacent (equal width k ⇒ previous end is monotone, lag
-      // suffices): a new span starts where pos > lag(pos) + k
-      val wd = Window.partitionBy("doc_id").orderBy("pos")
-      val spanStats = dup
-        .withColumn("new_span",
-          when(lag("pos", 1).over(wd).isNull ||
-            col("pos") > lag("pos", 1).over(wd) + k, 1L).otherwise(0L))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_dup_grams"), sum("new_span").as("n_spans"))
+          size(col("ps")).cast("long").as("n_dup_grams"),
+          // spans merge when consecutive sorted positions are within k
+          // (equal width k ⇒ previous end is monotone): a new span
+          // starts at index 1 and wherever ps[i] > ps[i-1] + k
+          // sequence(2, n) with n < 2 runs DESCENDING in Spark 4 (and
+          // element_at(ps, 0) throws) — single-dup docs take the empty
+          // branch
+          (lit(1L) + size(filter(
+            expr("CASE WHEN size(ps) >= 2 THEN transform(sequence(2, " +
+              s"size(ps)), i -> element_at(ps, i) > element_at(ps, i - 1) " +
+              s"+ $k) ELSE array() END"),
+            x => x)).cast("long")).as("n_spans"),
+          expr(s"array_distinct(flatten(transform(ps, " +
+            s"p -> sequence(p, p + ${k - 1}))))").as("rm_idx"))
+      // span union → covered token indices (k-wide, overlap collapses),
+      // CARRYING the per-doc audit stats on every exploded row (constant
+      // within a doc) so docDup has exactly ONE consumer — a separate
+      // stats join-back would re-execute the whole gram pipeline for a
+      // second copy of this aggregate
+      val removed = docDup
+        .select(col("doc_id"), col("n_dup_grams"), col("n_spans"),
+          explode(col("rm_idx")).as("idx"), lit(1).as("rm"))
       // rewrite + stats in ONE doc-keyed aggregate: tokens carry a
       // removed flag from the coverage left join, n_tokens is the token
       // count itself, and collect_list's null-skipping drops covered
@@ -643,20 +682,18 @@ object DedupQueries extends QueryBase {
       val tok = base
         .select(col("doc_id"), posexplode(col("toks")).as(Seq("i0", "tok")))
         .select(col("doc_id"), (col("i0") + 1).as("idx"), col("tok"))
-      val agg = tok
-        .join(removed.withColumn("rm", lit(1)), Seq("doc_id", "idx"), "left")
+      tok
+        .join(removed, Seq("doc_id", "idx"), "left")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
+          coalesce(max(col("n_dup_grams")), lit(0L)).as("n_dup_grams"),
+          coalesce(max(col("n_spans")), lit(0L)).as("n_spans"),
           sum(coalesce(col("rm"), lit(0))).cast("long").as("n_removed"),
           array_join(expr(
             "transform(array_sort(collect_list(CASE WHEN rm IS NULL THEN " +
               "struct(idx, tok) END)), t -> t.tok)"), " ").as("text_dedup"))
-      agg.join(spanStats, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_tokens"),
-          coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
-          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-          col("n_removed"),
-          col("text_dedup"))
+        .select(col("doc_id"), col("n_tokens"), col("n_dup_grams"),
+          col("n_spans"), col("n_removed"), col("text_dedup"))
         .orderBy("doc_id")
   }
 

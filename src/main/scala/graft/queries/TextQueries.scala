@@ -250,6 +250,25 @@ object TextQueries extends QueryBase {
     * the expression-only form the HTML source path feeds:
     * sources/Html.scala parses real markup to the same
     * block-per-line shape. */
+  /** The jusText threshold rules shared by BOTH boilerplate faces —
+    * the expression-only `text_boilerplate_strip` (tag-strip regex
+    * signals) and the real-markup `text_boilerplate_html`
+    * ([[graft.sources.Html.leafBlocks]] signals). Integer
+    * cross-multiplied: 10·link_chars > 3·text_chars ⟺ link density
+    * > 0.3; 50·n_stop < n_words ⟺ stop density < 0.02 — no float
+    * division, so every engine decides every block identically. */
+  def blockVerdict(btext: org.apache.spark.sql.Column,
+      linkLen: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val words = filter(split(btext, " "), w => w =!= "")
+    val nWords = size(words)
+    val nStop = size(filter(words,
+      w => lower(w).isin("the", "a", "of", "and", "to")))
+    when(lit(10) * linkLen > lit(3) * length(btext), "link")
+      .when(nWords < 4, "short")
+      .when(lit(50) * nStop < nWords, "lowstop")
+      .otherwise("content")
+  }
+
   private val boilerplateQ = Q(
     "text_boilerplate_strip",
     (s, dir) => {
@@ -274,15 +293,7 @@ object TextQueries extends QueryBase {
         val linkLen = aggregate(
           regexp_extract_all(b, lit("<a[^>]*>([^<]*)</a>"), lit(1)),
           lit(0), (acc, x) => acc + length(x))
-        val words = filter(split(btext, " "), w => w =!= "")
-        val nWords = size(words)
-        val nStop = size(filter(words,
-          w => lower(w).isin("the", "a", "of", "and", "to")))
-        val verdict = when(lit(10) * linkLen > lit(3) * length(btext), "link")
-          .when(nWords < 4, "short")
-          .when(lit(50) * nStop < nWords, "lowstop")
-          .otherwise("content")
-        struct(btext.as("btext"), verdict.as("v"))
+        struct(btext.as("btext"), blockVerdict(btext, linkLen).as("v"))
       }
       def nBy(v: String) = size(filter(col("feat"),
         f => f.getField("v") === v)).cast("long")
@@ -352,7 +363,133 @@ object TextQueries extends QueryBase {
       "multiplied thresholds), content-only rewrite + per-reason audit; " +
       "one shuffle-free projection")
 
-  val all: Seq[Q] = Seq(readabilityQ, rakeQ, noveltyQ, boilerplateQ) ++ Seq(
+  /** Real-markup face of the boilerplate strip (r12 verdict item 5):
+    * the SAME classifier ([[blockVerdict]]) fed by the real HTML path —
+    * pages are minted as FILES (fixture plumbing, block-identical to
+    * `text_boilerplate_strip`'s inline page but wrapped in
+    * html/body and parsed from bytes), each page is one `binaryFile`
+    * row, and the block model comes from the own-parser DOM
+    * ([[graft.sources.Html.leafBlocks]]: leaf block elements, visible
+    * text, descendant-`<a>` link chars) instead of tag-strip regexes.
+    * The oracle recomputes blocks + thresholds from `documents` in SQL,
+    * so a parser divergence (missed block, wrong link-text attribution,
+    * entity mishandling) cannot hash-match.
+    *
+    * Scale shape: parse + classify run inside the scan tasks (one task
+    * per file group, linear over page count); the only shuffle is the
+    * final per-doc aggregate. */
+  private val boilerplateHtmlQ = Q(
+    "text_boilerplate_html",
+    (s, dir) => {
+      val out = graft.sources.Sources.scratchDir(dir, "boiler_pages")
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select("doc_id", "text")
+        .collect() // bounded fixture mint: 50 pages at sf0.01
+      val d = new java.io.File(out)
+      d.mkdirs()
+      Option(d.listFiles()).foreach(_.foreach(f =>
+        if (f.getName.endsWith(".html")) f.delete()))
+      docs.foreach { r =>
+        val toks = r.getString(1).split(" ")
+        val h = (toks.length + 1) / 2
+        val page = "<html><body>\n" +
+          "<div class=\"nav\"><a href=\"/\">Home</a> | " +
+          "<a href=\"/s\">Search</a> | <a href=\"/c\">Contact</a></div>\n" +
+          "<p>" + toks.take(h).mkString(" ") + "</p>\n" +
+          "<div>SUBSCRIBE NOW FOR PREMIUM ACCESS TODAY</div>\n" +
+          "<p>" + toks.drop(h).mkString(" ") + "</p>\n" +
+          "<footer>(c) 2020 <a href=\"/p\">Privacy</a> " +
+          "<a href=\"/t\">Terms</a></footer>\n</body></html>"
+        java.nio.file.Files.write(
+          new java.io.File(d, s"${r.getLong(0)}.html").toPath,
+          page.getBytes("UTF-8"))
+      }
+      import s.implicits._
+      val idRe = """(\d+)\.html$""".r.unanchored
+      val blocks = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.html")
+        .load(out)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, bytes) =>
+          val id = idRe.findFirstMatchIn(path)
+            .map(_.group(1).toLong).getOrElse(-1L)
+          graft.sources.Html
+            .leafBlocks(graft.sources.Html.parse(new String(bytes, "UTF-8")))
+            .zipWithIndex
+            .map { case ((btext, ll), i) => (id, i, btext, ll) }
+        }
+        .toDF("doc_id", "bidx", "btext", "link_len")
+      blocks
+        .withColumn("v", blockVerdict(col("btext"), col("link_len")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("v") === "content", 1L).otherwise(0L)).as("n_content"),
+          sum(when(col("v") === "link", 1L).otherwise(0L)).as("n_link"),
+          sum(when(col("v") === "short", 1L).otherwise(0L)).as("n_short"),
+          sum(when(col("v") === "lowstop", 1L).otherwise(0L)).as("n_lowstop"),
+          array_join(transform(array_sort(collect_list(
+            when(col("v") === "content",
+              struct(col("bidx"), col("btext"))))),
+            x => x.getField("btext")), " ").as("kept_text"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH tk AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               (len(string_split(text, ' ')) + 1) // 2 AS h
+        FROM documents WHERE doc_id % 10 = 0),
+      page AS (
+        SELECT doc_id, concat(
+          '<div class="nav"><a href="/">Home</a> | <a href="/s">Search</a> | <a href="/c">Contact</a></div>',
+          chr(10), '<p>', array_to_string(toks[1:h], ' '), '</p>',
+          chr(10), '<div>SUBSCRIBE NOW FOR PREMIUM ACCESS TODAY</div>',
+          chr(10), '<p>', array_to_string(toks[h+1:len(toks)], ' '), '</p>',
+          chr(10), '<footer>(c) 2020 <a href="/p">Privacy</a> <a href="/t">Terms</a></footer>')
+          AS pg
+        FROM tk),
+      blocks AS (
+        SELECT doc_id, i AS bidx, bl[i] AS block
+        FROM (SELECT doc_id, string_split(pg, chr(10)) AS bl FROM page),
+             LATERAL (SELECT unnest(range(1, len(bl) + 1)) AS i)),
+      feat AS (
+        SELECT doc_id, bidx,
+          trim(regexp_replace(regexp_replace(block, '<[^>]*>', ' ', 'g'),
+                              '\s+', ' ', 'g')) AS btext,
+          coalesce(list_aggregate(list_transform(
+            regexp_extract_all(block, '<a[^>]*>([^<]*)</a>', 1),
+            x -> len(x)), 'sum'), 0) AS link_len
+        FROM blocks),
+      cls AS (
+        SELECT doc_id, bidx, btext,
+          CASE WHEN 10 * link_len > 3 * len(btext) THEN 'link'
+               WHEN n_words < 4 THEN 'short'
+               WHEN 50 * n_stop < n_words THEN 'lowstop'
+               ELSE 'content' END AS v
+        FROM (
+          SELECT *, len(words) AS n_words,
+                 len(list_filter(words, w -> list_contains(
+                   ['the', 'a', 'of', 'and', 'to'], lower(w)))) AS n_stop
+          FROM (SELECT *, list_filter(string_split(btext, ' '),
+                            w -> w <> '') AS words
+                FROM feat)))
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(count(*) FILTER (WHERE v = 'content') AS BIGINT) AS n_content,
+             CAST(count(*) FILTER (WHERE v = 'link') AS BIGINT) AS n_link,
+             CAST(count(*) FILTER (WHERE v = 'short') AS BIGINT) AS n_short,
+             CAST(count(*) FILTER (WHERE v = 'lowstop') AS BIGINT) AS n_lowstop,
+             coalesce(string_agg(btext, ' ' ORDER BY bidx)
+               FILTER (WHERE v = 'content'), '') AS kept_text
+      FROM cls GROUP BY doc_id ORDER BY doc_id"""),
+    doc = "boilerplate strip over REAL markup: minted page files -> " +
+      "binaryFile scan -> own-parser DOM leaf blocks " +
+      "(sources/Html.leafBlocks) -> shared jusText thresholds; oracle " +
+      "recomputes blocks+rules from documents, so parser divergence " +
+      "cannot hash-match")
+
+  val all: Seq[Q] = Seq(readabilityQ, rakeQ, noveltyQ, boilerplateQ,
+    boilerplateHtmlQ) ++ Seq(
     // N1/W5: tokenize + 1-based positional explode, global term counts.
     // reference src/absa/post_words.py:126-231.
     Q(

@@ -130,6 +130,48 @@ object Html {
     sb.toString
   }
 
+  private val blockTags = Set(
+    "p", "div", "footer", "header", "nav", "section", "article", "aside",
+    "main", "h1", "h2", "h3", "h4", "h5", "h6", "li", "td", "th", "dt",
+    "dd", "blockquote", "pre", "caption", "form", "table", "tbody",
+    "thead", "tr", "ul", "ol", "dl")
+
+  /** Descendant text with script/style subtrees excluded — the "visible
+    * text" a boilerplate classifier should score (raw-text JS/CSS would
+    * drown the stop-word signal). */
+  def visibleText(root: HElem): String = {
+    val sb = new StringBuilder
+    def walk(n: HNode): Unit = n match {
+      case t: HText => sb.append(t.text)
+      case e: HElem if rawTextTags.contains(e.tag) => ()
+      case e: HElem => e.children.foreach(walk)
+    }
+    root.children.foreach(walk)
+    sb.toString
+  }
+
+  /** The jusText block model over a parsed page: every LEAF block
+    * element — a block-level element with no block-level descendant —
+    * in document order, as (whitespace-normalized visible text,
+    * link-text chars summed over descendant `<a>` elements). This is
+    * the real-markup feed for the boilerplate classifier
+    * ([[graft.queries.TextQueries]] `text_boilerplate_html`); the
+    * expression-only catalog twin (`text_boilerplate_strip`) computes
+    * the same two signals by tag-strip regex on one minted
+    * block-per-line page. */
+  def leafBlocks(root: HElem): Seq[(String, Int)] = {
+    def hasBlockDesc(e: HElem): Boolean =
+      e.descendants.exists(d => blockTags.contains(d.tag))
+    root.descendants
+      .filter(e => blockTags.contains(e.tag) && !hasBlockDesc(e))
+      .map { e =>
+        val btext = visibleText(e).replaceAll("\\s+", " ").trim
+        val linkLen = e.descendants.filter(_.tag == "a")
+          .map(a => visibleText(a).length).sum
+        (btext, linkLen)
+      }
+  }
+
   /** Parse a full document or fragment. Returns a synthetic root element
     * (tag "#document") holding all top-level nodes; XPath absolute paths
     * evaluate from here. */

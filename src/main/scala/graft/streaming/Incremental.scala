@@ -199,6 +199,130 @@ object Incremental {
       .toDF()
   }
 
+  /** One exploded MinHash band arrival: a document's (band, band-key)
+    * slice of its 12-hash signature, 4 bands × 3 rows — the SAME
+    * md5-derived signature and band keys as the batch
+    * `dedup_minhash_lsh` blocking. */
+  case class MinhashArrival(doc_id: Long, arrival: java.sql.Timestamp,
+      band: Int, bkey: String)
+
+  /** One (band, bkey) admission ledger for the text near-dup gate: the
+    * doc that first claimed this band key, plus the newest arrival
+    * micros for watermark-horizon eviction. A MinHash band-key EQUALITY
+    * is already the near-dup candidate signal (unlike the image gate's
+    * Hamming ball there is nothing to search within the bucket), so the
+    * ledger is a single id — O(1) state per live band key. */
+  case class MinhashBandState(keeper: Long, maxArrivalUs: Long)
+
+  /** A text near-dup candidate flagged AT ADMISSION: `doc_id` arrived
+    * with a band key already claimed by `matched_with` inside the
+    * watermark horizon. */
+  case class TextNearDup(doc_id: Long, matched_with: Long, band: Int,
+      arrival: java.sql.Timestamp)
+
+  /** Shared admission core for the batch twin and the streaming gate:
+    * fold one band bucket's arrivals in (arrival, doc_id) order. The
+    * first arrival claims the key; every later arrival is flagged
+    * against the keeper and not admitted. */
+  private def minhashAdmit(arrivals: Seq[MinhashArrival],
+      prior: Option[MinhashBandState]):
+      (Seq[TextNearDup], MinhashBandState) = {
+    var keeper = prior.map(_.keeper).getOrElse(-1L)
+    var maxUs = prior.map(_.maxArrivalUs).getOrElse(0L)
+    val flags = scala.collection.mutable.ArrayBuffer.empty[TextNearDup]
+    arrivals.sortBy(a => (a.arrival.getTime, a.doc_id)).foreach { a =>
+      val us = a.arrival.toInstant.getEpochSecond * 1000000L +
+        a.arrival.toInstant.getNano / 1000L
+      if (us > maxUs) maxUs = us
+      if (keeper < 0) keeper = a.doc_id
+      else if (a.doc_id != keeper)
+        flags += TextNearDup(a.doc_id, keeper, a.band, a.arrival)
+    }
+    (flags.toSeq, MinhashBandState(keeper, maxUs))
+  }
+
+  /** Explode (doc_id, arrival, text) into the 4×3 MinHash band keys of
+    * the batch `dedup_minhash_lsh` blocking — same word-3-shingles,
+    * same compiled `minhash_sig` kernel, same md5 band keys, so a doc
+    * the batch job would bucket with an earlier doc collides with it
+    * here too. */
+  private def minhashBands(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), col("arrival"),
+        graft.queries.DedupQueries.shingles3.as("sh"))
+      .select(col("doc_id"), col("arrival"),
+        expr("minhash_sig(sh, 12)").as("sig"))
+      .select(col("doc_id"), col("arrival"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          b => md5(concat_ws(",",
+            element_at(col("sig"), b * 3 + 1).cast("string"),
+            element_at(col("sig"), b * 3 + 2).cast("string"),
+            element_at(col("sig"), b * 3 + 3).cast("string")))))
+          .as(Seq("band", "bkey")))
+  }
+
+  /** Streaming near-dup admission for TEXT (r12 verdict item 4) — the
+    * text analog of [[imageNearDupGateStream]], upgrading the exact-hash
+    * [[dedupStream]] to MinHash similarity at admission time: arriving
+    * documents shingle and sign exactly as the batch `dedup_minhash_lsh`
+    * blocking (same kernel, same md5 band keys), each doc lands in its
+    * four band buckets, and a `flatMapGroupsWithState` ledger per
+    * (band, key) flags any arrival whose band key was already claimed
+    * inside the watermark horizon. Exact-Jaccard verification of the
+    * flagged candidates stays a batch job over the admitted set (the
+    * LSH contract: a band collision is a candidate, not a verdict).
+    *
+    * State posture: ONE state row per live (band, key) bucket holding a
+    * single keeper id + newest-arrival micros (MinHash equality needs no
+    * in-bucket search, so no cap is required — the ledger cannot grow
+    * past one entry), evicted by event-time timeout one watermark
+    * horizon after the bucket's newest arrival. Total state is O(live
+    * band keys in the horizon) × O(1), bounded at any stream length.
+    * Emits the candidate-flag stream (append mode). */
+  def textNearDupGateStream(docs: DataFrame, late: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val horizonMs = {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+        .stringToInterval(
+          org.apache.spark.unsafe.types.UTF8String.fromString(late))
+      require(iv.months == 0, s"horizon '$late' must not use months")
+      iv.days * 86400000L + iv.microseconds / 1000L
+    }
+    minhashBands(docs.withWatermark("arrival", late))
+      .as[MinhashArrival]
+      .groupByKey(a => (a.band, a.bkey))
+      .flatMapGroupsWithState[MinhashBandState, TextNearDup](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, String), it: Iterator[MinhashArrival],
+            state: GroupState[MinhashBandState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val (flags, next) = minhashAdmit(it.toSeq, state.getOption)
+            state.update(next)
+            state.setTimeoutTimestamp(next.maxArrivalUs / 1000L + horizonMs)
+            flags.iterator
+          }
+      }
+      .toDF()
+  }
+
+  /** Batch twin of [[textNearDupGateStream]]: the identical admission
+    * fold per (band, key) bucket with no state carry-over — the spec's
+    * stream-vs-batch parity surface. */
+  def textNearDupFlagsBatch(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    minhashBands(docs)
+      .as[MinhashArrival]
+      .groupByKey(a => (a.band, a.bkey))
+      .flatMapGroups { (_: (Int, String), it: Iterator[MinhashArrival]) =>
+        minhashAdmit(it.toSeq, None)._1.iterator
+      }
+      .toDF()
+  }
+
   /** Streaming heavy hitters — the continuous-ingest twin of the batch
     * `agg_heavy_hitters` query: per watermarked tumbling window, a
     * Misra–Gries summary ([[graft.functions.MisraGriesAgg]]) of the

@@ -50,6 +50,35 @@ class Round12OpsSpec extends SparkSpec {
     assert(got(2L)._1 == 0L)
   }
 
+  test("exactSubstringDedup: planted hot gram (1e5 repeats of one " +
+      "boilerplate 8-gram) — keep-first survives without a per-gram " +
+      "rank window (no single-task sort group)") {
+    // 100k docs, each = 3 unique tokens + the SAME 8-token run. The hot
+    // gram occurs 100,000 times; the removed row_number window would
+    // have sorted all of them inside one task. The min-struct keep-first
+    // folds them map-side.
+    val hot = (1 to 8).map(i => s"hot$i").mkString(" ")
+    val docs = spark.range(0L, 100000L)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", concat(lit("u"), col("id"), lit("a")),
+          concat(lit("u"), col("id"), lit("b")),
+          concat(lit("u"), col("id"), lit("c")), lit(hot)).as("text"))
+    val out = DedupQueries.exactSubstringDedup(docs, 8)
+    // plan shape: the only row_number in this query was the per-gram
+    // keep-first rank; its absence IS the de-skew
+    assert(!out.queryExecution.executedPlan.toString.contains("row_number"),
+      "per-gram rank window reappeared in exactSubstringDedup")
+    val stats = out.agg(
+      sum("n_removed").as("rm"), count(lit(1)).as("n"),
+      sum(when(col("n_removed") === 0, 1).otherwise(0)).as("untouched"))
+      .collect().head
+    assert(stats.getLong(1) == 100000L)        // every doc came back
+    assert(stats.getLong(2) == 1L)             // exactly one keeper intact
+    assert(stats.getLong(0) == 8L * 99999L)    // 8 tokens off each dup
+    val keeper = out.filter(col("doc_id") === 0L).collect().head
+    assert(keeper.getAs[String]("text_dedup") == s"u0a u0b u0c $hot")
+  }
+
   // --- PII checksum kernels ---
 
   test("luhn_sum: known-valid cards pass, off-by-one check digits fail") {

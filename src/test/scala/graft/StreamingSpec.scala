@@ -206,6 +206,64 @@ class StreamingSpec extends SparkSpec {
       "stream admission flags must equal the batch twin's")
   }
 
+  test("streaming text near-dup gate flags MinHash band collisions at " +
+      "admission, with batch-twin parity and bounded state") {
+    val tmp = Files.createTempDirectory("graft-stream-textdup").toString
+    // Originals arrive first, then PERTURBED re-posts: one token appended
+    // — NOT an exact fingerprint match (dedupStream can't see it), but
+    // Jaccard ≈ (n-2)/(n-1) on word-3-shingles, so the MinHash band
+    // ledger must. Docs are length-filtered so the planted similarity is
+    // high enough that a 4×3 LSH miss is ~1e-4 per doc.
+    val base = unix_timestamp(lit("2024-01-01 00:00:00").cast("timestamp"))
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+      .filter(size(split(lower(col("text")), "\\s+")) >= 20)
+      .select("doc_id", "text").limit(100)
+    val media = docs
+      .withColumn("arrival", timestamp_seconds(base + col("doc_id") % 400))
+      .unionByName(docs
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" zq9tail")).as("text"))
+        .withColumn("arrival",
+          timestamp_seconds(base + col("doc_id") % 400 + 500L)))
+    media.write.mode("overwrite").parquet(s"$tmp/src")
+    val src = Incremental.readStream(spark, s"$tmp/src",
+      spark.read.parquet(s"$tmp/src").schema)
+    val q = Incremental.runAvailableNow(
+      Incremental.textNearDupGateStream(src, "10 minutes"),
+      s"$tmp/ckpt", s"$tmp/out")
+    q.awaitTermination()
+    val flags = spark.read.parquet(s"$tmp/out")
+    // near-exhaustive capture of the planted re-posts (LSH miss odds are
+    // ~1e-4 each; >= 95 leaves honest room without going probabilistic)
+    val caught = flags.filter(col("doc_id") >= 100000L)
+      .select("doc_id").distinct().count()
+    assert(caught >= 95L,
+      s"planted near-dup re-posts must be flagged at admission, got $caught")
+    // most plants match their OWN original (some originals are fixture
+    // near-dups of each other, so a few match an earlier keeper instead)
+    val ownMatch = flags
+      .filter(col("doc_id") >= 100000L &&
+        col("matched_with") === col("doc_id") - 100000L)
+      .select("doc_id").distinct().count()
+    assert(ownMatch >= 50L,
+      s"plants should mostly match their own original, got $ownMatch")
+    // Bounded state: one O(1) ledger row per live (band, key) bucket —
+    // at most 4 band keys per admitted doc.
+    val stateRows = q.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsTotal).max
+    assert(stateRows <= 4L * media.count(),
+      s"state rows $stateRows must be bounded by live band buckets")
+    // Stream/batch parity: identical flag set to the stateless twin.
+    val streamedSet = flags.select("doc_id", "matched_with", "band")
+      .collect().map(_.toSeq).toSet
+    val batchSet = Incremental
+      .textNearDupFlagsBatch(spark.read.parquet(s"$tmp/src"))
+      .select("doc_id", "matched_with", "band")
+      .collect().map(_.toSeq).toSet
+    assert(streamedSet === batchSet,
+      "stream admission flags must equal the batch twin's")
+  }
+
   test("streaming curation intake equals the batch transform row-for-row") {
     val tmp = Files.createTempDirectory("graft-stream-curate").toString
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
