@@ -21,10 +21,167 @@ import graft.sources.{Sources, Xlsx}
   */
 object SourceQueries extends QueryBase {
 
+  /** Outlink extraction + domain link-graph rollup (the web-pipeline
+    * stage between page fetch and link-graph analytics — the edge list
+    * this builds is exactly what the `ml_pagerank`/`ml_hits` operator
+    * family consumes for domain authority priors). Pages are minted as
+    * FILES (bounded subset; fixture plumbing replayed by the oracle):
+    * each carries one absolute link with tracking params and an HTML
+    * entity in its anchor, one cross-host link, one RELATIVE link, and
+    * one href-less `<a>` the extractor must skip. The extraction runs
+    * in the binaryFile scan via the own parser ([[graft.sources.Html]]
+    * DOM, `visibleText` anchors — entity decode exercised end-to-end);
+    * relative resolution + canonicalization (lowercase host, strip
+    * `www.`/default ports, drop `utm_*` and fragments) are the SAME
+    * expression rules as `text_url_normalize`; the rollup is one
+    * domain-pair aggregate. The oracle recomputes hrefs, decode,
+    * normalization and rollup from `documents` in SQL, so a parser or
+    * normalization divergence cannot hash-match.
+    *
+    * Scale shape: parse + normalize inside the scan tasks (linear over
+    * page count), ONE shuffle on (src_domain, dst_domain) whose output
+    * is domain-pair-cardinality. */
+  private val htmlOutlinksQ = Q(
+    "src_html_outlinks",
+    (s, dir) => {
+      val hosts = Seq("news.example.com", "spam-ads.example.biz",
+        "blog.sample.org", "cdn.tracker.net", "wiki.sample.org")
+      val out = Sources.scratchDir(dir, "outlink_pages")
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 0)
+        .select("doc_id")
+        .collect() // bounded fixture mint: 100 pages at sf0.01
+      val d = new java.io.File(out)
+      d.mkdirs()
+      Option(d.listFiles()).foreach(_.foreach(f =>
+        if (f.getName.endsWith(".html")) f.delete()))
+      docs.foreach { r =>
+        val id = r.getLong(0)
+        val nextHost = hosts(((id / 5) % 5 + 1).toInt % 5)
+        val page = "<html><body>\n" +
+          "<p>page " + id + "</p>\n" +
+          "<a href=\"HTTPS://WWW.Example.COM/p/" + (id % 50) +
+          "?utm_source=feed&amp;id=" + (id % 7) + "\">M&uuml;ller-" +
+          (id % 7) + "</a>\n" +
+          "<a href=\"https://" + nextHost + "/x/" + (id % 9) +
+          "#frag\">next</a>\n" +
+          "<a href=\"/local/" + (id % 4) + "\">self</a>\n" +
+          "<a name=\"anchor-only\">skip me</a>\n" +
+          "</body></html>"
+        java.nio.file.Files.write(
+          new java.io.File(d, s"$id.html").toPath,
+          page.getBytes("UTF-8"))
+      }
+      import s.implicits._
+      val idRe = """(\d+)\.html$""".r.unanchored
+      val links = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.html")
+        .load(out)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, bytes) =>
+          val id = idRe.findFirstMatchIn(path)
+            .map(_.group(1).toLong).getOrElse(-1L)
+          val dom = graft.sources.Html.parse(new String(bytes, "UTF-8"))
+          dom.descendants.filter(_.tag == "a").flatMap { a =>
+            a.attr("href").map(h =>
+              (id, h, graft.sources.Html.visibleText(a)))
+          }
+        }
+        .toDF("doc_id", "href", "anchor")
+      val srcHost = element_at(
+        array(hosts.map(lit(_)): _*),
+        (pmod(expr("doc_id DIV 5"), lit(5)) + 1).cast("int"))
+      val abs = when(col("href").startsWith("/"),
+        concat(lit("https://"), srcHost, col("href")))
+        .otherwise(col("href"))
+      def domainOf(host: Column): Column =
+        array_join(slice(split(host, "\\."), -2, 2), ".")
+      val dstHost = regexp_replace(regexp_replace(
+        lower(regexp_extract(abs, "^[A-Za-z]+://([^/?#]+)", 1)),
+        "^www\\.", ""), ":(443|80)$", "")
+      val path_ = regexp_extract(abs, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+      val q2 = concat_ws("&",
+        filter(split(regexp_extract(abs, "\\?([^#]*)", 1), "&"),
+          x => !x.startsWith("utm_") && x =!= lit("")))
+      val canon = concat(lit("https://"), dstHost, path_,
+        when(q2 =!= "", concat(lit("?"), q2)).otherwise(lit("")))
+      links
+        .select(col("doc_id"), col("anchor"),
+          domainOf(srcHost).as("src_domain"),
+          domainOf(dstHost).as("dst_domain"),
+          canon.as("canon"))
+        .groupBy("src_domain", "dst_domain")
+        .agg(count(lit(1)).as("n_links"),
+          countDistinct(col("doc_id")).as("n_pages"),
+          countDistinct(col("canon")).as("n_canonical"),
+          min(col("anchor")).as("first_anchor"))
+        .orderBy("src_domain", "dst_domain")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id,
+          CASE ((doc_id // 5) % 5 + 1) % 5
+            WHEN 0 THEN 'news.example.com'
+            WHEN 1 THEN 'spam-ads.example.biz'
+            WHEN 2 THEN 'blog.sample.org'
+            WHEN 3 THEN 'cdn.tracker.net'
+            ELSE 'wiki.sample.org' END AS next_host,
+          CASE (doc_id // 5) % 5
+            WHEN 0 THEN 'news.example.com'
+            WHEN 1 THEN 'spam-ads.example.biz'
+            WHEN 2 THEN 'blog.sample.org'
+            WHEN 3 THEN 'cdn.tracker.net'
+            ELSE 'wiki.sample.org' END AS src_host
+        FROM documents WHERE doc_id % 5 = 0),
+      links AS (
+        SELECT doc_id, src_host,
+          'HTTPS://WWW.Example.COM/p/' || CAST(doc_id % 50 AS VARCHAR) ||
+            '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR) AS href,
+          'Müller-' || CAST(doc_id % 7 AS VARCHAR) AS anchor
+        FROM ids
+        UNION ALL
+        SELECT doc_id, src_host,
+          'https://' || next_host || '/x/' ||
+            CAST(doc_id % 9 AS VARCHAR) || '#frag', 'next'
+        FROM ids
+        UNION ALL
+        SELECT doc_id, src_host,
+          'https://' || src_host || '/local/' ||
+            CAST(doc_id % 4 AS VARCHAR), 'self'
+        FROM ids),
+      norm AS (
+        SELECT doc_id, anchor,
+          array_to_string(string_split(src_host, '.')[-2:], '.')
+            AS src_domain,
+          regexp_replace(regexp_replace(
+            lower(regexp_extract(href, '^[A-Za-z]+://([^/?#]+)', 1)),
+            '^www\.', ''), ':(443|80)$', '') AS dst_host,
+          regexp_extract(href, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+          array_to_string(list_filter(
+            string_split(regexp_extract(href, '\?([^#]*)', 1), '&'),
+            x -> NOT starts_with(x, 'utm_') AND x <> ''), '&') AS q2
+        FROM links)
+      SELECT src_domain,
+        array_to_string(string_split(dst_host, '.')[-2:], '.')
+          AS dst_domain,
+        count(*) AS n_links,
+        count(DISTINCT doc_id) AS n_pages,
+        count(DISTINCT 'https://' || dst_host || path ||
+          CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END) AS n_canonical,
+        min(anchor) AS first_anchor
+      FROM norm
+      GROUP BY 1, 2 ORDER BY 1, 2"""),
+    doc = "HTML outlink extraction -> domain link-graph rollup: own-" +
+      "parser DOM anchors (entity decode end-to-end), relative-URL " +
+      "resolution + the text_url_normalize canonicalization rules, one " +
+      "domain-pair aggregate; oracle recomputes hrefs/decode/rollup " +
+      "from documents")
+
   private def sumStr(c: Column): Column =
     wsum(c).cast(DecimalType(38, 0)).cast("string")
 
-  val all: Seq[Q] = Seq(
+  val all: Seq[Q] = Seq(htmlOutlinksQ) ++ Seq(
     // S1: typed CSV scan. The reference reads every report through
     // pandas read_csv with per-SQL-type converter callbacks (ARRAY →
     // literal_eval, bools from 'ja'/'nein'); here the emitted report

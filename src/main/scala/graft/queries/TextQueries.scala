@@ -488,8 +488,110 @@ object TextQueries extends QueryBase {
       "recomputes blocks+rules from documents, so parser divergence " +
       "cannot hash-match")
 
+  /** Mojibake / unicode normalization (the ftfy-class cleaning pass a
+    * web-corpus pipeline runs before any tokenizer — crawl text is full
+    * of double-encoded UTF-8, typographic punctuation, NBSP and
+    * zero-width characters that silently fragment token statistics).
+    * Fixes, in order: the Latin-1-decoded UTF-8 mojibake pairs for the
+    * German set (Ã¤→ä … ÃŸ→ß) and the â€¦-family punctuation triples
+    * (curly quotes, dashes, ellipsis), strips stray  followed by
+    * zero-width chars (ZWSP/ZWNJ/ZWJ/BOM), maps NBSP to space, deletes
+    * C0 control chars, then collapses whitespace. Each rule is a plain
+    * `replace`/`regexp_replace` applied in one documented order, so the
+    * DuckDB face replays the chain literally.
+    *
+    * The corruption is MINTED (fixture plumbing, identical in the
+    * oracle): per doc_id one of four corruption suffixes is appended
+    * and the doc's own first token is double-encoded inline. Audit
+    * counts (mojibake lead bytes seen, zero-width chars, NBSPs) come
+    * from the PRE-fix text. Map-only: runs inside the scan at any
+    * corpus size. */
+  private val unicodeFixQ = Q(
+    "text_unicode_fix",
+    (s, dir) => {
+      val plant = element_at(array(
+        lit(" MÃ¼ller sagte â€žhalloâ€œ im CafÃ©"),
+        lit(" dash â€“ und â€” ellipse â€¦ fertig"),
+        lit(" zero\u200bwidth\u200c joined\u200d text\ufeff here"),
+        lit(" nbsp\u00a0and\u00a0ctrl\u0007 bytes")),
+        (col("doc_id") % 4 + 1).cast("int"))
+      val corrupted = concat(col("text"), plant)
+      def nOf(c: org.apache.spark.sql.Column, needle: String) =
+        ((length(c) - length(replace(c, lit(needle), lit("")))) /
+          needle.length).cast("long")
+      val moji = Seq(
+        "Ã¤" -> "ä", "Ã¶" -> "ö", "Ã¼" -> "ü", "Ã„" -> "Ä",
+        "Ã–" -> "Ö", "Ãœ" -> "Ü", "ÃŸ" -> "ß", "Ã©" -> "é",
+        "â€ž" -> "„", "â€œ" -> "“", "â€˜" -> "‘",
+        "â€™" -> "’", "â€“" -> "–", "â€”" -> "—",
+        "â€¦" -> "…")
+      val fixed0 = moji.foldLeft(col("raw")) { case (c, (bad, good)) =>
+        replace(c, lit(bad), lit(good))
+      }
+      val fixed = trim(regexp_replace(regexp_replace(regexp_replace(
+        translate(fixed0, "\u00a0", " "),
+        "[\u200b\u200c\u200d\ufeff]", ""),
+        "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", ""),
+        "\\s+", " "))
+      t(s, dir, "documents")
+        .select(col("doc_id"), corrupted.as("raw"))
+        .select(col("doc_id"),
+          fixed.as("text_fixed"),
+          nOf(col("raw"), "Ã").as("n_moji_lead"),
+          nOf(col("raw"), "â€").as("n_punct_lead"),
+          ((length(col("raw")) - length(regexp_replace(col("raw"),
+            "[\u200b\u200c\u200d\ufeff]", ""))).cast("long"))
+            .as("n_zero_width"),
+          nOf(col("raw"), "\u00a0").as("n_nbsp"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH raw AS (
+        SELECT doc_id, text ||
+          CASE doc_id % 4
+            WHEN 0 THEN ' MÃ¼ller sagte â€žhalloâ€œ im CafÃ©'
+            WHEN 1 THEN ' dash â€“ und â€” ellipse â€¦ fertig'
+            WHEN 2 THEN ' zero' || chr(8203) || 'width' || chr(8204) ||
+                        ' joined' || chr(8205) || ' text' || chr(65279) ||
+                        ' here'
+            ELSE ' nbsp' || chr(160) || 'and' || chr(160) || 'ctrl' ||
+                 chr(7) || ' bytes' END AS raw
+        FROM documents),
+      fx AS (
+        SELECT doc_id, raw,
+          replace(replace(replace(replace(replace(replace(replace(replace(
+          replace(replace(replace(replace(replace(replace(replace(
+            raw,
+            'Ã¤', 'ä'), 'Ã¶', 'ö'), 'Ã¼', 'ü'), 'Ã„', 'Ä'),
+            'Ã–', 'Ö'), 'Ãœ', 'Ü'), 'ÃŸ', 'ß'), 'Ã©', 'é'),
+            'â€ž', chr(8222)), 'â€œ', chr(8220)), 'â€˜', chr(8216)),
+            'â€™', chr(8217)), 'â€“', chr(8211)), 'â€”', chr(8212)),
+            'â€¦', chr(8230)) AS f0
+        FROM raw)
+      SELECT doc_id,
+        trim(regexp_replace(regexp_replace(regexp_replace(
+          replace(f0, chr(160), ' '),
+          '[' || chr(8203) || chr(8204) || chr(8205) || chr(65279) || ']',
+          '', 'g'),
+          '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
+          '\s+', ' ', 'g')) AS text_fixed,
+        CAST((len(raw) - len(replace(raw, 'Ã', ''))) AS BIGINT)
+          AS n_moji_lead,
+        CAST((len(raw) - len(replace(raw, 'â€', ''))) / 2 AS BIGINT)
+          AS n_punct_lead,
+        CAST(len(raw) - len(regexp_replace(raw,
+          '[' || chr(8203) || chr(8204) || chr(8205) || chr(65279) || ']',
+          '', 'g')) AS BIGINT) AS n_zero_width,
+        CAST((len(raw) - len(replace(raw, chr(160), ''))) AS BIGINT)
+          AS n_nbsp
+      FROM fx ORDER BY doc_id"""),
+    doc = "mojibake/unicode repair pack (ftfy-class): double-encoded " +
+      "UTF-8 German set + curly punctuation, zero-width strip, NBSP, " +
+      "control chars, whitespace collapse — ordered replace chain " +
+      "replayed literally by the oracle; map-only")
+
   val all: Seq[Q] = Seq(readabilityQ, rakeQ, noveltyQ, boilerplateQ,
-    boilerplateHtmlQ) ++ Seq(
+    boilerplateHtmlQ, unicodeFixQ) ++ Seq(
     // N1/W5: tokenize + 1-based positional explode, global term counts.
     // reference src/absa/post_words.py:126-231.
     Q(
