@@ -196,9 +196,10 @@ def main():
                     if not any(n.startswith(p) for n in results)]
         if ungraded or not results:
             sys.exit("query filter selected nothing gradable: prefixes "
-                     f"{ungraded or prefixes} match a catalog name but "
-                     "neither an oracle entry nor a result dir — did the "
-                     "Verify invocation use a different filter?")
+                     f"{ungraded or prefixes} selected no graded result "
+                     "(no oracle entry and no result dir matched — a typo'd "
+                     "prefix, or a Verify invocation that used a different "
+                     "filter)")
     # Optional machine-readable dump (GRAFT_CHECK_JSON=path): the scale
     # gates (x10/x100 protocol scripts) commit these as CORRECTNESS_*
     # artifacts instead of re-parsing the human lines.

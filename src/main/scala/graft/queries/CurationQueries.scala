@@ -287,12 +287,15 @@ object CurationQueries extends QueryBase {
 
     // Domain-level curation (r12 verdict item 8) — the CommonCrawl-
     // pipeline stage between URL normalization and quality scoring:
-    // registrable-domain extraction, a BROADCAST blocklist, and a
-    // per-domain quality prior joined back to every document. The crawl
-    // frontier is minted deterministically (five hosts over two-label
-    // registrable domains; docs on the spam host get repeated commerce
-    // tokens appended so their DOMAIN's pooled distinct-token ratio
-    // drops — the planted low-quality domain). Quality is integer-exact:
+    // registrable-domain extraction (public-suffix rule,
+    // [[graft.functions.Domains]] — `wiki.example.co.uk` pools under
+    // `example.co.uk`, not `co.uk`; r13 verdict item 8), a BROADCAST
+    // blocklist, and a per-domain quality prior joined back to every
+    // document. The crawl frontier is minted deterministically (five
+    // hosts, one on a multi-label public suffix; docs on the spam host
+    // get repeated commerce tokens appended so their DOMAIN's pooled
+    // distinct-token ratio drops — the planted low-quality domain).
+    // Quality is integer-exact:
     // per-doc (distinct tokens, tokens) counts, pooled per domain as two
     // integer sums, one rounded division at the end; the low-quality
     // gate is the cross-multiplied 20·Σdistinct < 7·Σtokens (pooled
@@ -310,14 +313,14 @@ object CurationQueries extends QueryBase {
         val host = element_at(array(
           lit("news.example.com"), lit("spam-ads.example.biz"),
           lit("blog.sample.org"), lit("cdn.tracker.net"),
-          lit("wiki.sample.org")), (col("doc_id") % 5 + 1).cast("int"))
+          lit("wiki.example.co.uk")), (col("doc_id") % 5 + 1).cast("int"))
         val scoreText = when(col("doc_id") % 5 === 1,
           concat(col("text"), lit(" buy" * 30))).otherwise(col("text"))
         val base = t(s, dir, "documents")
           .select(col("doc_id"), host.as("host"),
             split(lower(scoreText), " ").as("tk"))
           .withColumn("domain",
-            array_join(slice(split(col("host"), "\\."), -2, 2), "."))
+            graft.functions.Domains.registrable(col("host")))
           .select(col("doc_id"), col("domain"),
             size(array_distinct(col("tk"))).cast("long").as("qn"),
             size(col("tk")).cast("long").as("qd"))
@@ -338,20 +341,20 @@ object CurationQueries extends QueryBase {
               .otherwise("keep").as("verdict"))
           .orderBy("doc_id")
       },
-      Some("""
+      Some(s"""
         WITH b AS (
           SELECT doc_id,
             CASE doc_id % 5 WHEN 0 THEN 'news.example.com'
                             WHEN 1 THEN 'spam-ads.example.biz'
                             WHEN 2 THEN 'blog.sample.org'
                             WHEN 3 THEN 'cdn.tracker.net'
-                            ELSE 'wiki.sample.org' END AS host,
+                            ELSE 'wiki.example.co.uk' END AS host,
             string_split(lower(CASE WHEN doc_id % 5 = 1
               THEN text || repeat(' buy', 30) ELSE text END), ' ') AS tk
           FROM documents),
         q AS (
           SELECT doc_id,
-                 array_to_string(string_split(host, '.')[-2:], '.') AS domain,
+                 ${graft.functions.Domains.registrableSql("host")} AS domain,
                  CAST(len(list_distinct(tk)) AS BIGINT) AS qn,
                  CAST(len(tk) AS BIGINT) AS qd
           FROM b),
@@ -369,10 +372,11 @@ object CurationQueries extends QueryBase {
                     ELSE 'keep' END AS verdict
         FROM q JOIN dom ON dom.domain = q.domain
         ORDER BY doc_id"""),
-      doc = "domain-level curation: registrable-domain extraction, " +
+      doc = "domain-level curation: public-suffix registrable-domain " +
+        "extraction (functions/Domains, PSL longest-suffix rule), " +
         "broadcast blocklist, per-domain pooled quality prior joined " +
         "back (integer-exact counts, one domain-sized aggregate); " +
-        "planted blocklisted + low-quality domains"),
+        "planted blocklisted, low-quality, and co.uk domains"),
 
     // PII redaction — the scrub pass a curation job runs before text ever
     // reaches a tokenizer. Tier 1: mask emails and phone numbers by
@@ -465,16 +469,20 @@ object CurationQueries extends QueryBase {
         // r12 shipped this as 12 full-text regex passes (8 extract_all +
         // 4 regexp_replace) — the catalog's priciest per-row chain at
         // 2.9 s warm. Fused (r12 verdict item 7): ONE alternation scan
-        // extracts every candidate of every class; audit counts classify
-        // the SHORT match strings (contains '@' / starts '+' / '::' /
-        // 'DE' / 16-digit) instead of re-scanning the document; redaction
-        // folds the match list with literal replaces — exactly how the
+        // extracts every candidate of every class and the REDACTION
+        // folds that match list with literal replaces — exactly how the
         // checksum-gated card/IBAN path already worked, now for all six
-        // classes. Class patterns are position-disjoint (each match
-        // string occurs once, in matched context), so per-literal
-        // replacement equals the sequential regexp_replace chain; the
-        // oracle SQL keeps the original 12-pass form, making the fusion
-        // itself oracle-checked.
+        // classes. The fused redaction equals the sequential
+        // regexp_replace chain only when class matches are
+        // position-disjoint (true of the fixture; Round14OpsSpec asserts
+        // it: per-class counts sum to the alternation's match count on
+        // every row). AUDIT COUNTS deliberately do NOT ride on that
+        // assumption (r13 ADVICE): each class count is its own
+        // regexp_extract_all over txt — the 12-pass form's exact audit
+        // semantics on ANY input (an IPv4 nested inside an email's
+        // domain still counts as an IPv4 sighting), at the cost of six
+        // short extra scans per row. The oracle SQL keeps the original
+        // 12-pass form, so the fusion itself stays oracle-checked.
         val allRe = s"(?:$emailRe)|(?:$phoneRe)|(?:$ip6Re)|(?:$ip4Re)" +
           s"|(?:$ibanRe)|(?:$cardRe)"
         def isEmail(m: Column): Column = m.contains("@")
@@ -482,12 +490,12 @@ object CurationQueries extends QueryBase {
         def isIp6(m: Column): Column = m.contains("::")
         def isIban(m: Column): Column = m.startsWith("DE")
         def isCard(m: Column): Column = m.rlike("^\\d{16}$")
+        def extr(re: String): Column =
+          regexp_extract_all(col("txt"), lit(re), lit(0))
         t(s, dir, "customer").select(col("c_custkey"), txt.as("txt"))
           .select(col("c_custkey"), col("txt"),
-            regexp_extract_all(col("txt"), lit(allRe), lit(0)).as("ms"))
-          .select(col("c_custkey"), col("txt"), col("ms"),
-            filter(col("ms"), m => isCard(m) && luhnOk(m)).as("vcards"),
-            filter(col("ms"), m => isIban(m) && ibanOk(m)).as("vibans"))
+            regexp_extract_all(col("txt"), lit(allRe), lit(0)).as("ms"),
+            extr(cardRe).as("cards"), extr(ibanRe).as("ibans"))
           .select(col("c_custkey"),
             aggregate(col("ms"), col("txt"), (acc, m) =>
               when(isEmail(m), replace(acc, m, lit("<EMAIL>")))
@@ -500,15 +508,14 @@ object CurationQueries extends QueryBase {
                   when(luhnOk(m), replace(acc, m, lit("<CC>")))
                     .otherwise(acc))
                 .otherwise(replace(acc, m, lit("<IP4>")))).as("redacted"),
-            size(filter(col("ms"), isEmail(_))).as("n_emails"),
-            size(filter(col("ms"), isPhone(_))).as("n_phones"),
-            size(filter(col("ms"), m => !isEmail(m) && !isPhone(m) &&
-              !isIp6(m) && !isIban(m) && !isCard(m))).as("n_ip4"),
-            size(filter(col("ms"), isIp6(_))).as("n_ip6"),
-            size(filter(col("ms"), isCard(_))).as("n_cards_seen"),
-            size(col("vcards")).as("n_cards_valid"),
-            size(filter(col("ms"), isIban(_))).as("n_ibans_seen"),
-            size(col("vibans")).as("n_ibans_valid"))
+            size(extr(emailRe)).as("n_emails"),
+            size(extr(phoneRe)).as("n_phones"),
+            size(extr(ip4Re)).as("n_ip4"),
+            size(extr(ip6Re)).as("n_ip6"),
+            size(col("cards")).as("n_cards_seen"),
+            size(filter(col("cards"), luhnOk(_))).as("n_cards_valid"),
+            size(col("ibans")).as("n_ibans_seen"),
+            size(filter(col("ibans"), ibanOk(_))).as("n_ibans_valid"))
           .orderBy("c_custkey")
       },
       Some("""

@@ -38,9 +38,14 @@ object SourceQueries extends QueryBase {
     * normalization and rollup from `documents` in SQL, so a parser or
     * normalization divergence cannot hash-match.
     *
-    * Scale shape: parse + normalize inside the scan tasks (linear over
-    * page count), ONE shuffle on (src_domain, dst_domain) whose output
-    * is domain-pair-cardinality. */
+    * Scale shape: the page MINT is driver-side fixture plumbing (one
+    * local file per selected doc) and is bounded scale-independently —
+    * `doc_id % 5 = 0 AND doc_id < 5000` caps it at 1000 pages no matter
+    * the corpus size (the ×K mints shift copy keys by 1e9, so only
+    * base-copy ids qualify). The OPERATOR itself (parse + normalize)
+    * runs inside the binaryFile scan tasks, linear over page count, with
+    * ONE shuffle on (src_domain, dst_domain) whose output is
+    * domain-pair-cardinality. */
   private val htmlOutlinksQ = Q(
     "src_html_outlinks",
     (s, dir) => {
@@ -48,9 +53,9 @@ object SourceQueries extends QueryBase {
         "blog.sample.org", "cdn.tracker.net", "wiki.sample.org")
       val out = Sources.scratchDir(dir, "outlink_pages")
       val docs = t(s, dir, "documents")
-        .filter(col("doc_id") % 5 === 0)
+        .filter(col("doc_id") % 5 === 0 && col("doc_id") < 5000)
         .select("doc_id")
-        .collect() // bounded fixture mint: 100 pages at sf0.01
+        .collect() // bounded fixture mint: <= 1000 pages at ANY scale
       val d = new java.io.File(out)
       d.mkdirs()
       Option(d.listFiles()).foreach(_.foreach(f =>
@@ -95,8 +100,11 @@ object SourceQueries extends QueryBase {
       val abs = when(col("href").startsWith("/"),
         concat(lit("https://"), srcHost, col("href")))
         .otherwise(col("href"))
+      // Shared public-suffix registrable-domain rule (functions/Domains);
+      // this fixture's hosts are all on single-label TLDs, so the duck
+      // face's two-label slice stays value-identical.
       def domainOf(host: Column): Column =
-        array_join(slice(split(host, "\\."), -2, 2), ".")
+        graft.functions.Domains.registrable(host)
       val dstHost = regexp_replace(regexp_replace(
         lower(regexp_extract(abs, "^[A-Za-z]+://([^/?#]+)", 1)),
         "^www\\.", ""), ":(443|80)$", "")
@@ -133,7 +141,7 @@ object SourceQueries extends QueryBase {
             WHEN 2 THEN 'blog.sample.org'
             WHEN 3 THEN 'cdn.tracker.net'
             ELSE 'wiki.sample.org' END AS src_host
-        FROM documents WHERE doc_id % 5 = 0),
+        FROM documents WHERE doc_id % 5 = 0 AND doc_id < 5000),
       links AS (
         SELECT doc_id, src_host,
           'HTTPS://WWW.Example.COM/p/' || CAST(doc_id % 50 AS VARCHAR) ||

@@ -246,10 +246,20 @@ object TextQueries extends QueryBase {
     * Scale shape: the whole pass is ONE projection — split, per-block
     * transform/filter higher-order expressions, tag-strip and link-text
     * regex per block — so at 100 TB it runs inside the scan stage with
-    * zero shuffles (the final ORDER BY is presentation only). This is
-    * the expression-only form the HTML source path feeds:
-    * sources/Html.scala parses real markup to the same
-    * block-per-line shape. */
+    * zero shuffles (the final ORDER BY is presentation only).
+    *
+    * Why BOTH this and `text_boilerplate_html` stay (r13 verdict item
+    * 7): they share ONE classifier ([[blockVerdict]]) but exercise the
+    * two block-model paths a real pipeline has. This face is the
+    * EXPRESSION-ONLY path — markup already in a column, blocks cut and
+    * signal-extracted by codegen'd higher-order expressions, zero file
+    * IO, zero custom code in the task — the shape a 100 TB run wants
+    * when pages arrive as a parquet column. The html face is the
+    * FILE-SCAN + OWN-PARSER path (binaryFile → [[graft.sources.Html]]
+    * DOM → leafBlocks), whose failure modes (missed block, wrong
+    * link-text attribution, entity decode) the expression face cannot
+    * reach. Each face carries its own oracle row; retiring either would
+    * drop coverage of its path. */
   /** The jusText threshold rules shared by BOTH boilerplate faces —
     * the expression-only `text_boilerplate_strip` (tag-strip regex
     * signals) and the real-markup `text_boilerplate_html`
@@ -375,17 +385,21 @@ object TextQueries extends QueryBase {
     * so a parser divergence (missed block, wrong link-text attribution,
     * entity mishandling) cannot hash-match.
     *
-    * Scale shape: parse + classify run inside the scan tasks (one task
-    * per file group, linear over page count); the only shuffle is the
-    * final per-doc aggregate. */
+    * Scale shape: the page MINT is driver-side fixture plumbing (one
+    * local file per selected doc), bounded scale-independently —
+    * `doc_id % 10 = 0 AND doc_id < 10000` caps it at 1000 pages no
+    * matter the corpus size (×K mints shift copy keys by 1e9, so only
+    * base-copy ids qualify). The OPERATOR (parse + classify) runs inside
+    * the scan tasks (one task per file group, linear over page count);
+    * the only shuffle is the final per-doc aggregate. */
   private val boilerplateHtmlQ = Q(
     "text_boilerplate_html",
     (s, dir) => {
       val out = graft.sources.Sources.scratchDir(dir, "boiler_pages")
       val docs = t(s, dir, "documents")
-        .filter(col("doc_id") % 10 === 0)
+        .filter(col("doc_id") % 10 === 0 && col("doc_id") < 10000)
         .select("doc_id", "text")
-        .collect() // bounded fixture mint: 50 pages at sf0.01
+        .collect() // bounded fixture mint: <= 1000 pages at ANY scale
       val d = new java.io.File(out)
       d.mkdirs()
       Option(d.listFiles()).foreach(_.foreach(f =>
@@ -439,7 +453,7 @@ object TextQueries extends QueryBase {
       WITH tk AS (
         SELECT doc_id, string_split(text, ' ') AS toks,
                (len(string_split(text, ' ')) + 1) // 2 AS h
-        FROM documents WHERE doc_id % 10 = 0),
+        FROM documents WHERE doc_id % 10 = 0 AND doc_id < 10000),
       page AS (
         SELECT doc_id, concat(
           '<div class="nav"><a href="/">Home</a> | <a href="/s">Search</a> | <a href="/c">Contact</a></div>',
@@ -501,11 +515,51 @@ object TextQueries extends QueryBase {
     * DuckDB face replays the chain literally.
     *
     * The corruption is MINTED (fixture plumbing, identical in the
-    * oracle): per doc_id one of four corruption suffixes is appended
-    * and the doc's own first token is double-encoded inline. Audit
-    * counts (mojibake lead bytes seen, zero-width chars, NBSPs) come
-    * from the PRE-fix text. Map-only: runs inside the scan at any
+    * oracle): per doc_id one of four corruption suffixes is appended.
+    * Audit counts (mojibake lead bytes seen, zero-width chars, NBSPs)
+    * come from the PRE-fix text. Map-only: runs inside the scan at any
     * corpus size. */
+  /** The ftfy-class repair chain shared by `text_unicode_fix` and the
+    * `pipe_web_curation` composite: the ordered mojibake replace pairs
+    * (double-encoded UTF-8 German set + â€-family punctuation triples),
+    * then NBSP→space, zero-width strip, C0-control delete, whitespace
+    * collapse. ONE definition; [[unicodeFixSql]] is its DuckDB twin —
+    * the two faces can only drift in this file. */
+  val mojiPairs: Seq[(String, String)] = Seq(
+    "Ã¤" -> "ä", "Ã¶" -> "ö", "Ã¼" -> "ü", "Ã„" -> "Ä",
+    "Ã–" -> "Ö", "Ãœ" -> "Ü", "ÃŸ" -> "ß", "Ã©" -> "é",
+    "â€ž" -> "„", "â€œ" -> "“", "â€˜" -> "‘",
+    "â€™" -> "’", "â€“" -> "–", "â€”" -> "—",
+    "â€¦" -> "…")
+
+  def unicodeFixChain(raw: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val fixed0 = mojiPairs.foldLeft(raw) { case (c, (bad, good)) =>
+      replace(c, lit(bad), lit(good))
+    }
+    trim(regexp_replace(regexp_replace(regexp_replace(
+      translate(fixed0, "\u00a0", " "),
+      "[\u200b\u200c\u200d\ufeff]", ""),
+      "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", ""),
+      "\\s+", " "))
+  }
+
+  /** DuckDB twin of [[unicodeFixChain]] — interpolate with the raw-text
+    * SQL EXPRESSION. Unicode targets are emitted as chr(N) so no literal
+    * control/zero-width bytes enter Scala or SQL sources. */
+  def unicodeFixSql(rawExpr: String): String = {
+    val repl = mojiPairs.foldLeft(rawExpr) { case (acc, (bad, good)) =>
+      val g = good.map(ch => if (ch < 128) s"'$ch'" else s"chr(${ch.toInt})")
+        .mkString(" || ")
+      s"replace($acc, '$bad', $g)"
+    }
+    s"""trim(regexp_replace(regexp_replace(regexp_replace(
+       |  replace($repl, chr(160), ' '),
+       |  '[' || chr(8203) || chr(8204) || chr(8205) || chr(65279) || ']',
+       |  '', 'g'),
+       |  '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g'),
+       |  '\\s+', ' ', 'g'))""".stripMargin
+  }
+
   private val unicodeFixQ = Q(
     "text_unicode_fix",
     (s, dir) => {
@@ -519,20 +573,7 @@ object TextQueries extends QueryBase {
       def nOf(c: org.apache.spark.sql.Column, needle: String) =
         ((length(c) - length(replace(c, lit(needle), lit("")))) /
           needle.length).cast("long")
-      val moji = Seq(
-        "Ã¤" -> "ä", "Ã¶" -> "ö", "Ã¼" -> "ü", "Ã„" -> "Ä",
-        "Ã–" -> "Ö", "Ãœ" -> "Ü", "ÃŸ" -> "ß", "Ã©" -> "é",
-        "â€ž" -> "„", "â€œ" -> "“", "â€˜" -> "‘",
-        "â€™" -> "’", "â€“" -> "–", "â€”" -> "—",
-        "â€¦" -> "…")
-      val fixed0 = moji.foldLeft(col("raw")) { case (c, (bad, good)) =>
-        replace(c, lit(bad), lit(good))
-      }
-      val fixed = trim(regexp_replace(regexp_replace(regexp_replace(
-        translate(fixed0, "\u00a0", " "),
-        "[\u200b\u200c\u200d\ufeff]", ""),
-        "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", ""),
-        "\\s+", " "))
+      val fixed = unicodeFixChain(col("raw"))
       t(s, dir, "documents")
         .select(col("doc_id"), corrupted.as("raw"))
         .select(col("doc_id"),
@@ -545,7 +586,7 @@ object TextQueries extends QueryBase {
           nOf(col("raw"), "\u00a0").as("n_nbsp"))
         .orderBy("doc_id")
     },
-    Some("""
+    Some(s"""
       WITH raw AS (
         SELECT doc_id, text ||
           CASE doc_id % 4
@@ -556,25 +597,9 @@ object TextQueries extends QueryBase {
                         ' here'
             ELSE ' nbsp' || chr(160) || 'and' || chr(160) || 'ctrl' ||
                  chr(7) || ' bytes' END AS raw
-        FROM documents),
-      fx AS (
-        SELECT doc_id, raw,
-          replace(replace(replace(replace(replace(replace(replace(replace(
-          replace(replace(replace(replace(replace(replace(replace(
-            raw,
-            'Ã¤', 'ä'), 'Ã¶', 'ö'), 'Ã¼', 'ü'), 'Ã„', 'Ä'),
-            'Ã–', 'Ö'), 'Ãœ', 'Ü'), 'ÃŸ', 'ß'), 'Ã©', 'é'),
-            'â€ž', chr(8222)), 'â€œ', chr(8220)), 'â€˜', chr(8216)),
-            'â€™', chr(8217)), 'â€“', chr(8211)), 'â€”', chr(8212)),
-            'â€¦', chr(8230)) AS f0
-        FROM raw)
+        FROM documents)
       SELECT doc_id,
-        trim(regexp_replace(regexp_replace(regexp_replace(
-          replace(f0, chr(160), ' '),
-          '[' || chr(8203) || chr(8204) || chr(8205) || chr(65279) || ']',
-          '', 'g'),
-          '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
-          '\s+', ' ', 'g')) AS text_fixed,
+        ${unicodeFixSql("raw")} AS text_fixed,
         CAST((len(raw) - len(replace(raw, 'Ã', ''))) AS BIGINT)
           AS n_moji_lead,
         CAST((len(raw) - len(replace(raw, 'â€', ''))) / 2 AS BIGINT)
@@ -584,7 +609,7 @@ object TextQueries extends QueryBase {
           '', 'g')) AS BIGINT) AS n_zero_width,
         CAST((len(raw) - len(replace(raw, chr(160), ''))) AS BIGINT)
           AS n_nbsp
-      FROM fx ORDER BY doc_id"""),
+      FROM raw ORDER BY doc_id"""),
     doc = "mojibake/unicode repair pack (ftfy-class): double-encoded " +
       "UTF-8 German set + curly punctuation, zero-width strip, NBSP, " +
       "control chars, whitespace collapse — ordered replace chain " +

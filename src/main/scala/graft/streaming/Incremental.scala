@@ -279,7 +279,20 @@ object Incremental {
     * past one entry), evicted by event-time timeout one watermark
     * horizon after the bucket's newest arrival. Total state is O(live
     * band keys in the horizon) × O(1), bounded at any stream length.
-    * Emits the candidate-flag stream (append mode). */
+    * Emits the candidate-flag stream (append mode).
+    *
+    * Cross-micro-batch ordering caveat (r13 ADVICE; applies equally to
+    * [[imageNearDupGateStream]]): the keeper of a band key is decided in
+    * ADMISSION order — (arrival, doc_id) within a micro-batch, but batch
+    * order across batches. An out-of-order event time that lands in a
+    * LATER micro-batch (still inside the watermark) is folded after the
+    * earlier batch's arrivals, so the stream's keeper/matched_with
+    * attribution can differ from [[textNearDupFlagsBatch]]'s global
+    * (arrival, doc_id) fold. The candidate SET semantics ("this doc
+    * collided with a live band key") are what the LSH contract
+    * promises; exact tuple parity with the batch twin holds when a run
+    * lands in one batch (AvailableNow over one source snapshot — the
+    * spec's setup) or when arrivals are batch-monotone in event time. */
   def textNearDupGateStream(docs: DataFrame, late: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
