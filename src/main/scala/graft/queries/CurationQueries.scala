@@ -378,6 +378,420 @@ object CurationQueries extends QueryBase {
         "back (integer-exact counts, one domain-sized aggregate); " +
         "planted blocklisted, low-quality, and co.uk domains"),
 
+    // The web-curation pipeline COMPOSED end-to-end (r13 verdict item 1)
+    // — the CommonCrawl shape, one lineage over ONE shared frontier
+    // instead of four queries minting four fixtures: minted page files →
+    // binaryFile scan → own-parser DOM (ONE parse per page feeding BOTH
+    // the block model and the outlink extractor) → jusText boilerplate
+    // classification (TextQueries.blockVerdict — the shared integer
+    // thresholds) → mojibake repair of the kept text
+    // (TextQueries.unicodeFixChain) → outlink domain graph
+    // (functions/Domains PSL rule) → integer-exact PageRank as domain
+    // AUTHORITY (graft.ml.PageRank, 4 iterations) → domain filter
+    // verdict with THREE priors: broadcast blocklist, pooled quality
+    // (3·Σdistinct < Σtokens ⟺ ratio < 1/3), and low authority
+    // (20·r < Σr ⟺ rank < mean/4).
+    //
+    // The frontier plants one domain per failure class: cdn.tracker.net
+    // is blocklisted, spam-ads.example.biz gets 25 "buy the" pairs per
+    // page (pooled distinct-token ratio ~0.24 vs organic ≥ 0.39),
+    // blog.sample.org is linked by NOBODY (the ring redirects around it,
+    // so its 4-iteration rank 214397 sits under the mean/4 threshold
+    // while the next-lowest, 316993, clears it — constants are
+    // scale-independent because the DISTINCT domain edge set is the
+    // same 12 edges at any corpus size), and wiki.example.co.uk
+    // exercises the multi-label public suffix through every stage.
+    //
+    // Plan shape at 100 TB: the page side is ONE scan → map-only parse +
+    // classify + repair (persisted once — it feeds the doc output, the
+    // domain rollup, and the edge extractor; without the persist the
+    // three consumers would re-run the parse). The only keyed shuffles
+    // are domain-sized: the quality rollup and PageRank's per-iteration
+    // contributions over the 12-edge domain graph. Every join back to
+    // the corpus is a BROADCAST. The mint is driver-side fixture
+    // plumbing bounded scale-independently (doc_id % 10 = 0 AND
+    // doc_id < 10000 ⇒ ≤ 1000 pages; ×K mints shift copy keys by 1e9).
+    Q(
+      "pipe_web_curation",
+      (s, dir) => {
+        val hosts = Seq("news.example.com", "spam-ads.example.biz",
+          "blog.sample.org", "cdn.tracker.net", "wiki.example.co.uk")
+        val out = graft.sources.Sources.scratchDir(dir, "webcur_pages")
+        val frontier = t(s, dir, "documents")
+          .filter(col("doc_id") % 10 === 0 && col("doc_id") < 10000)
+          .select("doc_id", "text")
+          .collect() // bounded fixture mint: <= 1000 pages at ANY scale
+        val d = new java.io.File(out)
+        d.mkdirs()
+        Option(d.listFiles()).foreach(_.foreach(f =>
+          if (f.getName.endsWith(".html")) f.delete()))
+        frontier.foreach { r =>
+          val id = r.getLong(0)
+          val hid = ((id / 10) % 5).toInt
+          val toks = r.getString(1).split(" ")
+          val h = (toks.length + 1) / 2
+          val nxt = if ((hid + 1) % 5 == 2) hosts(0) else hosts((hid + 1) % 5)
+          val buy = if (hid == 1) " buy the" * 25 else ""
+          val page = "<html><body>\n" +
+            "<div class=\"nav\"><a href=\"/\">Home</a> | " +
+            "<a href=\"/s\">Search</a> | <a href=\"/c\">Contact</a></div>\n" +
+            "<p>" + toks.take(h).mkString(" ") +
+            " MÃ¼ller sagte â€žhalloâ€œ â€“ CafÃ©</p>\n" +
+            "<div>SUBSCRIBE NOW FOR PREMIUM ACCESS TODAY</div>\n" +
+            "<p>" + toks.drop(h).mkString(" ") + buy + "</p>\n" +
+            "<div class=\"rel\"><a href=\"HTTPS://WWW.Example.COM/p/" +
+            (id % 50) + "?utm_source=feed&amp;id=" + (id % 7) +
+            "\">M&uuml;ller-" + (id % 7) + "</a> " +
+            "<a href=\"https://" + nxt + "/x/" + (id % 9) +
+            "#frag\">next</a> " +
+            "<a href=\"/local/" + (id % 4) + "\">self</a> " +
+            "<a name=\"anchor-only\">skip</a></div>\n" +
+            "<footer>(c) 2020 <a href=\"/p\">Privacy</a> " +
+            "<a href=\"/t\">Terms</a></footer>\n</body></html>"
+          java.nio.file.Files.write(
+            new java.io.File(d, s"$id.html").toPath,
+            page.getBytes("UTF-8"))
+        }
+        import s.implicits._
+        val idRe = """(\d+)\.html$""".r.unanchored
+        val pages = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.html")
+          .load(out)
+          .select(col("path"), col("content"))
+          .as[(String, Array[Byte])]
+          .map { case (path, bytes) =>
+            val id = idRe.findFirstMatchIn(path)
+              .map(_.group(1).toLong).getOrElse(-1L)
+            val dom = graft.sources.Html.parse(new String(bytes, "UTF-8"))
+            val blocks = graft.sources.Html.leafBlocks(dom)
+            val hrefs = dom.descendants.filter(_.tag == "a")
+              .flatMap(_.attr("href"))
+            (id, blocks, hrefs)
+          }
+          .toDF("doc_id", "blocks", "hrefs")
+        val srcHost = element_at(array(hosts.map(lit(_)): _*),
+          (pmod(expr("doc_id DIV 10"), lit(5)) + 1).cast("int"))
+        def nBy(v: String) = size(filter(col("feat"),
+          f => f.getField("v") === v)).cast("long")
+        val perDoc = graft.core.CacheLedger.track(pages
+          .select(col("doc_id"), col("hrefs"),
+            transform(col("blocks"), b => struct(
+              b.getField("_1").as("btext"),
+              TextQueries.blockVerdict(b.getField("_1"), b.getField("_2"))
+                .as("v"))).as("feat"))
+          .select(col("doc_id"), col("hrefs"),
+            size(col("feat")).cast("long").as("n_blocks"),
+            nBy("content").as("n_content"),
+            TextQueries.unicodeFixChain(array_join(transform(
+              filter(col("feat"), f => f.getField("v") === "content"),
+              f => f.getField("btext")), " ")).as("text_clean"),
+            size(col("hrefs")).cast("long").as("n_outlinks"),
+            graft.functions.Domains.registrable(srcHost).as("domain"),
+            srcHost.as("host"))
+          .select(col("doc_id"), col("hrefs"), col("n_blocks"),
+            col("n_content"), col("text_clean"), col("n_outlinks"),
+            col("domain"), col("host"),
+            size(array_distinct(split(col("text_clean"), " ")))
+              .cast("long").as("qn"),
+            size(split(col("text_clean"), " ")).cast("long").as("qd"))
+          .persist())
+        val dstHost = lower(regexp_extract(
+          when(col("href").startsWith("/"),
+            concat(lit("https://"), col("host"), col("href")))
+            .otherwise(col("href")),
+          "^[A-Za-z]+://([^/?#]+)", 1))
+        val edges = perDoc
+          .select(col("domain").as("src"), explode(col("hrefs")).as("href"),
+            col("host"))
+          .select(col("src"),
+            graft.functions.Domains.registrable(dstHost).as("dst"))
+        val ranks = graft.ml.PageRank.run(edges, 4)
+          .select(col("id").as("domain"), col("r").as("authority"))
+        val rsum = ranks.agg(sum(col("authority")).as("total_r"))
+        val dom = perDoc.groupBy("domain")
+          .agg(sum(col("qn")).as("sqn"), sum(col("qd")).as("sqd"))
+        val block = s.createDataFrame(Seq(Tuple1("tracker.net")))
+          .toDF("domain").withColumn("blocked", lit(true))
+        perDoc
+          .join(broadcast(dom), Seq("domain"))
+          .join(broadcast(ranks), Seq("domain"))
+          .crossJoin(broadcast(rsum))
+          .join(broadcast(block), Seq("domain"), "left")
+          .select(col("doc_id"), col("domain"), col("n_blocks"),
+            col("n_content"), col("n_outlinks"), col("text_clean"),
+            round(col("sqn").cast("double") / col("sqd"), 6).as("dom_q"),
+            col("authority"),
+            when(col("blocked"), "blocklist")
+              .when(lit(3) * col("sqn") < col("sqd"), "lowq_domain")
+              .when(lit(20) * col("authority") < col("total_r"),
+                "low_authority")
+              .otherwise("keep").as("verdict"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH f AS (
+          SELECT doc_id, ((doc_id // 10) % 5) AS hid,
+                 string_split(text, ' ') AS toks,
+                 (len(string_split(text, ' ')) + 1) // 2 AS h
+          FROM documents WHERE doc_id % 10 = 0 AND doc_id < 10000),
+        hostd AS (
+          SELECT *,
+            CASE hid WHEN 0 THEN 'news.example.com'
+                     WHEN 1 THEN 'spam-ads.example.biz'
+                     WHEN 2 THEN 'blog.sample.org'
+                     WHEN 3 THEN 'cdn.tracker.net'
+                     ELSE 'wiki.example.co.uk' END AS host,
+            CASE (hid + 1) % 5 WHEN 0 THEN 'news.example.com'
+                               WHEN 1 THEN 'spam-ads.example.biz'
+                               WHEN 2 THEN 'news.example.com'
+                               WHEN 3 THEN 'cdn.tracker.net'
+                               ELSE 'wiki.example.co.uk' END AS next_host
+          FROM f),
+        hostd2 AS (
+          SELECT *,
+            ${graft.functions.Domains.registrableSql("host")} AS domain,
+            ${graft.functions.Domains.registrableSql("next_host")}
+              AS next_domain
+          FROM hostd),
+        blocks AS (
+          SELECT doc_id, 1 AS bidx,
+                 'Home | Search | Contact' AS btext, 17 AS link_len
+          FROM hostd2
+          UNION ALL
+          SELECT doc_id, 2,
+                 trim(regexp_replace(array_to_string(toks[1:h], ' ') ||
+                   ' MÃ¼ller sagte â€žhalloâ€œ â€“ CafÃ©',
+                   '\\s+', ' ', 'g')), 0
+          FROM hostd2
+          UNION ALL
+          SELECT doc_id, 3, 'SUBSCRIBE NOW FOR PREMIUM ACCESS TODAY', 0
+          FROM hostd2
+          UNION ALL
+          SELECT doc_id, 4,
+                 trim(regexp_replace(array_to_string(toks[h+1:len(toks)],
+                     ' ') ||
+                   CASE WHEN hid = 1 THEN repeat(' buy the', 25)
+                        ELSE '' END,
+                   '\\s+', ' ', 'g')), 0
+          FROM hostd2
+          UNION ALL
+          SELECT doc_id, 5,
+                 'Müller-' || CAST(doc_id % 7 AS VARCHAR) ||
+                   ' next self skip',
+                 20
+          FROM hostd2
+          UNION ALL
+          SELECT doc_id, 6, '(c) 2020 Privacy Terms', 12 FROM hostd2),
+        cls AS (
+          SELECT doc_id, bidx, btext,
+            CASE WHEN 10 * link_len > 3 * len(btext) THEN 'link'
+                 WHEN n_words < 4 THEN 'short'
+                 WHEN 50 * n_stop < n_words THEN 'lowstop'
+                 ELSE 'content' END AS v
+          FROM (
+            SELECT *, len(words) AS n_words,
+                   len(list_filter(words, w -> list_contains(
+                     ['the', 'a', 'of', 'and', 'to'], lower(w)))) AS n_stop
+            FROM (SELECT *, list_filter(string_split(btext, ' '),
+                              w -> w <> '') AS words
+                  FROM blocks))),
+        docs2 AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+                 CAST(count(*) FILTER (WHERE v = 'content') AS BIGINT)
+                   AS n_content,
+                 coalesce(string_agg(btext, ' ' ORDER BY bidx)
+                   FILTER (WHERE v = 'content'), '') AS kept
+          FROM cls GROUP BY doc_id),
+        clean AS (
+          SELECT doc_id,
+                 ${TextQueries.unicodeFixSql("kept")} AS text_clean
+          FROM docs2),
+        q AS (
+          SELECT c.doc_id, h.domain, d.n_blocks, d.n_content, c.text_clean,
+                 CAST(len(list_distinct(string_split(c.text_clean, ' ')))
+                   AS BIGINT) AS qn,
+                 CAST(len(string_split(c.text_clean, ' ')) AS BIGINT) AS qd
+          FROM clean c JOIN docs2 d ON d.doc_id = c.doc_id
+                       JOIN hostd2 h ON h.doc_id = c.doc_id),
+        dom AS (
+          SELECT domain, CAST(sum(qn) AS BIGINT) AS sqn,
+                 CAST(sum(qd) AS BIGINT) AS sqd
+          FROM q GROUP BY domain),
+        edges AS (
+          SELECT DISTINCT domain AS src, domain AS dst FROM hostd2
+          UNION
+          SELECT DISTINCT domain, 'example.com' FROM hostd2
+          UNION
+          SELECT DISTINCT domain, next_domain FROM hostd2),
+        deg AS (SELECT src, count(*) AS dg FROM edges GROUP BY 1),
+        nodes AS (SELECT DISTINCT nid FROM (
+          SELECT src AS nid FROM edges UNION SELECT dst FROM edges)),
+        p0 AS (SELECT nid, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        p1 AS (
+          SELECT n.nid, CAST(150000 + coalesce(c.s, 0) AS BIGINT) AS r
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst, CAST(sum((85 * p.r) // (100 * d.dg)) AS BIGINT)
+              AS s
+            FROM p0 p JOIN edges e ON p.nid = e.src
+                      JOIN deg d ON d.src = e.src
+            GROUP BY e.dst) c ON n.nid = c.dst),
+        p2 AS (
+          SELECT n.nid, CAST(150000 + coalesce(c.s, 0) AS BIGINT) AS r
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst, CAST(sum((85 * p.r) // (100 * d.dg)) AS BIGINT)
+              AS s
+            FROM p1 p JOIN edges e ON p.nid = e.src
+                      JOIN deg d ON d.src = e.src
+            GROUP BY e.dst) c ON n.nid = c.dst),
+        p3 AS (
+          SELECT n.nid, CAST(150000 + coalesce(c.s, 0) AS BIGINT) AS r
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst, CAST(sum((85 * p.r) // (100 * d.dg)) AS BIGINT)
+              AS s
+            FROM p2 p JOIN edges e ON p.nid = e.src
+                      JOIN deg d ON d.src = e.src
+            GROUP BY e.dst) c ON n.nid = c.dst),
+        p4 AS (
+          SELECT n.nid, CAST(150000 + coalesce(c.s, 0) AS BIGINT) AS r
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst, CAST(sum((85 * p.r) // (100 * d.dg)) AS BIGINT)
+              AS s
+            FROM p3 p JOIN edges e ON p.nid = e.src
+                      JOIN deg d ON d.src = e.src
+            GROUP BY e.dst) c ON n.nid = c.dst),
+        rsum AS (SELECT CAST(sum(r) AS BIGINT) AS total_r FROM p4)
+        SELECT q.doc_id, q.domain, q.n_blocks, q.n_content,
+               CAST(8 AS BIGINT) AS n_outlinks, q.text_clean,
+               round(sqn * 1.0 / sqd, 6) AS dom_q,
+               p4.r AS authority,
+               CASE WHEN q.domain = 'tracker.net' THEN 'blocklist'
+                    WHEN 3 * sqn < sqd THEN 'lowq_domain'
+                    WHEN 20 * p4.r < rsum.total_r THEN 'low_authority'
+                    ELSE 'keep' END AS verdict
+        FROM q JOIN dom ON dom.domain = q.domain
+               JOIN p4 ON p4.nid = q.domain
+               CROSS JOIN rsum
+        ORDER BY q.doc_id"""),
+      doc = "web-curation pipeline composed end-to-end over ONE shared " +
+        "frontier: page files -> own-parser DOM (one parse feeds blocks " +
+        "AND outlinks) -> jusText boilerplate -> unicode repair -> " +
+        "domain link graph -> integer PageRank authority -> verdict " +
+        "from blocklist + pooled-quality + low-authority priors; " +
+        "corpus side map-only + broadcast, shuffles are domain-sized"),
+
+    // Filter-aware quota sampling (r13 verdict item 5b): the
+    // `pipe_temperature_mix` rates are wrong the moment a domain filter
+    // runs first — a language whose mass lived on now-blocked domains
+    // must have its keep-rate RENORMALIZED from the surviving counts,
+    // or the final mix under-represents it. This composes the
+    // pipe_domain_filter verdict (same fixture: blocklist + pooled
+    // quality over PSL registrable domains) with temperature sampling
+    // (alpha = 0.5, rate = round(1000·sqrt(n_min/n_l)) in millis)
+    // where n_l counts ONLY post-filter survivors; the deterministic
+    // md5 hash-mod test then applies the rate. Output rollup shows
+    // n_total vs n_after_filter vs n_sampled per language, making the
+    // renormalization checkable.
+    //
+    // Plan shape at 100 TB: verdicts are map-only against broadcast
+    // domain stats (domain-cardinality shuffle, same as
+    // pipe_domain_filter); the rate derivation is one lang-cardinality
+    // aggregate over survivors + 1-row min broadcast back; the apply
+    // pass is a map-only hash test. Two corpus passes total — the
+    // structural minimum, since rates depend on global post-filter
+    // counts.
+    Q(
+      "pipe_quota_sample",
+      (s, dir) => {
+        val host = element_at(array(
+          lit("news.example.com"), lit("spam-ads.example.biz"),
+          lit("blog.sample.org"), lit("cdn.tracker.net"),
+          lit("wiki.example.co.uk")), (col("doc_id") % 5 + 1).cast("int"))
+        val scoreText = when(col("doc_id") % 5 === 1,
+          concat(col("text"), lit(" buy" * 30))).otherwise(col("text"))
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), host.as("host"),
+            split(lower(scoreText), " ").as("tk"))
+          .withColumn("domain",
+            graft.functions.Domains.registrable(col("host")))
+          .select(col("doc_id"), col("lang"), col("domain"),
+            size(array_distinct(col("tk"))).cast("long").as("qn"),
+            size(col("tk")).cast("long").as("qd"))
+        val dom = base.groupBy("domain")
+          .agg(sum("qn").as("sqn"), sum("qd").as("sqd"))
+        val block = s.createDataFrame(Seq(Tuple1("tracker.net")))
+          .toDF("domain").withColumn("blocked", lit(true))
+        val flagged = base.join(broadcast(dom), Seq("domain"))
+          .join(broadcast(block), Seq("domain"), "left")
+          .withColumn("dropped",
+            coalesce(col("blocked"), lit(false)) ||
+              (lit(20) * col("sqn") < lit(7) * col("sqd")))
+        val counts = flagged.filter(!col("dropped"))
+          .groupBy("lang").agg(count(lit(1)).as("n_l"))
+        val minN = counts.agg(min(col("n_l")).as("n_min"))
+        val rates = counts.crossJoin(broadcast(minN))
+          .select(col("lang"),
+            round(lit(1000.0) *
+              sqrt(col("n_min").cast("double") / col("n_l").cast("double")))
+              .cast("long").as("rate_millis"))
+        val bucket = pmod(h64(col("doc_id")), lit(1000L))
+        flagged.join(broadcast(rates), Seq("lang"))
+          .groupBy("lang", "rate_millis")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(!col("dropped"), 1L).otherwise(0L))
+              .as("n_after_filter"),
+            sum(when(!col("dropped") && bucket < col("rate_millis"), 1L)
+              .otherwise(0L)).as("n_sampled"))
+          .orderBy("lang")
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT doc_id, lang,
+            CASE doc_id % 5 WHEN 0 THEN 'news.example.com'
+                            WHEN 1 THEN 'spam-ads.example.biz'
+                            WHEN 2 THEN 'blog.sample.org'
+                            WHEN 3 THEN 'cdn.tracker.net'
+                            ELSE 'wiki.example.co.uk' END AS host,
+            string_split(lower(CASE WHEN doc_id % 5 = 1
+              THEN text || repeat(' buy', 30) ELSE text END), ' ') AS tk
+          FROM documents),
+        q AS (
+          SELECT doc_id, lang,
+                 ${graft.functions.Domains.registrableSql("host")} AS domain,
+                 CAST(len(list_distinct(tk)) AS BIGINT) AS qn,
+                 CAST(len(tk) AS BIGINT) AS qd
+          FROM b),
+        dom AS (
+          SELECT domain, CAST(sum(qn) AS BIGINT) AS sqn,
+                 CAST(sum(qd) AS BIGINT) AS sqd
+          FROM q GROUP BY domain),
+        k AS (
+          SELECT q.doc_id, q.lang,
+                 (q.domain = 'tracker.net' OR 20 * sqn < 7 * sqd)
+                   AS dropped
+          FROM q JOIN dom ON dom.domain = q.domain),
+        c AS (SELECT lang, count(*) AS n_l FROM k
+              WHERE NOT dropped GROUP BY lang),
+        r AS (
+          SELECT lang,
+                 CAST(round(1000 * sqrt(
+                   CAST((SELECT min(n_l) FROM c) AS DOUBLE)
+                     / CAST(n_l AS DOUBLE))) AS BIGINT) AS rate_millis
+          FROM c)
+        SELECT k.lang, r.rate_millis, count(*) AS n_total,
+               CAST(sum(CASE WHEN NOT dropped THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_after_filter,
+               CAST(sum(CASE WHEN NOT dropped AND
+                 CAST(concat('0x', substr(md5(CAST(k.doc_id AS VARCHAR)),
+                   1, 15)) AS BIGINT) % 1000 < r.rate_millis
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        FROM k JOIN r ON k.lang = r.lang
+        GROUP BY k.lang, r.rate_millis ORDER BY k.lang"""),
+      doc = "filter-aware quota sampling: domain-filter verdicts " +
+        "(blocklist + pooled quality over PSL domains) feed a " +
+        "temperature-mix rate derivation over SURVIVORS only " +
+        "(renormalized quotas), applied by the deterministic hash-mod " +
+        "test; map-only apply pass, domain- and lang-sized aggregates"),
+
     // PII redaction — the scrub pass a curation job runs before text ever
     // reaches a tokenizer. Tier 1: mask emails and phone numbers by
     // regex. Tier 2 (r11 verdict item 7): IPv4/IPv6 addresses by regex,

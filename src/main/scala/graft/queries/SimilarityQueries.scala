@@ -613,6 +613,100 @@ object SimilarityQueries extends QueryBase {
         "(top-20, 4x-compressed) + full-precision rerank of 20 rows " +
         "per query (top-5); retrieval_rank exposes rerank disagreement"),
 
+    // Cross-encoder-style second-stage rerank (r13 verdict item 5a):
+    // sim_retrieve_rerank's stage 2 scores candidates by ONE metric
+    // (full-precision cosine); a production reranker scores the PAIR
+    // with a richer function. Stage 1 is unchanged (the SQ8 quantized
+    // wide scan, top-20 per query — the only corpus-sized work); stage
+    // 2 re-scores those 20 rows with a blended pair score: 0.8 ×
+    // full-precision cosine + 0.1 × label-match prior + sign-agreement
+    // fraction (count of dimensions where query and candidate agree in
+    // sign, /64, × 0.1) — the last is a true pair-interaction feature
+    // (not precomputable per side), which is exactly the cross-encoder
+    // trait. Determinism: the cosine doubles are the same fold both
+    // engines replay bit-identically (cosine_ff kernel ≡ list_sum
+    // comprehension), the blend is fixed-order IEEE arithmetic on
+    // them, sign agreement is an integer; ordering ties break vec_id
+    // asc. At 100 TB the blend touches 20 rows per query — the richer
+    // scorer costs nothing at corpus scale.
+    Q(
+      "sim_rerank_blend",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val v = vv(th(s, dir, "embeddings"))
+        val corpus = sq8Corpus(v)
+        val q = broadcast(v.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("vv").as("qv"),
+            col("label").as("qlabel")))
+        val w1 = Window.partitionBy("qid")
+          .orderBy(col("qcos").desc, col("vec_id").asc)
+        val cand = corpus.crossJoin(q)
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("qcos", expr("cosine_fd(qv, dv)"))
+          .withColumn("rk1", row_number().over(w1))
+          .filter(col("rk1") <= 20)
+        val signAgree = size(filter(sequence(lit(0), lit(dims - 1)), i =>
+          (element_at(col("qv"), i + 1).cast("double") > 0) ===
+            (element_at(col("vv"), i + 1).cast("double") > 0)))
+        val w2 = Window.partitionBy("qid")
+          .orderBy(col("blend").desc, col("vec_id").asc)
+        cand
+          .withColumn("cosine", cosine("qv", "vv"))
+          .withColumn("sign_agree", signAgree.cast("long"))
+          .withColumn("label_match",
+            when(col("label") === col("qlabel"), 1L).otherwise(0L))
+          .withColumn("blend",
+            col("cosine") * lit(0.8) + col("label_match") * lit(0.1) +
+              col("sign_agree").cast("double") / lit(640.0))
+          .withColumn("rank", row_number().over(w2))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("rank"), col("vec_id"),
+            round(col("blend"), 6).as("blend_score"),
+            round(col("cosine"), 6).as("cosine"),
+            col("sign_agree"), col("label_match"),
+            col("rk1").as("retrieval_rank"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""
+        WITH $sq8Ctes,
+        q AS (SELECT vec_id AS qid, vv AS qv, label AS qlabel
+              FROM v WHERE vec_id < 5),
+        s1 AS (
+          SELECT qid, qv, qlabel, vec_id, vv, label,
+                 row_number() OVER (PARTITION BY qid ORDER BY
+                   list_sum([qv[i+1] * dv[i+1] FOR i IN range(0, $dims)]) /
+                   (sqrt(list_sum([qv[i+1] * qv[i+1] FOR i IN range(0, $dims)])) *
+                    sqrt(list_sum([dv[i+1] * dv[i+1] FOR i IN range(0, $dims)]))) DESC,
+                   vec_id ASC) AS rk1
+          FROM corpus CROSS JOIN q WHERE vec_id <> qid),
+        cand AS (SELECT * FROM s1 WHERE rk1 <= 20),
+        s2 AS (
+          SELECT qid, vec_id, rk1,
+                 list_sum([qv[i+1] * vv[i+1] FOR i IN range(0, $dims)]) /
+                 (sqrt(list_sum([qv[i+1] * qv[i+1] FOR i IN range(0, $dims)])) *
+                  sqrt(list_sum([vv[i+1] * vv[i+1] FOR i IN range(0, $dims)]))) AS cosine,
+                 CAST(len(list_filter(range(0, $dims),
+                   i -> (qv[i+1] > 0) = (vv[i+1] > 0))) AS BIGINT)
+                   AS sign_agree,
+                 CASE WHEN label = qlabel THEN CAST(1 AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END AS label_match
+          FROM cand),
+        s3 AS (
+          SELECT *, cosine * 0.8 + label_match * 0.1 + sign_agree / 640.0
+            AS blend
+          FROM s2)
+        SELECT qid, rank, vec_id, round(blend, 6) AS blend_score,
+               round(cosine, 6) AS cosine, sign_agree, label_match,
+               rk1 AS retrieval_rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                ORDER BY blend DESC, vec_id ASC) AS rank
+              FROM s3)
+        WHERE rank <= 5 ORDER BY qid, rank"""),
+      doc = "cross-encoder-style rerank: SQ8 wide scan (top-20) + " +
+        "blended pair score (0.8 cosine + 0.1 label prior + 0.1 " +
+        "sign-agreement interaction) over 20 rows per query; blend is " +
+        "fixed-order IEEE arithmetic on bit-identical fold doubles"),
+
     // ANN EVAL HARNESS: recall@5 of the LSH index against the exact
     // brute-force ground truth, measured IN-ENGINE as one query — the
     // standard ANN quality metric (Aumüller et al., ann-benchmarks),

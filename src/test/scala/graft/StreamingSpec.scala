@@ -611,4 +611,93 @@ class StreamingSpec extends SparkSpec {
     assert(batchInline == batchCatalog)
   }
 
+  // r13 verdict item 4: the O(live band keys) state claim becomes a
+  // FAILING TEST instead of a scaladoc comment. Drive the text gate
+  // through several eviction horizons of multi-batch input and assert
+  // the state store holds ~two batches' band keys, not the stream's.
+  test("text near-dup gate state is evicted past the watermark horizon") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-evict-text").toString
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = input.toDF.toDF("doc_id", "arrival", "text")
+    val q = Incremental.textNearDupGateStream(docs, "10 minutes")
+      .writeStream.format("memory").queryName("tndg_evict")
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val nBatches = 5
+    val bSize = 25
+    val stateAfter = (0 until nBatches).map { k =>
+      // one hour between batches >> the 10-minute horizon; every doc's
+      // text is unique (6 batch+doc-salted tokens), so each contributes
+      // ~4 fresh band keys and none collide across batches
+      input.addData((0 until bSize).map { i =>
+        (k * 1000L + i,
+          new java.sql.Timestamp(base + k * 3600000L + i * 1000L),
+          s"aa${k}x$i bb${k}y$i cc${k}z$i dd$k$i ee$i$k ff$k$i")
+      })
+      q.processAllAvailable()
+      q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    }
+    q.stop()
+    val perBatchKeys = 4L * bSize
+    // lazy eviction keeps at most the current + previous batch's groups
+    // (timeouts fire one batch after the watermark passes them)
+    assert(stateAfter.last <= 2 * perBatchKeys + 8,
+      s"state ${stateAfter.last} rows exceeds two batches' band keys " +
+        s"(${2 * perBatchKeys}) — eviction is not happening")
+    // and strictly below the no-eviction floor of all past batches
+    assert(stateAfter.last < (nBatches - 1) * perBatchKeys,
+      s"state ${stateAfter.last} implies the horizon never evicted")
+    // the early-stream reading actually accumulated before eviction
+    assert(stateAfter.head >= perBatchKeys / 2,
+      s"first batch registered only ${stateAfter.head} state rows")
+  }
+
+  test("image phash dedup state is evicted past the watermark horizon") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-evict-phash").toString
+    val mm = graft.multimodal.Multimodal
+    val nBatches = 5
+    val bSize = 20
+    // pre-render nBatches*bSize DISTINCT png payloads (per-seed mints),
+    // sliced per batch — distinct hashes make cumulative-vs-evicted
+    // state distinguishable
+    val payloads = mm.asImageMediaTextured(
+        graft.core.Tables.load(spark, sfDir, "documents")
+          .select("doc_id").limit(nBatches * bSize))
+      .select("media_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val input = MemoryStream[(Long, Array[Byte], java.sql.Timestamp)]
+    val media = input.toDF.toDF("media_id", "payload", "arrival")
+    val q = Incremental.imagePhashDedupStream(media, "10 minutes")
+      .writeStream.format("memory").queryName("phash_evict")
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val stateAfter = (0 until nBatches).map { k =>
+      input.addData(payloads.slice(k * bSize, (k + 1) * bSize)
+        .zipWithIndex.map { case ((id, bytes), i) =>
+          (id, bytes,
+            new java.sql.Timestamp(base + k * 3600000L + i * 1000L))
+        }.toSeq)
+      q.processAllAvailable()
+      q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    }
+    q.stop()
+    // dropDuplicatesWithinWatermark keys state on h: bounded by ~two
+    // batches of live hashes once the watermark passes older ones
+    assert(stateAfter.last <= 2L * bSize + 4,
+      s"state ${stateAfter.last} rows exceeds two batches of hashes " +
+        s"(${2 * bSize}) — eviction is not happening")
+    assert(stateAfter.last < (nBatches - 1).toLong * bSize,
+      s"state ${stateAfter.last} implies the horizon never evicted")
+    assert(stateAfter.head >= bSize / 2,
+      s"first batch registered only ${stateAfter.head} state rows")
+  }
+
 }
