@@ -11,7 +11,9 @@ OUT=/tmp/x100_gate_out
 # scale-bounded or corpus-replayable at x100 — full ORACLE parity at
 # the top scale point, not just execution coverage (the cold sweeps
 # already execute all 242 there).
-QUERIES=dedup_minhash_slice,dedup_winnowing_slice,dedup_containment_slice,ml_linkpred_slice,pipe_zorder_layout,window_rfm_scores,window_pareto_abc,pipe_web_curation,pipe_quota_sample,sim_rerank_blend,text_unicode_fix,src_html_outlinks
+# GRAFT_X100_QUERIES overrides the default slice (r14) — used for the
+# one-off heavy-corpus parity runs without growing the per-round gate.
+QUERIES="${GRAFT_X100_QUERIES:-dedup_minhash_slice,dedup_winnowing_slice,dedup_containment_slice,ml_linkpred_slice,pipe_zorder_layout,window_rfm_scores,window_pareto_abc,pipe_web_curation,pipe_quota_sample,sim_rerank_blend,text_unicode_fix,src_html_outlinks}"
 
 # Mint completeness sentinel: embeddings is the LAST table MintScale
 # writes (Tables order), so its _SUCCESS proves the whole mint landed —
