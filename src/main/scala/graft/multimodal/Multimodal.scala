@@ -472,6 +472,29 @@ object Multimodal {
       pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
       i += 1
     }
+    // Canonical 44-byte RIFF/WAVE header, hand-rolled like the textured
+    // mint: byte-identical to AudioSystem.write's output for PCM16 mono
+    // (MultimodalSpec pins the equality per seed), at ~half the per-row
+    // cost — AudioSystem.write's provider lookup + stream plumbing was
+    // the bulk of the mint. The DECODE side still goes through the real
+    // javax.sound codec, which is the parity that matters.
+    riffWav(pcm, sampleRate = 8000, channels = 1)
+  }
+
+  /** The pre-r14 mint path (JDK WAV writer), kept as the spec's
+    * reference face: MultimodalSpec asserts [[mintWav]] ==
+    * [[mintWavViaAudioSystem]] byte-for-byte so the hand-rolled header
+    * can never drift from the real codec's output. */
+  private[graft] def mintWavViaAudioSystem(k: Long): Array[Byte] = {
+    val n = (64 + java.lang.Math.floorMod(k, 65L)).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (java.lang.Math.floorMod(k * 131 + i * 17, 65536L) - 32768L).toInt
+      pcm(2 * i) = (s & 0xff).toByte // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
     val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)

@@ -906,7 +906,19 @@ object CurationQueries extends QueryBase {
         def isCard(m: Column): Column = m.rlike("^\\d{16}$")
         def extr(re: String): Column =
           regexp_extract_all(col("txt"), lit(re), lit(0))
-        t(s, dir, "customer").select(col("c_custkey"), txt.as("txt"))
+        // Sorted-input form (same rows, same total order): the output
+        // order is c_custkey, so the range sort runs FIRST over the
+        // three narrow customer columns and the mint + 7 regex scans +
+        // redaction fold run ABOVE it, exactly once. The previous shape
+        // sorted the REDACTED frame: the range-partitioner's sampling
+        // pass drains every child partition, so the whole per-row regex
+        // chain executed twice per run (and the exchange carried the
+        // redacted text). Catalyst does not push projections below a
+        // Sort, so the expensive projection stays post-shuffle.
+        t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+          .orderBy("c_custkey")
+          .select(col("c_custkey"), txt.as("txt"))
           .select(col("c_custkey"), col("txt"),
             regexp_extract_all(col("txt"), lit(allRe), lit(0)).as("ms"),
             extr(cardRe).as("cards"), extr(ibanRe).as("ibans"))
@@ -930,7 +942,6 @@ object CurationQueries extends QueryBase {
             size(filter(col("cards"), luhnOk(_))).as("n_cards_valid"),
             size(col("ibans")).as("n_ibans_seen"),
             size(filter(col("ibans"), ibanOk(_))).as("n_ibans_valid"))
-          .orderBy("c_custkey")
       },
       Some("""
         WITH base AS (

@@ -209,7 +209,10 @@ object DedupQueries extends QueryBase {
       val capped = graft.plans.TopK.perKey(
           fp, Seq("h"), Seq(("doc_id", true)), 32)
         .select("doc_id", "h")
-      capped.as("a").join(capped.as("b"),
+      // Merge self-join so both sides reuse TopKPerKey's one h-exchange
+      // (see dedup_audio_fingerprint): the default BHJ re-ran the whole
+      // 8-gram murmur3 + winnow pipeline as the broadcast build side.
+      capped.as("a").join(capped.as("b").hint("merge"),
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("n_shared"))
@@ -414,7 +417,15 @@ object DedupQueries extends QueryBase {
       val capped = graft.plans.TopK.perKey(
           fp, Seq("h"), Seq(("media_id", true)), 32)
         .select("media_id", "h")
-      capped.as("a").join(capped.as("b"),
+      // Self-join as sort-merge, NOT broadcast: TopKPerKey already ends
+      // in a hash exchange on h, so with SMJ both sides canonicalize to
+      // the SAME exchange and ReuseExchange runs the mint->decode->
+      // shingle pipeline ONCE (shuffle files read twice). The default
+      // BHJ planned the build side as a full second copy of that
+      // pipeline — the whole WAV decode executed twice per run. At
+      // corpus scale the capped posting table outgrows any broadcast
+      // threshold anyway; merge is the shape that survives 100 TB.
+      capped.as("a").join(capped.as("b").hint("merge"),
           col("a.h") === col("b.h") && col("a.media_id") < col("b.media_id"))
         .groupBy(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"))
         .agg(count(lit(1)).as("n_shared"))

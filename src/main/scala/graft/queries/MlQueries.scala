@@ -397,11 +397,19 @@ ${p}top AS (SELECT CAST(zz AS INT) AS topic,
   private val linkPredictionQ = Q(
     "ml_link_prediction",
     (s, dir) => {
-      val edges = t(s, dir, "orders").select("o_orderkey", "o_custkey")
-        .join(t(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-        .distinct()
+      // Persisted: deg, capped(x) and capped(y) each consume this frame
+      // — unpersisted, the orders⋈lineitem→distinct pipeline planned
+      // once per consumer (deg's c-exchange and capped's p-exchange key
+      // differently, so exchange reuse cannot dedupe them; measured A/B
+      // at sf0.1: persist 2.74 s vs stage-reuse-only 3.11 s warm).
+      // Tracked in CacheLedger; drivers release it per query.
+      val edges = graft.core.CacheLedger.track(
+        t(s, dir, "orders").select("o_orderkey", "o_custkey")
+          .join(t(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val deg = edges.groupBy("c").agg(count(lit(1)).as("d"))
       // Per-part posting cap via TopKPerKey: the 32 smallest custkeys
       // per part (total order ⇒ same rows as the row_number form),
@@ -410,7 +418,9 @@ ${p}top AS (SELECT CAST(zz AS INT) AS topic,
       val capped = graft.plans.TopK.perKey(
           edges, Seq("p"), Seq(("c", true)), 32)
         .select("p", "c")
-      val inter = capped.as("x").join(capped.as("y"),
+      // Merge self-join: both sides reuse TopKPerKey's one p-exchange
+      // (the default BHJ built a second full copy of the capped side).
+      val inter = capped.as("x").join(capped.as("y").hint("merge"),
           col("x.p") === col("y.p") && col("x.c") < col("y.c"))
         .select(col("x.c").as("a"), col("y.c").as("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("n_common"))

@@ -515,11 +515,21 @@ ${p}matched AS (
     Q(
       "pipe_multimodal_audio",
       (s, dir) => {
-        val media = Multimodal.asAudioMedia(th(s, dir, "documents"))
+        // Sorted-input form (same rows, same total order): the output
+        // order is media_id = doc_id, so the range sort runs FIRST over
+        // the narrow 8-byte doc_id frame and mint+decode run ABOVE it,
+        // exactly once. The previous shape sorted the DECODED frame:
+        // the range-partitioner's sampling pass drains every child
+        // partition, so the whole mint+decode pipeline executed twice
+        // per run (and the exchange carried the wide featurized rows).
+        // The sort's 32 range partitions also replace th()'s round-robin
+        // spread — one exchange where there were two.
+        val docs = t(s, dir, "documents").select(col("doc_id"))
+          .orderBy("doc_id")
+        val media = Multimodal.asAudioMedia(docs)
         Multimodal.decodeAudioMedia(media)
           .select(col("media_id"), col("n_samples"), col("sample_rate"),
             concat_ws(",", col("amp_hist")).as("hist_csv"), col("sum_abs"))
-          .orderBy("media_id")
       },
       Some("""
         WITH d AS (

@@ -311,17 +311,21 @@ object SliceQueries extends QueryBase {
     Q(
       "ml_linkpred_slice",
       (s, dir) => {
-        val edges = t(s, dir, "orders").select("o_orderkey", "o_custkey")
-          .join(t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-              .filter(col("l_partkey") % 8 === 3),
-            col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-          .distinct()
+        // Persist + merge self-join: same three-consumer dedup as the
+        // full ml_link_prediction (see there for the measured A/B).
+        val edges = graft.core.CacheLedger.track(
+          t(s, dir, "orders").select("o_orderkey", "o_custkey")
+            .join(t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+                .filter(col("l_partkey") % 8 === 3),
+              col("o_orderkey") === col("l_orderkey"))
+            .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+            .distinct()
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val deg = edges.groupBy("c").agg(count(lit(1)).as("d"))
         val capped = graft.plans.TopK.perKey(
             edges, Seq("p"), Seq(("c", true)), 32)
           .select("p", "c")
-        val inter = capped.as("x").join(capped.as("y"),
+        val inter = capped.as("x").join(capped.as("y").hint("merge"),
             col("x.p") === col("y.p") && col("x.c") < col("y.c"))
           .select(col("x.c").as("a"), col("y.c").as("b"))
           .groupBy("a", "b").agg(count(lit(1)).as("n_common"))

@@ -114,6 +114,17 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mintWav: hand-rolled RIFF header is byte-identical to the JDK " +
+      "WAV writer's output on every seed shape") {
+    // n = 64 + k % 65, so cover both length extremes plus odd/even and
+    // large seeds; equality here is what licenses the cheap mint path
+    // (n_bytes = length(payload) is oracle-checked downstream).
+    for (k <- Seq(0L, 1L, 63L, 64L, 65L, 129L, 4999L, 123456789L)) {
+      assert(Multimodal.mintWav(k).toSeq ===
+        Multimodal.mintWavViaAudioSystem(k).toSeq, s"seed $k")
+    }
+  }
+
   test("decodeAudio: empty, corrupt, and non-PCM-16 payloads return None") {
     assert(Multimodal.decodeAudio(null).isEmpty)
     assert(Multimodal.decodeAudio(Array.empty[Byte]).isEmpty)
