@@ -94,7 +94,12 @@ object BronzeQueries extends QueryBase {
     Q(
       "bronze_bookings",
       (s, dir) => {
-        val o = t(s, dir, "orders")
+        // Sorted-input form (same rows, same total order): booking_id is
+        // o_orderkey, so sort the bare key first and run the report mint
+        // + extractBookings projection above it, once — the previous
+        // final orderBy re-executed the whole normalizer in the range
+        // partitioner's sampling pass (see OPTIMIZATION_r14.md Finding A).
+        val o = t(s, dir, "orders").select("o_orderkey").orderBy("o_orderkey")
         val key = col("o_orderkey")
         val raw = o.select(
           key.cast("string").as("Buchung"),
@@ -125,7 +130,6 @@ object BronzeQueries extends QueryBase {
             col("title"), col("status"),
             date_format(col("start_datetime"), "yyyy-MM-dd HH:mm")
               .as("start_dt"))
-          .orderBy("booking_id")
       },
       Some(s"""
         WITH raw AS (
@@ -169,7 +173,11 @@ object BronzeQueries extends QueryBase {
     Q(
       "bronze_orders",
       (s, dir) => {
-        val o = t(s, dir, "orders")
+        // Sorted-input form: order_id = o_orderkey (Finding A); the
+        // mapping join stays an explicit left BHJ above the sort, which
+        // streams the sorted side in order.
+        val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+          .orderBy("o_orderkey")
         val c = t(s, dir, "customer")
         val key = col("o_orderkey")
         val raw = o.select(
@@ -192,7 +200,6 @@ object BronzeQueries extends QueryBase {
           .select(col("order_id"),
             date_format(col("order_date"), "yyyy-MM-dd").as("order_day"),
             col("customer_id"), col("valid"), col("paid"), col("origin"))
-          .orderBy("order_id")
       },
       Some("""
         SELECT o_orderkey AS order_id,

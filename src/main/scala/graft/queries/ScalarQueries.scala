@@ -60,7 +60,9 @@ object ScalarQueries extends QueryBase {
     Q(
       "scalar_date_pack",
       (s, dir) => {
-        val o = t(s, dir, "orders")
+        // Sorted-input form (Finding A, OPTIMIZATION_r14.md).
+        val o = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
+          .orderBy("o_orderkey")
         val serial = (col("o_orderkey") % 40000L) + 10000L
         val german = date_format(col("o_orderdate"), "dd.MM.yyyy HH:mm")
         o.select(
@@ -77,7 +79,6 @@ object ScalarQueries extends QueryBase {
             floor((col("o_orderdate").cast("long") -
               date_trunc("year", col("o_orderdate")).cast("long")) / 60L)
               .as("minutes_into_year"))
-          .orderBy("o_orderkey")
       },
       Some("""
         SELECT o_orderkey,

@@ -307,7 +307,10 @@ object TextQueries extends QueryBase {
       }
       def nBy(v: String) = size(filter(col("feat"),
         f => f.getField("v") === v)).cast("long")
+      // Sorted-input form (Finding A, OPTIMIZATION_r14.md): the page
+      // mint + block classify chain runs above the doc_id sort, once.
       t(s, dir, "documents")
+        .orderBy("doc_id")
         .select(col("doc_id"), page.as("page"))
         .select(col("doc_id"), transform(blocks, featOf(_)).as("feat"))
         .select(col("doc_id"),
@@ -319,7 +322,6 @@ object TextQueries extends QueryBase {
           array_join(transform(
             filter(col("feat"), f => f.getField("v") === "content"),
             f => f.getField("btext")), " ").as("kept_text"))
-        .orderBy("doc_id")
     },
     Some("""
       WITH tk AS (
@@ -574,7 +576,10 @@ object TextQueries extends QueryBase {
         ((length(c) - length(replace(c, lit(needle), lit("")))) /
           needle.length).cast("long")
       val fixed = unicodeFixChain(col("raw"))
+      // Sorted-input form (Finding A): the replace chain runs above the
+      // doc_id sort, once.
       t(s, dir, "documents")
+        .orderBy("doc_id")
         .select(col("doc_id"), corrupted.as("raw"))
         .select(col("doc_id"),
           fixed.as("text_fixed"),
@@ -584,7 +589,6 @@ object TextQueries extends QueryBase {
             "[\u200b\u200c\u200d\ufeff]", ""))).cast("long"))
             .as("n_zero_width"),
           nOf(col("raw"), "\u00a0").as("n_nbsp"))
-        .orderBy("doc_id")
     },
     Some(s"""
       WITH raw AS (
@@ -717,7 +721,9 @@ object TextQueries extends QueryBase {
     Q(
       "text_quality_score",
       (s, dir) => {
-        val d = th(s, dir, "documents")
+        // Sorted-input form (Finding A, OPTIMIZATION_r14.md): sort by
+        // doc_id first, score above the sort once.
+        val d = t(s, dir, "documents").orderBy("doc_id")
         val nTok = size(toks).cast("double")
         val nStop = size(filter(toks,
           w => w.isin("the", "a", "of", "and", "to"))).cast("double")
@@ -734,7 +740,6 @@ object TextQueries extends QueryBase {
           .withColumn("quality",
             round(when(col("n_tokens") >= 20 && col("stopword_ratio") < 0.5,
               lit(1.0) - col("punct_ratio")).otherwise(0.0), 6))
-          .orderBy("doc_id")
       },
       Some("""
         SELECT doc_id, n_chars, n_tokens, stopword_ratio, punct_ratio, avg_word_len,
@@ -757,7 +762,8 @@ object TextQueries extends QueryBase {
     Q(
       "text_langid",
       (s, dir) => {
-        val d = th(s, dir, "documents")
+        // Sorted-input form (Finding A).
+        val d = t(s, dir, "documents").orderBy("doc_id")
         def score(words: Seq[String]) =
           size(filter(toks, w => w.isin(words: _*)))
         val en = score(Seq("the", "a", "of", "and"))
@@ -770,7 +776,6 @@ object TextQueries extends QueryBase {
               .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es"), "en")
               .when(col("s_de") >= col("s_es"), "de")
               .otherwise("es"))
-          .orderBy("doc_id")
       },
       Some("""
         SELECT doc_id, lang AS labeled, s_en, s_de, s_es,
@@ -855,11 +860,11 @@ object TextQueries extends QueryBase {
     Q(
       "text_fingerprint",
       (s, dir) => {
-        val d = th(s, dir, "documents")
+        // Sorted-input form (Finding A).
+        val d = t(s, dir, "documents").orderBy("doc_id")
         val normalized = trim(regexp_replace(
           regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""), "\\s+", " "))
         d.select(col("doc_id"), md5(normalized).as("fingerprint"))
-          .orderBy("doc_id")
       },
       Some("""
         SELECT doc_id,
@@ -918,7 +923,8 @@ object TextQueries extends QueryBase {
       "text_repetition_filter",
       (s, dir) => {
         graft.functions.GraftFunctions.register(s)
-        val d = th(s, dir, "documents")
+        // Sorted-input form (Finding A).
+        val d = t(s, dir, "documents").orderBy("doc_id")
         val bs = col("bs")
         val dupFrac = (bs("n_bigrams") - bs("n_distinct")) /
           greatest(bs("n_bigrams"), lit(1))
@@ -931,7 +937,6 @@ object TextQueries extends QueryBase {
             round(topFrac, 6).as("top_bigram_frac"),
             (dupFrac <= CurationDefs.DupMax && topFrac <= CurationDefs.TopMax)
               .as("keep"))
-          .orderBy("doc_id")
       },
       Some("""
         WITH tk AS (
@@ -970,9 +975,12 @@ object TextQueries extends QueryBase {
     Q(
       "text_chunk_split",
       (s, dir) => {
-        val d = th(s, dir, "documents")
+        // Sorted-input form (Finding A): Generate emits each doc's
+        // windows in ascending chunk_start order, so sorting by doc_id
+        // below the explode preserves the (doc_id, chunk_start) total
+        // order the final orderBy used to establish.
+        val d = t(s, dir, "documents").orderBy("doc_id")
         CurationDefs.chunkExplode(d.select(col("doc_id"), toks.as("t")))
-          .orderBy("doc_id", "chunk_start")
       },
       Some("""
         WITH tk AS (
