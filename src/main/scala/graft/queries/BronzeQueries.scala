@@ -99,7 +99,8 @@ object BronzeQueries extends QueryBase {
         // + extractBookings projection above it, once — the previous
         // final orderBy re-executed the whole normalizer in the range
         // partitioner's sampling pass (see OPTIMIZATION_r14.md Finding A).
-        val o = t(s, dir, "orders").select("o_orderkey").orderBy("o_orderkey")
+        val o = sortedByKeys(
+          t(s, dir, "orders").select("o_orderkey"), col("o_orderkey"))
         val key = col("o_orderkey")
         val raw = o.select(
           key.cast("string").as("Buchung"),
@@ -176,8 +177,9 @@ object BronzeQueries extends QueryBase {
         // Sorted-input form: order_id = o_orderkey (Finding A); the
         // mapping join stays an explicit left BHJ above the sort, which
         // streams the sorted side in order.
-        val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
-          .orderBy("o_orderkey")
+        val o = sortedByKeys(
+          t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("o_orderkey"))
         val c = t(s, dir, "customer")
         val key = col("o_orderkey")
         val raw = o.select(

@@ -915,9 +915,9 @@ object CurationQueries extends QueryBase {
         // chain executed twice per run (and the exchange carried the
         // redacted text). Catalyst does not push projections below a
         // Sort, so the expensive projection stays post-shuffle.
-        t(s, dir, "customer")
-          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-          .orderBy("c_custkey")
+        sortedByKeys(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+            col("c_custkey"))
           .select(col("c_custkey"), txt.as("txt"))
           .select(col("c_custkey"), col("txt"),
             regexp_extract_all(col("txt"), lit(allRe), lit(0)).as("ms"),

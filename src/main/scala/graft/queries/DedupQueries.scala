@@ -212,7 +212,7 @@ object DedupQueries extends QueryBase {
       // Merge self-join so both sides reuse TopKPerKey's one h-exchange
       // (see dedup_audio_fingerprint): the default BHJ re-ran the whole
       // 8-gram murmur3 + winnow pipeline as the broadcast build side.
-      capped.as("a").join(capped.as("b").hint("merge"),
+      capped.as("a").join(capped.as("b").hint("shuffle_hash"),
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("n_shared"))
@@ -425,7 +425,7 @@ object DedupQueries extends QueryBase {
       // pipeline — the whole WAV decode executed twice per run. At
       // corpus scale the capped posting table outgrows any broadcast
       // threshold anyway; merge is the shape that survives 100 TB.
-      capped.as("a").join(capped.as("b").hint("merge"),
+      capped.as("a").join(capped.as("b").hint("shuffle_hash"),
           col("a.h") === col("b.h") && col("a.media_id") < col("b.media_id"))
         .groupBy(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"))
         .agg(count(lit(1)).as("n_shared"))

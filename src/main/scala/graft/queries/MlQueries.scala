@@ -420,7 +420,7 @@ ${p}top AS (SELECT CAST(zz AS INT) AS topic,
         .select("p", "c")
       // Merge self-join: both sides reuse TopKPerKey's one p-exchange
       // (the default BHJ built a second full copy of the capped side).
-      val inter = capped.as("x").join(capped.as("y").hint("merge"),
+      val inter = capped.as("x").join(capped.as("y").hint("shuffle_hash"),
           col("x.p") === col("y.p") && col("x.c") < col("y.c"))
         .select(col("x.c").as("a"), col("y.c").as("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("n_common"))

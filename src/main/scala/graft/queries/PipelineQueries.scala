@@ -524,8 +524,8 @@ ${p}matched AS (
         // per run (and the exchange carried the wide featurized rows).
         // The sort's 32 range partitions also replace th()'s round-robin
         // spread — one exchange where there were two.
-        val docs = t(s, dir, "documents").select(col("doc_id"))
-          .orderBy("doc_id")
+        val docs = sortedByKeys(
+          t(s, dir, "documents").select(col("doc_id")), col("doc_id"))
         val media = Multimodal.asAudioMedia(docs)
         Multimodal.decodeAudioMedia(media)
           .select(col("media_id"), col("n_samples"), col("sample_rate"),

@@ -19,6 +19,24 @@ trait QueryBase {
     if (name == "events") graft.core.Tables.events(s, dir)
     else graft.core.Tables.load(s, dir, name)
 
+  /** Total order by `keys` with an EXPLICIT range-partition count.
+    *
+    * The sorted-input restructure (OPTIMIZATION_r14.md Finding A)
+    * deliberately sorts NARROW key columns and runs the expensive
+    * projection above the sort — but a plain `orderBy` plans an
+    * ENSURE_REQUIREMENTS range exchange that AQE coalesces by BYTES,
+    * and narrow keys make the byte count tiny, so the whole post-sort
+    * projection collapsed to one task (measured at ×10: bronze_bookings
+    * 1.6 → 17.4 s cold). An explicit numPartitions is exempt from AQE
+    * coalescing; the count derives from the session's core count (the
+    * Tables.parallelize policy), not a local-mode constant. Equal keys
+    * hash to one partition and partitions are range-ordered, so the
+    * total output order is identical to `orderBy(keys)`. */
+  def sortedByKeys(df: DataFrame, keys: Column*): DataFrame =
+    df.repartitionByRange(
+        df.sparkSession.sparkContext.defaultParallelism, keys: _*)
+      .sortWithinPartitions(keys: _*)
+
   /** Deterministic 60-bit hash from md5 — identical in Spark and DuckDB
     * (duck face: `CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)`).
     * ONE definition for every sampling/bucketing/embedding site (it was

@@ -61,8 +61,9 @@ object ScalarQueries extends QueryBase {
       "scalar_date_pack",
       (s, dir) => {
         // Sorted-input form (Finding A, OPTIMIZATION_r14.md).
-        val o = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
-          .orderBy("o_orderkey")
+        val o = sortedByKeys(
+          t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("o_orderkey"))
         val serial = (col("o_orderkey") % 40000L) + 10000L
         val german = date_format(col("o_orderdate"), "dd.MM.yyyy HH:mm")
         o.select(

@@ -325,7 +325,7 @@ object SliceQueries extends QueryBase {
         val capped = graft.plans.TopK.perKey(
             edges, Seq("p"), Seq(("c", true)), 32)
           .select("p", "c")
-        val inter = capped.as("x").join(capped.as("y").hint("merge"),
+        val inter = capped.as("x").join(capped.as("y").hint("shuffle_hash"),
             col("x.p") === col("y.p") && col("x.c") < col("y.c"))
           .select(col("x.c").as("a"), col("y.c").as("b"))
           .groupBy("a", "b").agg(count(lit(1)).as("n_common"))

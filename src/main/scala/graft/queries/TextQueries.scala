@@ -309,8 +309,7 @@ object TextQueries extends QueryBase {
         f => f.getField("v") === v)).cast("long")
       // Sorted-input form (Finding A, OPTIMIZATION_r14.md): the page
       // mint + block classify chain runs above the doc_id sort, once.
-      t(s, dir, "documents")
-        .orderBy("doc_id")
+      sortedByKeys(t(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"), page.as("page"))
         .select(col("doc_id"), transform(blocks, featOf(_)).as("feat"))
         .select(col("doc_id"),
@@ -578,8 +577,7 @@ object TextQueries extends QueryBase {
       val fixed = unicodeFixChain(col("raw"))
       // Sorted-input form (Finding A): the replace chain runs above the
       // doc_id sort, once.
-      t(s, dir, "documents")
-        .orderBy("doc_id")
+      sortedByKeys(t(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"), corrupted.as("raw"))
         .select(col("doc_id"),
           fixed.as("text_fixed"),
@@ -723,7 +721,7 @@ object TextQueries extends QueryBase {
       (s, dir) => {
         // Sorted-input form (Finding A, OPTIMIZATION_r14.md): sort by
         // doc_id first, score above the sort once.
-        val d = t(s, dir, "documents").orderBy("doc_id")
+        val d = sortedByKeys(t(s, dir, "documents"), col("doc_id"))
         val nTok = size(toks).cast("double")
         val nStop = size(filter(toks,
           w => w.isin("the", "a", "of", "and", "to"))).cast("double")
@@ -763,7 +761,7 @@ object TextQueries extends QueryBase {
       "text_langid",
       (s, dir) => {
         // Sorted-input form (Finding A).
-        val d = t(s, dir, "documents").orderBy("doc_id")
+        val d = sortedByKeys(t(s, dir, "documents"), col("doc_id"))
         def score(words: Seq[String]) =
           size(filter(toks, w => w.isin(words: _*)))
         val en = score(Seq("the", "a", "of", "and"))
@@ -861,7 +859,7 @@ object TextQueries extends QueryBase {
       "text_fingerprint",
       (s, dir) => {
         // Sorted-input form (Finding A).
-        val d = t(s, dir, "documents").orderBy("doc_id")
+        val d = sortedByKeys(t(s, dir, "documents"), col("doc_id"))
         val normalized = trim(regexp_replace(
           regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""), "\\s+", " "))
         d.select(col("doc_id"), md5(normalized).as("fingerprint"))
@@ -924,7 +922,7 @@ object TextQueries extends QueryBase {
       (s, dir) => {
         graft.functions.GraftFunctions.register(s)
         // Sorted-input form (Finding A).
-        val d = t(s, dir, "documents").orderBy("doc_id")
+        val d = sortedByKeys(t(s, dir, "documents"), col("doc_id"))
         val bs = col("bs")
         val dupFrac = (bs("n_bigrams") - bs("n_distinct")) /
           greatest(bs("n_bigrams"), lit(1))
@@ -979,7 +977,7 @@ object TextQueries extends QueryBase {
         // windows in ascending chunk_start order, so sorting by doc_id
         // below the explode preserves the (doc_id, chunk_start) total
         // order the final orderBy used to establish.
-        val d = t(s, dir, "documents").orderBy("doc_id")
+        val d = sortedByKeys(t(s, dir, "documents"), col("doc_id"))
         CurationDefs.chunkExplode(d.select(col("doc_id"), toks.as("t")))
       },
       Some("""
