@@ -417,15 +417,16 @@ object DedupQueries extends QueryBase {
       val capped = graft.plans.TopK.perKey(
           fp, Seq("h"), Seq(("media_id", true)), 32)
         .select("media_id", "h")
-      // Self-join as sort-merge, NOT broadcast: TopKPerKey already ends
-      // in a hash exchange on h, so with SMJ both sides canonicalize to
-      // the SAME exchange and ReuseExchange runs the mint->decode->
-      // shingle pipeline ONCE (shuffle files read twice). The default
-      // BHJ planned the build side as a full second copy of that
-      // pipeline — the whole WAV decode executed twice per run. At
-      // corpus scale the capped posting table outgrows any broadcast
-      // threshold anyway; merge is the shape that survives 100 TB.
-      capped.as("a").join(capped.as("b").hint("shuffle_hash"),
+      // Self-join left at the planner's default (BHJ at bench scale):
+      // the exchange-reuse form (shuffle_hash, like dedup_winnowing) was
+      // measured SLOWER at x100 — 194 vs 173 s solo — because the WAV
+      // decode that the BHJ duplicates is cheap parallel scan work here,
+      // while the forced shuffle join serializes the ~40M-row capped
+      // posting exchange through AQE's byte-coalesced partitions.
+      // Winnowing keeps the reuse form because its duplicated murmur3
+      // pass is ~10x heavier per row (82 -> 55 s at x100); details in
+      // OPTIMIZATION_r14.md Finding C.
+      capped.as("a").join(capped.as("b"),
           col("a.h") === col("b.h") && col("a.media_id") < col("b.media_id"))
         .groupBy(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"))
         .agg(count(lit(1)).as("n_shared"))
