@@ -45,17 +45,27 @@ object Hits {
     * @return (kind: 'hub'|'auth', id, score) micro-unit scores. */
   def run(edges: DataFrame, iters: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    // (r15) The two half-iterations join e on DIFFERENT keys (src for
+    // the authority pass, dst for the hub pass), and per-round
+    // checkpoints are separate jobs — no exchange reuse can dedupe
+    // across rounds, so each half-iteration used to re-exchange the
+    // full edge table at scale. Two pre-partitioned checkpointed copies
+    // (LogicalRDD keeps outputPartitioning) make every round's edge
+    // side exchange-free for the price of storing e twice — cheaper
+    // than iters×2 edge shuffles for any iters ≥ 1 (guide §2.4).
+    val eSrc = e.repartition(col("src")).localCheckpoint()
+    val eDst = e.repartition(col("dst")).localCheckpoint()
     val hubs0 = e.select(col("src").as("id")).distinct()
       .withColumn("h", lit(1000000L))
     var hubs = hubs0
     var auths: DataFrame = null
     var i = 0
     while (i < iters) {
-      val araw = e.join(hubs.withColumnRenamed("id", "src"), "src")
+      val araw = eSrc.join(hubs.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(col("h").cast(dec)).as("ar"))
       auths = normalize(araw, "id", "ar", "a").localCheckpoint()
-      val hraw = e.join(auths.withColumnRenamed("id", "dst"), "dst")
+      val hraw = eDst.join(auths.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(sum(col("a").cast(dec)).as("hr"))
       hubs = normalize(hraw, "id", "hr", "h").localCheckpoint()

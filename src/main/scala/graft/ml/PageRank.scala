@@ -28,13 +28,24 @@ object PageRank {
   def run(edges: DataFrame, iters: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    // (r15) Hoist the static per-round work out of the loop: each
+    // iteration used to rebuild deg (scan + aggregate of e) and re-join
+    // e ⋈ deg from scratch — per-round checkpoints are separate jobs,
+    // so no exchange reuse can dedupe across rounds (guide §2.4). ed
+    // carries every edge with its out-degree, partitioned by src ONCE;
+    // localCheckpoint's LogicalRDD keeps outputPartitioning, so the
+    // per-round ranks join needs no edge-side exchange even past the
+    // broadcast threshold. Arithmetic and results are bit-identical.
+    val ed = e.join(deg, "src")
+      .select(col("src"), col("dst"), col("d"))
+      .repartition(col("src")).localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
-      .distinct().localCheckpoint()
+      .distinct().repartition(col("id")).localCheckpoint()
     var ranks = nodes.withColumn("r", lit(1000000L))
     var i = 0
     while (i < iters) {
-      val contrib = e.join(deg, "src")
+      val contrib = ed
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst"), expr("(85 * r) div (100 * d)").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("s"))

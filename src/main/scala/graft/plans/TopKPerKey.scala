@@ -52,28 +52,107 @@ case class TopKPerKey(
     copy(child = newChild)
 }
 
+/** Fused top-k-per-key + within-group PAIR enumeration (r15).
+  *
+  * The LSH family pairs candidates by self-joining a TopKPerKey-capped
+  * frame — both join forms pay twice (BHJ rebuilds the whole capped
+  * pipeline as its broadcast side; shuffle_hash re-reads the exchange
+  * and hash-builds per partition), and the declarative no-join
+  * alternative (`groupBy(keys).agg(collect_list)` + explode) plans as
+  * ObjectHashAggregate, which FALLS BACK TO SORT-BASED aggregation past
+  * 128 distinct keys per task — a full sort of the capped frame where
+  * the join had a hash probe (measured: ml_link_prediction 2.2 → 4.8 s).
+  *
+  * This node keeps TopKPerKey's exact bounded-heap mechanics (map-side
+  * partial cap, one declaratively-requested hash exchange, final merge)
+  * and emits each key's C(≤k, 2) strict-upper-triangle pairs straight
+  * from the merged heaps — no join, no aggregate, no broadcast, no
+  * sort of anything bigger than one k-row group. Memory stays
+  * O(keys-per-partition × k) rows, identical to TopKPerKeyExec.
+  *
+  * Child contract (arranged by `TopK.pairsPerKey`): key columns, the
+  * selection-order columns, and a single struct column `_item` holding
+  * the pair payload, whose FIRST field is the id the old join compared
+  * with `<` and which is unique within a key group. Output: struct
+  * columns `x`, `y` — one row per pair with x.id < y.id (pairs are
+  * emitted in ascending `_item` order, so the set equals the equi-join
+  * with an `<` predicate; null-key rows are dropped by the public face,
+  * matching equi-join null semantics).
+  */
+case class TopKPairsPerKey(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    item: Attribute,
+    xy: Seq[Attribute],
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = xy
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions
+    .AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(xy)
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPairsPerKey =
+    copy(child = newChild)
+}
+
 /** Public face: `TopK.perKey(df, keys, order, k)` — the order list is
   * (column, ascending) pairs and MUST be total (include a unique
   * tiebreak). */
 object TopK {
-  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.{Column, DataFrame}
   import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-  import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending}
+  import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, Descending}
+  import org.apache.spark.sql.functions.{col, struct}
+
+  private def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    }
 
   def perKey(df: DataFrame, keyCols: Seq[String],
       order: Seq[(String, Boolean)], k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKStrategy
-    }
+    ensureStrategy(spark)
     val node = TopKPerKey(
       keyCols.map(UnresolvedAttribute(_)),
       order.map { case (c, asc) =>
         SortOrder(UnresolvedAttribute(c), if (asc) Ascending else Descending)
       },
       k, df.queryExecution.logical)
+    org.apache.spark.sql.GraftSqlBridge.ofRows(spark, node)
+  }
+
+  /** Within-group pairs of the top-k rows per key (see
+    * [[TopKPairsPerKey]]). `order` selects the k survivors exactly like
+    * [[perKey]] (total order required); `payload` columns ride each
+    * pair side and their FIRST column must be the unique-within-group
+    * id the replaced join compared with `<`. Returns struct columns
+    * `x` and `y`. */
+  def pairsPerKey(df: DataFrame, keyCols: Seq[String],
+      order: Seq[(String, Boolean)], payload: Seq[String],
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = df.sparkSession
+    ensureStrategy(spark)
+    val orderCols = order.map(_._1).filterNot(keyCols.contains)
+    val packed = df
+      .filter(keyCols.map(col(_).isNotNull)
+        .reduce((a: Column, b: Column) => a && b))
+      .select((keyCols ++ orderCols).distinct.map(col) :+
+        struct(payload.map(col): _*).as("_item"): _*)
+    val analyzed = packed.queryExecution.analyzed
+    val byName = analyzed.output.map(a => a.name -> a).toMap
+    val item = analyzed.output.last
+    val xy = Seq(
+      AttributeReference("x", item.dataType, nullable = false)(),
+      AttributeReference("y", item.dataType, nullable = false)())
+    val node = TopKPairsPerKey(
+      keyCols.map(byName(_)),
+      order.map { case (c, asc) =>
+        SortOrder(byName(c), if (asc) Ascending else Descending)
+      },
+      k, item, xy, analyzed)
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark, node)
   }
 }
@@ -84,6 +163,10 @@ object TopKStrategy extends Strategy {
       val partial = TopKPerKeyExec(keys, order, k, partial = true,
         planLater(child))
       TopKPerKeyExec(keys, order, k, partial = false, partial) :: Nil
+    case TopKPairsPerKey(keys, order, k, item, xy, child) =>
+      val partial = TopKPerKeyExec(keys, order, k, partial = true,
+        planLater(child))
+      TopKPairsExec(keys, order, k, item, xy, partial) :: Nil
     case _ => Nil
   }
 }
@@ -135,5 +218,88 @@ case class TopKPerKeyExec(
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+/** Final stage of [[TopKPairsPerKey]]: merge the map-side capped heaps
+  * into the true per-key top k (same mechanics as
+  * `TopKPerKeyExec(partial = false)`), then emit each key's
+  * strict-upper-triangle pairs in ascending `_item` order. */
+case class TopKPairsExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    item: Attribute,
+    xy: Seq[Attribute],
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = xy
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions
+    .AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(xy)
+  override def outputPartitioning: Partitioning =
+    org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning(
+      child.outputPartitioning.numPartitions)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyExprs = keys
+    val sortOrder = order
+    val limit = k
+    val childOutput = child.output
+    val itemIdx = childOutput.indexWhere(_.exprId == item.exprId)
+    require(itemIdx >= 0, "_item column missing from TopKPairs child")
+    val itemType = childOutput(itemIdx).dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("x", itemType, nullable = false),
+      org.apache.spark.sql.types.StructField("y", itemType, nullable = false)))
+    child.execute().mapPartitions({ rows =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val rowOrd = new LazilyGeneratedOrdering(sortOrder, childOutput)
+      val heaps = new java.util.HashMap[UnsafeRow,
+        scala.collection.mutable.PriorityQueue[InternalRow]]()
+      rows.foreach { row =>
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = scala.collection.mutable.PriorityQueue.empty(rowOrd)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < limit) heap.enqueue(row.copy())
+        else if (rowOrd.compare(row, heap.head) < 0) {
+          heap.dequeue()
+          heap.enqueue(row.copy())
+        }
+      }
+      val proj = UnsafeProjection.create(outSchema)
+      val pairRow = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(2)
+      // Emission sorts each ≤k group by the _item struct itself —
+      // ascending first field = the id the replaced join compared with
+      // `<` — so pair (i, j) with i < j is exactly x.id < y.id.
+      val itemOrd = new LazilyGeneratedOrdering(
+        Seq(SortOrder(org.apache.spark.sql.catalyst.expressions
+          .BoundReference(itemIdx, itemType, nullable = false),
+          org.apache.spark.sql.catalyst.expressions.Ascending)), childOutput)
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap { heap =>
+        val arr = heap.toArray.sortWith((a, b) => itemOrd.compare(a, b) < 0)
+        val n = arr.length
+        Iterator.range(0, n - 1).flatMap { i =>
+          val x = arr(i).getStruct(itemIdx, itemType.length)
+          Iterator.range(i + 1, n).map { j =>
+            pairRow.update(0, x)
+            pairRow.update(1, arr(j).getStruct(itemIdx, itemType.length))
+            proj(pairRow)
+          }
+        }
+      }
+    }, preservesPartitioning = false)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPairsExec =
     copy(child = newChild)
 }

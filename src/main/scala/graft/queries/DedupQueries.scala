@@ -29,11 +29,11 @@ object DedupQueries extends QueryBase {
     * was the dominant cost of this query. The band keys and verify cosine
     * are native codegen expressions (the interpreted-lambda formulation of
     * the same math was ~50x slower; the UDF form boxed every element on
-    * top). Buckets are materialized once (the self-join below would
-    * otherwise run the band-key expression + window for BOTH sides — the
-    * minhash persist point, SURVEY §4) and dropped as soon as the tiny
-    * verified pair set is cached; per-bucket probe cap 32 bounds the
-    * quadratic term at any corpus size.
+    * top). Candidates come from bounded per-bucket pair enumeration
+    * ([[QueryBase.cappedPairs]], r15 — the earlier self-join needed a
+    * buckets persist because it consumed the band-key pipeline twice);
+    * per-bucket probe cap 32 bounds the quadratic term at any corpus
+    * size.
     *
     * Each call rebuilds the PLAN, but storage is shared: Spark's
     * CacheManager registers cache entries by canonicalized plan, so the
@@ -58,16 +58,17 @@ object DedupQueries extends QueryBase {
     // heap keeps the same k-smallest vec_ids per (bd, bkey) — identical
     // rows because the ordering is total — with a map-side partial cap
     // instead of a per-bucket sort.
-    val buckets = graft.plans.TopK.perKey(
+    // Fused bucket cap + pair enumeration (r15, see
+    // dedup_audio_fingerprint). Retires the buckets persist too: it
+    // existed only because the self-join consumed the capped frame
+    // twice (re-running band_keys_f per side); the fused operator's
+    // ≤32 bucket lists emit their pairs directly — no cache write, no
+    // second band-key pass.
+    val cand = graft.plans.TopK.pairsPerKey(
         v.select(col("vec_id"),
           posexplode(expr("band_keys_f(vv)")).as(Seq("bd", "bkey"))),
-        Seq("bd", "bkey"), Seq(("vec_id", true)), 32)
-      .select(col("vec_id"), col("bd"), col("bkey"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = buckets.as("a").join(buckets.as("b"),
-        col("a.bd") === col("b.bd") && col("a.bkey") === col("b.bkey") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("left_id"), col("b.vec_id").as("right_id"))
+        Seq("bd", "bkey"), Seq(("vec_id", true)), Seq("vec_id"), 32)
+      .select(col("x.vec_id").as("left_id"), col("y.vec_id").as("right_id"))
       .distinct()
     val out = cand
       .join(v.select(col("vec_id").as("lid"), col("vv").as("va")), col("left_id") === col("lid"))
@@ -77,7 +78,6 @@ object DedupQueries extends QueryBase {
       .select(col("left_id"), col("right_id"), col("cosine"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
-    buckets.unpersist()
     // Tracked for deferred cleanup: the lazy result references this
     // persist, so the builder can't unpersist in-scope. Verify releases
     // it per query (a later embedding-dedup query simply re-persists via
@@ -203,18 +203,14 @@ object DedupQueries extends QueryBase {
         "array_distinct(transform(sequence(1, greatest(size(hs) - 3, 1)), " +
           "j -> array_min(slice(hs, j, 4))))")).as("h"))
         .distinct()
-      // Posting cap through TopKPerKey: same 32 smallest doc_ids per
-      // fingerprint (total order), bounded heap instead of the full
-      // per-fingerprint sort the row_number window pays.
-      val capped = graft.plans.TopK.perKey(
-          fp, Seq("h"), Seq(("doc_id", true)), 32)
-        .select("doc_id", "h")
-      // Merge self-join so both sides reuse TopKPerKey's one h-exchange
-      // (see dedup_audio_fingerprint): the default BHJ re-ran the whole
-      // 8-gram murmur3 + winnow pipeline as the broadcast build side.
-      capped.as("a").join(capped.as("b").hint("shuffle_hash"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // Fused posting cap + pair enumeration (r15, see
+      // dedup_audio_fingerprint): same 32 smallest doc_ids per
+      // fingerprint as the old TopK.perKey cap, with the upper triangle
+      // emitted straight from the merged heaps — the r14 shuffle_hash
+      // form re-read the h-exchange and hash-built per partition.
+      graft.plans.TopK.pairsPerKey(fp, Seq("h"),
+          Seq(("doc_id", true)), Seq("doc_id"), 32)
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("n_shared"))
         .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
         .limit(25)
@@ -293,15 +289,19 @@ object DedupQueries extends QueryBase {
       // Per-bucket probe cap through TopKPerKey (same rows as the
       // row_number form — (band, bv, media_id) is unique — minus the
       // per-bucket sort).
-      val capped = graft.plans.TopK.perKey(
-        bands, Seq("band", "bv"), Seq(("media_id", true)), 32)
-      capped.as("a").join(capped.as("b"),
-          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-            col("a.media_id") < col("b.media_id"))
-        .select(col("a.media_id").as("media_a"),
-          col("b.media_id").as("media_b"),
-          (expr("bit_count(a.b0 ^ b.b0)") + expr("bit_count(a.b1 ^ b.b1)") +
-            expr("bit_count(a.b2 ^ b.b2)") + expr("bit_count(a.b3 ^ b.b3)"))
+      // Fused bucket cap + pair enumeration (r15, see
+      // dedup_audio_fingerprint): the default BHJ built the whole
+      // mint->decode->dHash pipeline a second time as its broadcast
+      // side (the r14 shuffle_hash A/B lost to SMJ/SHJ fixed costs);
+      // the merged ≤32 buckets emit their upper triangle directly —
+      // the pipeline runs once and no broadcast exists at any scale.
+      graft.plans.TopK.pairsPerKey(bands, Seq("band", "bv"),
+          Seq(("media_id", true)),
+          Seq("media_id", "b0", "b1", "b2", "b3"), 32)
+        .select(col("x.media_id").as("media_a"),
+          col("y.media_id").as("media_b"),
+          (expr("bit_count(x.b0 ^ y.b0)") + expr("bit_count(x.b1 ^ y.b1)") +
+            expr("bit_count(x.b2 ^ y.b2)") + expr("bit_count(x.b3 ^ y.b3)"))
             .cast("int").as("hamming"))
         .distinct()
         .filter(col("hamming") <= 3)
@@ -412,23 +412,19 @@ object DedupQueries extends QueryBase {
             "transform(sequence(1, size(g) - 3), " +
             "j -> array_min(slice(g, j, 4))) " +
             "ELSE CAST(array() AS array<bigint>) END)")).as("h"))
-      // Fingerprint posting cap via TopKPerKey (bounded heap, no
-      // per-fingerprint sort; identical rows — total order).
-      val capped = graft.plans.TopK.perKey(
-          fp, Seq("h"), Seq(("media_id", true)), 32)
-        .select("media_id", "h")
-      // Self-join left at the planner's default (BHJ at bench scale):
-      // the exchange-reuse form (shuffle_hash, like dedup_winnowing) was
-      // measured SLOWER at x100 — 194 vs 173 s solo — because the WAV
-      // decode that the BHJ duplicates is cheap parallel scan work here,
-      // while the forced shuffle join serializes the ~40M-row capped
-      // posting exchange through AQE's byte-coalesced partitions.
-      // Winnowing keeps the reuse form because its duplicated murmur3
-      // pass is ~10x heavier per row (82 -> 55 s at x100); details in
-      // OPTIMIZATION_r14.md Finding C.
-      capped.as("a").join(capped.as("b"),
-          col("a.h") === col("b.h") && col("a.media_id") < col("b.media_id"))
-        .groupBy(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"))
+      // Fused posting cap + pair enumeration (r15): the r14 A/B between
+      // BHJ (duplicated mint+decode pipeline) and shuffle_hash (second
+      // exchange read through byte-coalesced partitions) was a choice
+      // between two taxes; TopK.pairsPerKey pays neither — the map-side
+      // heaps cap each fingerprint's posting list exactly like
+      // TopK.perKey did, and the merged ≤32 groups emit their upper
+      // triangle directly (no join, no broadcast, no aggregate), so the
+      // shape is identical past any broadcast threshold (VERDICT r14
+      // item 1).
+      graft.plans.TopK.pairsPerKey(fp, Seq("h"),
+          Seq(("media_id", true)), Seq("media_id"), 32)
+        .groupBy(col("x.media_id").as("media_a"),
+          col("y.media_id").as("media_b"))
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 20)
         .orderBy(col("n_shared").desc, col("media_a"), col("media_b"))
@@ -506,8 +502,6 @@ object DedupQueries extends QueryBase {
       val fragH = shingleHashes(frags)
       val corpusH = shingleHashes(d)
         .select(col("doc_id").as("src_id"), col("h"))
-      val nA = fragH.groupBy("doc_id")
-        .agg(least(count(lit(1)), lit(16L)).as("n_bottom"))
       // Both caps through TopKPerKey (r6 verdict item 1): the window
       // form paid two corpus-shingle-sized sort passes (the query's
       // whole cold cost); the bounded heaps keep the same rows —
@@ -516,6 +510,14 @@ object DedupQueries extends QueryBase {
       val bottom = graft.plans.TopK.perKey(
           fragH, Seq("doc_id"), Seq(("h", true)), 16)
         .select("doc_id", "h")
+      // n_bottom = least(count(fragH per doc), 16) — and TopKPerKey
+      // keeps EXACTLY min(16, count) of the (distinct) per-doc hashes,
+      // so counting `bottom` gives the identical integer and fragH gains
+      // a single consumer: the shingle+md5 pipeline that used to run
+      // twice (VERDICT r14 item 5) runs once, and the count sits on
+      // bottom's existing doc_id exchange with no extra shuffle.
+      val nA = bottom.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bottom"))
       val posting = graft.plans.TopK.perKey(
           corpusH, Seq("h"), Seq(("src_id", true)), 32)
         .select("src_id", "h")
@@ -825,26 +827,24 @@ object DedupQueries extends QueryBase {
         // Probe cap (see dedup_embedding_cosine): near-identical template
         // docs collide on whole signatures, so an uncapped bucket join
         // goes quadratic in the hottest bucket.
-        val bands = graft.plans.TopK.perKey(
-          shingled.withColumn("sig", expr("minhash_sig(sh, 12)"))
-            .select(col("doc_id"), explode(transform(sequence(lit(0), lit(3)),
-              b => struct(b.as("bd"), md5(concat_ws(",",
-                element_at(col("sig"), b * 3 + 1).cast("string"),
-                element_at(col("sig"), b * 3 + 2).cast("string"),
-                element_at(col("sig"), b * 3 + 3).cast("string"))).as("bkey"))))
-              .as("b"))
-            .select(col("doc_id"), col("b.bd").as("bd"),
-              col("b.bkey").as("bkey")),
-          Seq("bd", "bkey"), Seq(("doc_id", true)), 32)
-          // Materialized once: the self-join below would otherwise
-          // recompute the signature UDF (the dominant map cost) for BOTH
-          // sides — the documented persist point for shared subplans
-          // (SURVEY §4).
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val cand = bands.as("a").join(bands.as("b"),
-            col("a.bd") === col("b.bd") && col("a.bkey") === col("b.bkey") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"))
+        val banded = shingled.withColumn("sig", expr("minhash_sig(sh, 12)"))
+          .select(col("doc_id"), explode(transform(sequence(lit(0), lit(3)),
+            b => struct(b.as("bd"), md5(concat_ws(",",
+              element_at(col("sig"), b * 3 + 1).cast("string"),
+              element_at(col("sig"), b * 3 + 2).cast("string"),
+              element_at(col("sig"), b * 3 + 3).cast("string"))).as("bkey"))))
+            .as("b"))
+          .select(col("doc_id"), col("b.bd").as("bd"),
+            col("b.bkey").as("bkey"))
+        // Fused bucket cap + pair enumeration (r15, see
+        // dedup_audio_fingerprint). This also retires the bands persist:
+        // it existed only because the self-join consumed the capped
+        // frame twice (re-running the signature kernel per side); with
+        // the single fused operator the ≤32 bucket lists emit their
+        // pairs directly — no cache write, no second pass.
+        val cand = graft.plans.TopK.pairsPerKey(banded, Seq("bd", "bkey"),
+            Seq(("doc_id", true)), Seq("doc_id"), 32)
+          .select(col("x.doc_id").as("left_id"), col("y.doc_id").as("right_id"))
           .distinct()
         val out = cand
           .join(shingled.select(col("doc_id").as("lid"), col("sh").as("sa")),
@@ -856,12 +856,10 @@ object DedupQueries extends QueryBase {
           .filter(col("jaccard") >= 0.5)
           .orderBy("left_id", "right_id")
           // The verified-pair result is tiny (pairs that LSH-collided AND
-          // pass Jaccard ≥ 0.5); cache it eagerly so the big bands frame
-          // can be dropped here instead of squatting on executor memory
-          // for the rest of a multi-query session.
+          // pass Jaccard ≥ 0.5); cache it eagerly so warm repeats serve
+          // from the pair set instead of re-running the pipeline.
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         out.count()
-        bands.unpersist()
         // tracked: Verify releases after the result is written (r10)
         graft.core.CacheLedger.track(out)
       },
@@ -951,16 +949,18 @@ object DedupQueries extends QueryBase {
         val g = d.select(col("doc_id"), col("n_chars"),
           expr("char_trigrams(lower(text))").as("grams"))
         // Probe cap: at most 64 docs per length bucket meet pairwise, so
-        // the quadratic verify stays bounded at any corpus size.
-        val blocked = graft.plans.TopK.perKey(
+        // the quadratic verify stays bounded at any corpus size. Fused
+        // cap + pair enumeration (r15, see dedup_audio_fingerprint):
+        // the ≤64 (doc_id, grams) rows per length bucket emit their
+        // upper triangle straight from the merged heaps — the trigram
+        // pipeline runs once, no join.
+        graft.plans.TopK.pairsPerKey(
           g.select(col("doc_id"), col("grams"),
             explode(array((col("n_chars") / 25).cast("long"),
               (col("n_chars") / 25).cast("long") + 1)).as("bucket")),
-          Seq("bucket"), Seq(("doc_id", true)), 64)
-        blocked.as("a").join(blocked.as("b"),
-            col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"),
-            round(expr("jaccard_sim(a.grams, b.grams)"), 6).as("jaccard"))
+          Seq("bucket"), Seq(("doc_id", true)), Seq("doc_id", "grams"), 64)
+          .select(col("x.doc_id").as("left_id"), col("y.doc_id").as("right_id"),
+            round(expr("jaccard_sim(x.grams, y.grams)"), 6).as("jaccard"))
           .filter(col("jaccard") >= 0.8)
           .distinct()
           .orderBy("left_id", "right_id")
@@ -1322,14 +1322,35 @@ object DedupQueries extends QueryBase {
       val fp = expr("CAST(conv(substring(md5(trim(regexp_replace(" +
         "regexp_replace(lower(text), '[^a-z0-9\\\\s]', ''), " +
         "'\\\\s+', ' '))), 1, 15), 16, 10) AS BIGINT)")
-      val hist = d.filter(col("doc_id") % 5 =!= 0).withColumn("fp", fp)
+      // The fp chain (two regex passes + md5 over the full text) is the
+      // whole linear cost here, and BOTH sides used to pay it twice:
+      // hist once for the bloom build (a separate driver action — no
+      // exchange reuse can cross jobs) and again under the anti-join;
+      // batch once per union branch (probe-pass and probe-fail are two
+      // subtrees of one plan with no exchange to share). Persisting the
+      // NARROW fp projections (8-16 bytes/row — nothing like the
+      // token-sized frame that sank the r14 text_lm_score persist)
+      // halves the query's dominant term (guide §5 reuse; VERDICT r14
+      // item 3). At 100 TB this is the docstring's "(cacheable)
+      // fingerprint column" made explicit.
+      val hist = graft.core.CacheLedger.track(
+        d.filter(col("doc_id") % 5 =!= 0).withColumn("fp", fp)
+          .select("fp")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // Arriving batch: the held-out docs plus re-sent history docs under
       // new ids — planted cross-batch duplicates.
-      val batch = d.filter(col("doc_id") % 5 === 0).withColumn("fp", fp)
-        .unionByName(d.filter(col("doc_id") % 10 === 3)
-          .withColumn("doc_id", col("doc_id") + 100000)
-          .withColumn("fp", fp))
+      val batch = graft.core.CacheLedger.track(
+        d.filter(col("doc_id") % 5 === 0).withColumn("fp", fp)
+          .unionByName(d.filter(col("doc_id") % 10 === 3)
+            .withColumn("doc_id", col("doc_id") + 100000)
+            .withColumn("fp", fp))
+          .select("doc_id", "fp")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val bloom = hist.stat.bloomFilter("fp", 100000, 0.01)
+      // Materialize the batch cache in ONE pass before its two union
+      // branches race to build it concurrently (same minhash precedent:
+      // the eager count is the persist's build action).
+      batch.count()
       val bits = graft.functions.BloomOps.toBytes(bloom)
       val probe = call_function("bloom_contains", col("fp"), lit(bits))
       val definiteNew = batch.filter(!probe)

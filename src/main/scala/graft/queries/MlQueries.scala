@@ -411,17 +411,13 @@ ${p}top AS (SELECT CAST(zz AS INT) AS topic,
           .distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val deg = edges.groupBy("c").agg(count(lit(1)).as("d"))
-      // Per-part posting cap via TopKPerKey: the 32 smallest custkeys
-      // per part (total order ⇒ same rows as the row_number form),
-      // bounded heap with map-side partial cap instead of sorting every
-      // part's posting list.
-      val capped = graft.plans.TopK.perKey(
-          edges, Seq("p"), Seq(("c", true)), 32)
-        .select("p", "c")
-      // Merge self-join: both sides reuse TopKPerKey's one p-exchange
-      // (the default BHJ built a second full copy of the capped side).
-      val inter = capped.as("x").join(capped.as("y").hint("shuffle_hash"),
-          col("x.p") === col("y.p") && col("x.c") < col("y.c"))
+      // Fused per-part posting cap + pair enumeration (r15, see
+      // dedup_audio_fingerprint): the 32 smallest custkeys per part
+      // (total order ⇒ same selection as the old TopK.perKey) emit
+      // their upper triangle straight from the merged heaps — one
+      // exchange, no join, no broadcast.
+      val inter = graft.plans.TopK.pairsPerKey(edges, Seq("p"),
+          Seq(("c", true)), Seq("c"), 32)
         .select(col("x.c").as("a"), col("y.c").as("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
       inter
@@ -2225,11 +2221,15 @@ ${p}top AS (SELECT CAST(zz AS INT) AS topic,
     val uk = ev.select(col("user_id").as("u"), blockKey.as("k"))
       .filter(col("k").isNotNull)
       .groupBy("k", "u").agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy("k").orderBy(col("n").desc, col("u").asc)
-    val top = uk.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= cap).select("k", "u")
-    top.as("x").join(top.as("y"),
-        col("x.k") === col("y.k") && col("x.u") < col("y.u"))
+    // Fused top-cap + pair enumeration (r15, see
+    // dedup_audio_fingerprint): selection order (n desc, u asc)
+    // replays the old row_number window's cap exactly — as bounded
+    // heaps instead of a full per-entity sort — and each entity's ≤cap
+    // user list emits its upper triangle directly. The events scan +
+    // uk aggregate run once (the BHJ built that whole pipeline a
+    // second time as its broadcast side).
+    graft.plans.TopK.pairsPerKey(uk, Seq("k"),
+        Seq(("n", false), ("u", true)), Seq("u"), cap)
       .select(col("x.u").as("a"), col("y.u").as("b")).distinct()
   }
 

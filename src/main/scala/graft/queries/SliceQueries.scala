@@ -59,22 +59,21 @@ object SliceQueries extends QueryBase {
           .withColumn("doc_id", col("doc_id") + 100000))
         val shingled = d.select(col("doc_id"), DedupQueries.shingles3.as("sh"))
         graft.functions.GraftFunctions.register(s)
-        val bands = graft.plans.TopK.perKey(
-          shingled.withColumn("sig", expr("minhash_sig(sh, 12)"))
-            .select(col("doc_id"), explode(transform(sequence(lit(0), lit(3)),
-              b => struct(b.as("bd"), md5(concat_ws(",",
-                element_at(col("sig"), b * 3 + 1).cast("string"),
-                element_at(col("sig"), b * 3 + 2).cast("string"),
-                element_at(col("sig"), b * 3 + 3).cast("string"))).as("bkey"))))
-              .as("b"))
-            .select(col("doc_id"), col("b.bd").as("bd"),
-              col("b.bkey").as("bkey")),
-          Seq("bd", "bkey"), Seq(("doc_id", true)), 32)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val cand = bands.as("a").join(bands.as("b"),
-            col("a.bd") === col("b.bd") && col("a.bkey") === col("b.bkey") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"))
+        val banded = shingled.withColumn("sig", expr("minhash_sig(sh, 12)"))
+          .select(col("doc_id"), explode(transform(sequence(lit(0), lit(3)),
+            b => struct(b.as("bd"), md5(concat_ws(",",
+              element_at(col("sig"), b * 3 + 1).cast("string"),
+              element_at(col("sig"), b * 3 + 2).cast("string"),
+              element_at(col("sig"), b * 3 + 3).cast("string"))).as("bkey"))))
+            .as("b"))
+          .select(col("doc_id"), col("b.bd").as("bd"),
+            col("b.bkey").as("bkey"))
+        // Fused bucket cap + pair enumeration (r15, mirrors
+        // dedup_minhash_lsh) — also retires the bands persist the
+        // double-consuming join needed.
+        val cand = graft.plans.TopK.pairsPerKey(banded, Seq("bd", "bkey"),
+            Seq(("doc_id", true)), Seq("doc_id"), 32)
+          .select(col("x.doc_id").as("left_id"), col("y.doc_id").as("right_id"))
           .distinct()
         val out = cand
           .join(shingled.select(col("doc_id").as("lid"), col("sh").as("sa")),
@@ -87,7 +86,6 @@ object SliceQueries extends QueryBase {
           .orderBy("left_id", "right_id")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         out.count()
-        bands.unpersist()
         // the returned lazy frame references this persist — tracked so
         // Verify can release it after materializing (review r10)
         graft.core.CacheLedger.track(out)
@@ -160,12 +158,11 @@ object SliceQueries extends QueryBase {
           "array_distinct(transform(sequence(1, greatest(size(hs) - 3, 1)), " +
             "j -> array_min(slice(hs, j, 4))))")).as("h"))
           .distinct()
-        val capped = graft.plans.TopK.perKey(
-            fp, Seq("h"), Seq(("doc_id", true)), 32)
-          .select("doc_id", "h")
-        capped.as("a").join(capped.as("b"),
-            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        // Fused posting cap + pair enumeration (r15, mirrors
+        // dedup_winnowing).
+        graft.plans.TopK.pairsPerKey(fp, Seq("h"),
+            Seq(("doc_id", true)), Seq("doc_id"), 32)
+          .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .agg(count(lit(1)).as("n_shared"))
           .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
           .limit(25)
@@ -230,11 +227,14 @@ object SliceQueries extends QueryBase {
         val fragH = shingleHashes(frags)
         val corpusH = shingleHashes(d)
           .select(col("doc_id").as("src_id"), col("h"))
-        val nA = fragH.groupBy("doc_id")
-          .agg(least(count(lit(1)), lit(16L)).as("n_bottom"))
         val bottom = graft.plans.TopK.perKey(
             fragH, Seq("doc_id"), Seq(("h", true)), 16)
           .select("doc_id", "h")
+        // n_bottom counted from bottom itself (r15, mirrors
+        // dedup_containment_minhash): TopKPerKey keeps exactly
+        // min(16, count) rows per doc, so fragH gains a single consumer.
+        val nA = bottom.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bottom"))
         val posting = graft.plans.TopK.perKey(
             corpusH, Seq("h"), Seq(("src_id", true)), 32)
           .select("src_id", "h")
@@ -311,8 +311,8 @@ object SliceQueries extends QueryBase {
     Q(
       "ml_linkpred_slice",
       (s, dir) => {
-        // Persist + merge self-join: same three-consumer dedup as the
-        // full ml_link_prediction (see there for the measured A/B).
+        // Persisted: deg and capped both consume the edges frame (same
+        // rationale as the full ml_link_prediction).
         val edges = graft.core.CacheLedger.track(
           t(s, dir, "orders").select("o_orderkey", "o_custkey")
             .join(t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -322,11 +322,10 @@ object SliceQueries extends QueryBase {
             .distinct()
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val deg = edges.groupBy("c").agg(count(lit(1)).as("d"))
-        val capped = graft.plans.TopK.perKey(
-            edges, Seq("p"), Seq(("c", true)), 32)
-          .select("p", "c")
-        val inter = capped.as("x").join(capped.as("y").hint("shuffle_hash"),
-            col("x.p") === col("y.p") && col("x.c") < col("y.c"))
+        // Fused posting cap + pair enumeration (r15, mirrors
+        // ml_link_prediction).
+        val inter = graft.plans.TopK.pairsPerKey(edges, Seq("p"),
+            Seq(("c", true)), Seq("c"), 32)
           .select(col("x.c").as("a"), col("y.c").as("b"))
           .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
         inter

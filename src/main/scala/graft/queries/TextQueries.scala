@@ -1086,15 +1086,34 @@ object TextQueries extends QueryBase {
             .select((col("doc_id") + 200000L).as("doc_id"),
               flatten(array_repeat(slice(col("t"), 1, 2), 40)).as("t")))
           .filter(size(col("t")) >= 2)
+        // The bigram frame used to feed the count model (bc, then uc and
+        // vv) AND the scoring join's probe side — four tokenize+explode
+        // passes in the executed plan (one per pruned consumer subtree;
+        // exchange reuse can NOT dedupe them because column pruning
+        // makes each copy canonically different — the probe keeps
+        // doc_id, the aggregates drop it — and the r14 persist A/B lost
+        // to the cache write). r15 shape: the model counts become WINDOW
+        // counts over the one frame — count(*) over (partition by w1)
+        // is exactly uc's per-w1 total and count(*) over (partition by
+        // w1, w2) exactly bc's pair count, attached per occurrence row
+        // with no join. The w1 window plans the single exchange and the
+        // (w1, w2) window reuses it (hash clustering on a PREFIX of the
+        // keys satisfies the wider clustering — only a sort is added).
+        // Two tokenize passes remain: the scored frame and the
+        // vocabulary scalar. Every per-row value is an identical
+        // integer count, so the averaged multiset is unchanged.
         val bg = corpus
           .select(col("doc_id"),
             explode(CurationDefs.bigramPairs(col("t"))).as("p"))
           .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-        val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-        val uc = bc.groupBy("w1").agg(sum(col("cb")).as("cu"))
-        val vv = bc.select(explode(array(col("w1"), col("w2"))).as("w"))
+        val vv = bg.select(explode(array(col("w1"), col("w2"))).as("w"))
           .agg(countDistinct(col("w")).as("v"))
-        bg.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
+        val scored = bg
+          .withColumn("cu", count(lit(1))
+            .over(Window.partitionBy("w1")))
+          .withColumn("cb", count(lit(1))
+            .over(Window.partitionBy("w1", "w2")))
+        scored
           .crossJoin(broadcast(vv))
           .groupBy("doc_id")
           .agg(
