@@ -15,8 +15,14 @@ import sys, json
 def main():
     detail_path, source, qlist = sys.argv[1], sys.argv[2], sys.argv[3]
     queries = [q for q in qlist.split(",") if q]
-    d = json.load(open(detail_path))["detail"]
+    detail_full = json.load(open(detail_path))
+    d = detail_full["detail"]
     base = json.load(open("docs/BENCH_BASELINE.json"))
+    # Scale-factor consistency (r14 ADVICE): a detail captured at a
+    # different sf dir would silently write wrong warm times.
+    if detail_full.get("sf") != base.get("sf"):
+        sys.exit(f"refusing: detail sf {detail_full.get('sf')!r} != "
+                 f"baseline sf {base.get('sf')!r}")
     bad = []
     for q in queries:
         e = d.get(q)

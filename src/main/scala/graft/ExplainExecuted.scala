@@ -20,6 +20,11 @@ object ExplainExecuted {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Pin the broadcast threshold to PlanBudget.forCatalog's value so
+      // the executed plans this tool certifies (join strategy, exchange
+      // reuse) match the budget gate's on any host (r14 ADVICE item 3).
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        (10L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -71,19 +71,19 @@ case class TopKPerKey(
   * O(keys-per-partition × k) rows, identical to TopKPerKeyExec.
   *
   * Child contract (arranged by `TopK.pairsPerKey`): key columns, the
-  * selection-order columns, and a single struct column `_item` holding
-  * the pair payload, whose FIRST field is the id the old join compared
-  * with `<` and which is unique within a key group. Output: struct
-  * columns `x`, `y` — one row per pair with x.id < y.id (pairs are
-  * emitted in ascending `_item` order, so the set equals the equi-join
-  * with an `<` predicate; null-key rows are dropped by the public face,
+  * selection-order columns, and the flat payload columns, whose FIRST
+  * is the id the old join compared with `<` and which is unique within
+  * a key group. Output: the payload columns twice, prefixed `x_` and
+  * `y_` — one row per pair with x_id < y_id (pairs are emitted in
+  * ascending payload order, so the set equals the equi-join with an
+  * `<` predicate; null-key rows are dropped by the public face,
   * matching equi-join null semantics).
   */
 case class TopKPairsPerKey(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    item: Attribute,
+    payload: Seq[Attribute],
     xy: Seq[Attribute],
     child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = xy
@@ -126,33 +126,34 @@ object TopK {
   /** Within-group pairs of the top-k rows per key (see
     * [[TopKPairsPerKey]]). `order` selects the k survivors exactly like
     * [[perKey]] (total order required); `payload` columns ride each
-    * pair side and their FIRST column must be the unique-within-group
-    * id the replaced join compared with `<`. Returns struct columns
-    * `x` and `y`. */
+    * pair side FLAT, prefixed `x_` / `y_`, and their FIRST column must
+    * be the unique-within-group id the replaced join compared with `<`
+    * (pairs satisfy x_id < y_id). */
   def pairsPerKey(df: DataFrame, keyCols: Seq[String],
       order: Seq[(String, Boolean)], payload: Seq[String],
       k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     val spark = df.sparkSession
     ensureStrategy(spark)
-    val orderCols = order.map(_._1).filterNot(keyCols.contains)
+    val extraCols = (order.map(_._1) ++ payload)
+      .filterNot(keyCols.contains).distinct
     val packed = df
       .filter(keyCols.map(col(_).isNotNull)
         .reduce((a: Column, b: Column) => a && b))
-      .select((keyCols ++ orderCols).distinct.map(col) :+
-        struct(payload.map(col): _*).as("_item"): _*)
+      .select((keyCols ++ extraCols).map(col): _*)
     val analyzed = packed.queryExecution.analyzed
     val byName = analyzed.output.map(a => a.name -> a).toMap
-    val item = analyzed.output.last
-    val xy = Seq(
-      AttributeReference("x", item.dataType, nullable = false)(),
-      AttributeReference("y", item.dataType, nullable = false)())
+    val payloadAttrs = payload.map(byName(_))
+    val xy = payloadAttrs.map(a =>
+        AttributeReference("x_" + a.name, a.dataType, a.nullable)()) ++
+      payloadAttrs.map(a =>
+        AttributeReference("y_" + a.name, a.dataType, a.nullable)())
     val node = TopKPairsPerKey(
       keyCols.map(byName(_)),
       order.map { case (c, asc) =>
         SortOrder(byName(c), if (asc) Ascending else Descending)
       },
-      k, item, xy, analyzed)
+      k, payloadAttrs, xy, analyzed)
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark, node)
   }
 }
@@ -163,10 +164,10 @@ object TopKStrategy extends Strategy {
       val partial = TopKPerKeyExec(keys, order, k, partial = true,
         planLater(child))
       TopKPerKeyExec(keys, order, k, partial = false, partial) :: Nil
-    case TopKPairsPerKey(keys, order, k, item, xy, child) =>
+    case TopKPairsPerKey(keys, order, k, payload, xy, child) =>
       val partial = TopKPerKeyExec(keys, order, k, partial = true,
         planLater(child))
-      TopKPairsExec(keys, order, k, item, xy, partial) :: Nil
+      TopKPairsExec(keys, order, k, payload, xy, partial) :: Nil
     case _ => Nil
   }
 }
@@ -229,7 +230,7 @@ case class TopKPairsExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    item: Attribute,
+    payload: Seq[Attribute],
     xy: Seq[Attribute],
     child: SparkPlan) extends UnaryExecNode {
 
@@ -241,21 +242,26 @@ case class TopKPairsExec(
     org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning(
       child.outputPartitioning.numPartitions)
 
+  // EXPLICIT partition count: the exchange's input is the narrow capped
+  // frame, but this stage's OUTPUT is the pair fan-out (up to C(k,2)
+  // rows per group) plus whatever partial aggregation sits above it —
+  // AQE's byte heuristic sees only the tiny input and coalesces the
+  // stage to a handful of tasks (r14 Finding C's lesson, same fix as
+  // QueryBase.sortedByKeys: dedup_audio_fingerprint ×10 cold read
+  // 24.7 s coalesced vs 19.6 s for the old parallel-probe BHJ). The
+  // count follows the session's shuffle-partition setting — the
+  // cluster-tuned value, not a local constant.
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    ClusteredDistribution(keys,
+      requiredNumPartitions = Some(conf.numShufflePartitions)) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys
     val sortOrder = order
     val limit = k
     val childOutput = child.output
-    val itemIdx = childOutput.indexWhere(_.exprId == item.exprId)
-    require(itemIdx >= 0, "_item column missing from TopKPairs child")
-    val itemType = childOutput(itemIdx).dataType
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val outSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("x", itemType, nullable = false),
-      org.apache.spark.sql.types.StructField("y", itemType, nullable = false)))
+    val payloadExprs: Seq[Expression] = payload
+    val xyOut = xy
     child.execute().mapPartitions({ rows =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val rowOrd = new LazilyGeneratedOrdering(sortOrder, childOutput)
@@ -274,26 +280,34 @@ case class TopKPairsExec(
           heap.enqueue(row.copy())
         }
       }
-      val proj = UnsafeProjection.create(outSchema)
-      val pairRow = new org.apache.spark.sql.catalyst.expressions
-        .GenericInternalRow(2)
-      // Emission sorts each ≤k group by the _item struct itself —
-      // ascending first field = the id the replaced join compared with
-      // `<` — so pair (i, j) with i < j is exactly x.id < y.id.
-      val itemOrd = new LazilyGeneratedOrdering(
-        Seq(SortOrder(org.apache.spark.sql.catalyst.expressions
-          .BoundReference(itemIdx, itemType, nullable = false),
+      // Emission sorts each ≤k group ascending by the payload columns —
+      // first payload column = the id the replaced join compared with
+      // `<`, unique within a group — so pair (i, j) with i < j is
+      // exactly x_id < y_id. Per GROUP: one sort of ≤k rows and ≤k
+      // payload projections; per PAIR: two pointer sets on a reused
+      // JoinedRow plus one FLAT result projection — the same emission
+      // discipline as the non-codegen hash-join paths (an earlier form
+      // re-encoded both sides as a nested struct per pair, and at
+      // ~C(32,2) pairs per hot fingerprint that struct write dominated
+      // the whole stage: audio ×10 cold 24.7 vs 19.6 s).
+      val payloadProj = UnsafeProjection.create(payloadExprs, childOutput)
+      val emitOrd = new LazilyGeneratedOrdering(
+        payloadExprs.map(e => SortOrder(e,
           org.apache.spark.sql.catalyst.expressions.Ascending)), childOutput)
+      val resultProj = UnsafeProjection.create(
+        org.apache.spark.sql.types.StructType(
+          xyOut.map(a => org.apache.spark.sql.types.StructField(
+            a.name, a.dataType, a.nullable))))
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
       import scala.jdk.CollectionConverters._
       heaps.values().iterator().asScala.flatMap { heap =>
-        val arr = heap.toArray.sortWith((a, b) => itemOrd.compare(a, b) < 0)
+        val arr = heap.toArray.sortWith((a, b) => emitOrd.compare(a, b) < 0)
+          .map(r => payloadProj(r).copy())
         val n = arr.length
         Iterator.range(0, n - 1).flatMap { i =>
-          val x = arr(i).getStruct(itemIdx, itemType.length)
+          joined.withLeft(arr(i))
           Iterator.range(i + 1, n).map { j =>
-            pairRow.update(0, x)
-            pairRow.update(1, arr(j).getStruct(itemIdx, itemType.length))
-            proj(pairRow)
+            resultProj(joined.withRight(arr(j)))
           }
         }
       }

@@ -68,7 +68,7 @@ object DedupQueries extends QueryBase {
         v.select(col("vec_id"),
           posexplode(expr("band_keys_f(vv)")).as(Seq("bd", "bkey"))),
         Seq("bd", "bkey"), Seq(("vec_id", true)), Seq("vec_id"), 32)
-      .select(col("x.vec_id").as("left_id"), col("y.vec_id").as("right_id"))
+      .select(col("x_vec_id").as("left_id"), col("y_vec_id").as("right_id"))
       .distinct()
     val out = cand
       .join(v.select(col("vec_id").as("lid"), col("vv").as("va")), col("left_id") === col("lid"))
@@ -210,7 +210,7 @@ object DedupQueries extends QueryBase {
       // form re-read the h-exchange and hash-built per partition.
       graft.plans.TopK.pairsPerKey(fp, Seq("h"),
           Seq(("doc_id", true)), Seq("doc_id"), 32)
-        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .groupBy(col("x_doc_id").as("doc_a"), col("y_doc_id").as("doc_b"))
         .agg(count(lit(1)).as("n_shared"))
         .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
         .limit(25)
@@ -298,10 +298,10 @@ object DedupQueries extends QueryBase {
       graft.plans.TopK.pairsPerKey(bands, Seq("band", "bv"),
           Seq(("media_id", true)),
           Seq("media_id", "b0", "b1", "b2", "b3"), 32)
-        .select(col("x.media_id").as("media_a"),
-          col("y.media_id").as("media_b"),
-          (expr("bit_count(x.b0 ^ y.b0)") + expr("bit_count(x.b1 ^ y.b1)") +
-            expr("bit_count(x.b2 ^ y.b2)") + expr("bit_count(x.b3 ^ y.b3)"))
+        .select(col("x_media_id").as("media_a"),
+          col("y_media_id").as("media_b"),
+          (expr("bit_count(x_b0 ^ y_b0)") + expr("bit_count(x_b1 ^ y_b1)") +
+            expr("bit_count(x_b2 ^ y_b2)") + expr("bit_count(x_b3 ^ y_b3)"))
             .cast("int").as("hamming"))
         .distinct()
         .filter(col("hamming") <= 3)
@@ -423,8 +423,8 @@ object DedupQueries extends QueryBase {
       // item 1).
       graft.plans.TopK.pairsPerKey(fp, Seq("h"),
           Seq(("media_id", true)), Seq("media_id"), 32)
-        .groupBy(col("x.media_id").as("media_a"),
-          col("y.media_id").as("media_b"))
+        .groupBy(col("x_media_id").as("media_a"),
+          col("y_media_id").as("media_b"))
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 20)
         .orderBy(col("n_shared").desc, col("media_a"), col("media_b"))
@@ -844,7 +844,7 @@ object DedupQueries extends QueryBase {
         // pairs directly — no cache write, no second pass.
         val cand = graft.plans.TopK.pairsPerKey(banded, Seq("bd", "bkey"),
             Seq(("doc_id", true)), Seq("doc_id"), 32)
-          .select(col("x.doc_id").as("left_id"), col("y.doc_id").as("right_id"))
+          .select(col("x_doc_id").as("left_id"), col("y_doc_id").as("right_id"))
           .distinct()
         val out = cand
           .join(shingled.select(col("doc_id").as("lid"), col("sh").as("sa")),
@@ -959,8 +959,8 @@ object DedupQueries extends QueryBase {
             explode(array((col("n_chars") / 25).cast("long"),
               (col("n_chars") / 25).cast("long") + 1)).as("bucket")),
           Seq("bucket"), Seq(("doc_id", true)), Seq("doc_id", "grams"), 64)
-          .select(col("x.doc_id").as("left_id"), col("y.doc_id").as("right_id"),
-            round(expr("jaccard_sim(x.grams, y.grams)"), 6).as("jaccard"))
+          .select(col("x_doc_id").as("left_id"), col("y_doc_id").as("right_id"),
+            round(expr("jaccard_sim(x_grams, y_grams)"), 6).as("jaccard"))
           .filter(col("jaccard") >= 0.8)
           .distinct()
           .orderBy("left_id", "right_id")

@@ -418,7 +418,7 @@ ${p}top AS (SELECT CAST(zz AS INT) AS topic,
       // exchange, no join, no broadcast.
       val inter = graft.plans.TopK.pairsPerKey(edges, Seq("p"),
           Seq(("c", true)), Seq("c"), 32)
-        .select(col("x.c").as("a"), col("y.c").as("b"))
+        .select(col("x_c").as("a"), col("y_c").as("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
       inter
         .join(deg.select(col("c").as("a"), col("d").as("da")), Seq("a"))
@@ -2230,7 +2230,7 @@ ${p}top AS (SELECT CAST(zz AS INT) AS topic,
     // second time as its broadcast side).
     graft.plans.TopK.pairsPerKey(uk, Seq("k"),
         Seq(("n", false), ("u", true)), Seq("u"), cap)
-      .select(col("x.u").as("a"), col("y.u").as("b")).distinct()
+      .select(col("x_u").as("a"), col("y_u").as("b")).distinct()
   }
 
   /** The entity id parsed from the event props payload. */

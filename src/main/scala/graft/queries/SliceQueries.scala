@@ -73,7 +73,7 @@ object SliceQueries extends QueryBase {
         // double-consuming join needed.
         val cand = graft.plans.TopK.pairsPerKey(banded, Seq("bd", "bkey"),
             Seq(("doc_id", true)), Seq("doc_id"), 32)
-          .select(col("x.doc_id").as("left_id"), col("y.doc_id").as("right_id"))
+          .select(col("x_doc_id").as("left_id"), col("y_doc_id").as("right_id"))
           .distinct()
         val out = cand
           .join(shingled.select(col("doc_id").as("lid"), col("sh").as("sa")),
@@ -162,7 +162,7 @@ object SliceQueries extends QueryBase {
         // dedup_winnowing).
         graft.plans.TopK.pairsPerKey(fp, Seq("h"),
             Seq(("doc_id", true)), Seq("doc_id"), 32)
-          .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .groupBy(col("x_doc_id").as("doc_a"), col("y_doc_id").as("doc_b"))
           .agg(count(lit(1)).as("n_shared"))
           .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
           .limit(25)
@@ -326,7 +326,7 @@ object SliceQueries extends QueryBase {
         // ml_link_prediction).
         val inter = graft.plans.TopK.pairsPerKey(edges, Seq("p"),
             Seq(("c", true)), Seq("c"), 32)
-          .select(col("x.c").as("a"), col("y.c").as("b"))
+          .select(col("x_c").as("a"), col("y_c").as("b"))
           .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
         inter
           .join(deg.select(col("c").as("a"), col("d").as("da")), Seq("a"))

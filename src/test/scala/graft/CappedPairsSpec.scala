@@ -33,7 +33,7 @@ class CappedPairsSpec extends SparkSpec {
 
     val viaPairs = graft.plans.TopK.pairsPerKey(df, Seq("k1", "k2"),
         Seq(("id", true)), Seq("id", "payload"), 8)
-      .select(col("x.id"), col("y.id"), col("x.payload"), col("y.payload"))
+      .select(col("x_id"), col("y_id"), col("x_payload"), col("y_payload"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3))).sorted.toSeq
 
@@ -59,7 +59,7 @@ class CappedPairsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     val viaPairs = graft.plans.TopK.pairsPerKey(df, Seq("k"),
         Seq(("n", false), ("u", true)), Seq("u"), 4)
-      .select(col("x.u"), col("y.u"))
+      .select(col("x_u"), col("y_u"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(viaPairs.nonEmpty)
     assert(viaPairs == viaJoin)
@@ -71,7 +71,7 @@ class CappedPairsSpec extends SparkSpec {
       .toDF("id", "k")
     val viaPairs = graft.plans.TopK.pairsPerKey(df, Seq("k"),
         Seq(("id", true)), Seq("id"), 8)
-      .select(col("x.id"), col("y.id"))
+      .select(col("x_id"), col("y_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(viaPairs == Seq((1L, 2L)))
   }
@@ -81,7 +81,7 @@ class CappedPairsSpec extends SparkSpec {
       .toDF("id", "k")
     val pairs = graft.plans.TopK.pairsPerKey(df, Seq("k"),
         Seq(("id", true)), Seq("id"), 3)
-      .select(col("x.id"), col("y.id"))
+      .select(col("x_id"), col("y_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     // k=7 group is a singleton -> nothing; k=1 group capped to ids 0,1,2
     assert(pairs == Seq((0L, 1L), (0L, 2L), (1L, 2L)))
