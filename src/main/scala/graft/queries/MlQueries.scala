@@ -1989,7 +1989,13 @@ ${p}top AS (SELECT CAST(zz AS INT) AS topic,
     Q(
       "ml_kmeans_lloyd",
       (s, dir) => {
+        // Pre-partitioned by vec_id (r15, same hoist as PageRank's ed):
+        // every round's assign→centroid step joins back to v on vec_id,
+        // and per-round jobs cannot share exchanges — the checkpoint's
+        // preserved partitioning makes the per-round v side
+        // exchange-free at any scale.
         val v = graft.ml.KMeans.quantize(th(s, dir, "embeddings"))
+          .repartition(col("vec_id"))
           .localCheckpoint()
         val cent = graft.ml.KMeans.fit(v, 8, 3)
         graft.ml.KMeans.assign(v, cent)
