@@ -67,6 +67,120 @@ object ArrayKernelOps {
     new GenericArrayData(out)
   }
 
+  private val emptyLongs = new GenericArrayData(Array.emptyLongArray)
+
+  /** First-occurrence-distinct sliding-4-window minima over `vals(0
+    * until n)`. Shared winnow tail of the audio/text fingerprint
+    * kernels: each expression-form window paid an `array_min(slice(g,
+    * j, 4))` — one 4-element array ALLOCATION per position — plus the
+    * transform/sequence scaffolding; this is the same integers with
+    * three comparisons per step and zero allocations beyond the result.
+    * Consecutive windows usually share their minimum, so the distinct
+    * set is consulted only when the candidate changes. */
+  private def winnowDistinctMinima(vals: Array[Long], n: Int): ArrayData = {
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new Array[Long](n - 3)
+    var outN = 0
+    var prev = Long.MinValue
+    var first = true
+    var j = 0
+    while (j < n - 3) {
+      var mn = vals(j)
+      var t = vals(j + 1); if (t < mn) mn = t
+      t = vals(j + 2); if (t < mn) mn = t
+      t = vals(j + 3); if (t < mn) mn = t
+      if (first || mn != prev) {
+        if (seen.add(mn)) { out(outN) = mn; outN = outN + 1 }
+        prev = mn
+        first = false
+      }
+      j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, outN))
+  }
+
+  /** Fused audio fingerprint selection — byte-quantize the PCM samples,
+    * pack rolling 4-grams, drop constant shingles (multiples of
+    * 0x01010101), winnow w=4 minima, distinct. Value-identical to the
+    * expression chain it replaces in dedup_audio_fingerprint:
+    * `q = transform(smp, x -> (x+32768) DIV 256)`;
+    * `g = filter(transform(sequence(1, size(q)-3), i ->
+    * ((q[i-1]*256+q[i])*256+q[i+1])*256+q[i+2]), x -> x % 16843009 != 0)`
+    * (0-based bracket indexing ⇒ windows q[k..k+3] for k = 0..n-4);
+    * `CASE WHEN size(g) >= 4 THEN array_distinct(transform(sequence(1,
+    * size(g)-3), j -> array_min(slice(g, j, 4)))) ELSE array() END`.
+    * 16-bit PCM keeps s+32768 in [0, 65535], so DIV 256 == >> 8. */
+  def audioWinnowFps(smp: ArrayData): ArrayData = {
+    val n = smp.numElements()
+    if (n < 4) return emptyLongs
+    val g = new Array[Long](n - 3)
+    var gn = 0
+    var k = 0
+    while (k < n - 3) {
+      val a = ((smp.getInt(k) + 32768) >> 8).toLong
+      val b = ((smp.getInt(k + 1) + 32768) >> 8).toLong
+      val c = ((smp.getInt(k + 2) + 32768) >> 8).toLong
+      val d = ((smp.getInt(k + 3) + 32768) >> 8).toLong
+      val v = ((a * 256L + b) * 256L + c) * 256L + d
+      if (v % 16843009L != 0L) { g(gn) = v; gn += 1 }
+      k += 1
+    }
+    if (gn < 4) emptyLongs else winnowDistinctMinima(g, gn)
+  }
+
+  /** Winnow w=4 distinct minima over a hash sequence — value-identical
+    * to dedup_winnowing's `array_distinct(transform(sequence(1,
+    * greatest(size(hs) - 3, 1)), j -> array_min(slice(hs, j, 4))))`:
+    * for n >= 4 the full windows; for 1 <= n < 4 the single truncated
+    * window (= min of the whole array), matching slice's end
+    * truncation. Type-preserving (int murmur3 hashes stay 4-byte on
+    * the posting exchange). */
+  def winnowMin4(hs: ArrayData): ArrayData = {
+    val n = hs.numElements()
+    if (n == 0) return emptyLongs
+    if (n < 4) {
+      var mn = hs.getLong(0)
+      var i = 1
+      while (i < n) { val v = hs.getLong(i); if (v < mn) mn = v; i += 1 }
+      return new GenericArrayData(Array(mn))
+    }
+    val vals = new Array[Long](n)
+    var i = 0
+    while (i < n) { vals(i) = hs.getLong(i); i += 1 }
+    winnowDistinctMinima(vals, n)
+  }
+
+  /** Int twin of [[winnowMin4]]. */
+  def winnowMin4Int(hs: ArrayData): ArrayData = {
+    val n = hs.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyIntArray)
+    if (n < 4) {
+      var mn = hs.getInt(0)
+      var i = 1
+      while (i < n) { val v = hs.getInt(i); if (v < mn) mn = v; i += 1 }
+      return new GenericArrayData(Array(mn))
+    }
+    val seen = new java.util.HashSet[java.lang.Integer]()
+    val out = new Array[Int](n - 3)
+    var outN = 0
+    var prev = Int.MinValue
+    var first = true
+    var j = 0
+    while (j < n - 3) {
+      var mn = hs.getInt(j)
+      var t = hs.getInt(j + 1); if (t < mn) mn = t
+      t = hs.getInt(j + 2); if (t < mn) mn = t
+      t = hs.getInt(j + 3); if (t < mn) mn = t
+      if (first || mn != prev) {
+        if (seen.add(mn)) { out(outN) = mn; outN = outN + 1 }
+        prev = mn
+        first = false
+      }
+      j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, outN))
+  }
+
   /** Distinct char 3-grams (UTF-16 char windows, identical to
     * [[VectorOps.charTrigrams]]). */
   def charTrigrams(s: UTF8String): ArrayData = {
@@ -302,6 +416,51 @@ case class MinhashSig(child: Expression, nSeeds: Int)
     defineCodeGen(ctx, ev,
       c => s"graft.functions.ArrayKernelOps.minhashSig($c, $nSeeds)")
   override protected def withNewChildInternal(c: Expression): MinhashSig =
+    copy(child = c)
+}
+
+/** `audio_winnow_fps(array<int>) → array<long>` — fused quantize →
+  * 4-gram pack → constant-shingle filter → winnow-minima → distinct
+  * (see [[ArrayKernelOps.audioWinnowFps]]). */
+case class AudioWinnowFps(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<int>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "audio_winnow_fps"
+  override protected def nullSafeEval(a: Any): Any =
+    ArrayKernelOps.audioWinnowFps(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ArrayKernelOps.audioWinnowFps($c)")
+  override protected def withNewChildInternal(c: Expression): AudioWinnowFps =
+    copy(child = c)
+}
+
+/** `winnow_min4(array<int|long>) → array<same>` — distinct w=4 window
+  * minima, type-preserving (see [[ArrayKernelOps.winnowMin4]]). */
+case class WinnowMin4(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) | ArrayType(IntegerType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<int> or array<long>, got $other")
+  }
+  private def isLong: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == LongType
+  override def dataType: DataType = ArrayType(
+    child.dataType.asInstanceOf[ArrayType].elementType, containsNull = false)
+  override def prettyName: String = "winnow_min4"
+  override protected def nullSafeEval(a: Any): Any =
+    if (isLong) ArrayKernelOps.winnowMin4(a.asInstanceOf[ArrayData])
+    else ArrayKernelOps.winnowMin4Int(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isLong) "winnowMin4" else "winnowMin4Int"
+    defineCodeGen(ctx, ev, c => s"graft.functions.ArrayKernelOps.$fn($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): WinnowMin4 =
     copy(child = c)
 }
 

@@ -56,6 +56,8 @@ object GraftFunctions {
     "simhash32" -> (exprs => SimHash32(exprs(0))),
     "minhash_sig" -> (exprs => MinhashSig(exprs(0), seedOf(exprs(1)))),
     "char_trigrams" -> (exprs => CharTrigrams(exprs(0))),
+    "audio_winnow_fps" -> (exprs => AudioWinnowFps(exprs(0))),
+    "winnow_min4" -> (exprs => WinnowMin4(exprs(0))),
     "jaccard_sim" -> (exprs => JaccardSim(exprs(0), exprs(1))),
     "cosine_ff" -> (exprs => CosineFF(exprs(0), exprs(1))),
     "cosine_fd" -> (exprs => CosineFD(exprs(0), exprs(1))),

@@ -199,9 +199,13 @@ object DedupQueries extends QueryBase {
       val hs = d.withColumn("hs", expr(
         "transform(sequence(1, greatest(length(t) - 7, 1)), " +
           "i -> murmur3_seeded(substring(t, i, 8), 7))"))
-      val fp = hs.select(col("doc_id"), explode(expr(
-        "array_distinct(transform(sequence(1, greatest(size(hs) - 3, 1)), " +
-          "j -> array_min(slice(hs, j, 4))))")).as("h"))
+      // winnow_min4 kernel (r15): distinct w=4 window minima in one
+      // allocation-free pass — replaces the per-window
+      // `array_min(slice(hs, j, 4))` expression (one 4-element array
+      // per gram position), value-identical including the n<4
+      // truncated-window edge.
+      val fp = hs.select(col("doc_id"),
+          explode(expr("winnow_min4(hs)")).as("h"))
         .distinct()
       // Fused posting cap + pair enumeration (r15, see
       // dedup_audio_fingerprint): same 32 smallest doc_ids per
@@ -395,23 +399,18 @@ object DedupQueries extends QueryBase {
       val media = mm.asAudioMediaTextured(d).unionByName(
         mm.asAudioMediaTexturedBumped(d.filter(col("doc_id") % 10 === 0)))
       val samp = mm.audioSampleFrame(media)
+      // Fused fingerprint kernel (r15): quantize → pack rolling 4-grams
+      // → drop constant shingles (multiples of 16843009 = 0x01010101,
+      // the audio stopwords — every slowly-varying stream emits them)
+      // → winnow w=4 minima → distinct, in ONE allocation-free pass
+      // (graft.functions.ArrayKernelOps.audioWinnowFps; value-identical
+      // to the expression chain it replaced — the per-window
+      // `array_min(slice(g, j, 4))` alone allocated a 4-element array
+      // per sample position). The oracle replays the same chain in SQL.
+      graft.functions.GraftFunctions.register(s)
       val fp = samp
-        .withColumn("q", expr(
-          "transform(smp, x -> CAST((x + 32768) DIV 256 AS BIGINT))"))
-        // Constant shingles (all four quantized samples equal — encoded
-        // value is a multiple of 16843009 = 0x01010101) are the audio
-        // analog of stopwords: every slowly-varying stream emits them,
-        // so they only manufacture cross-doc collisions. Drop them
-        // before fingerprint selection (both faces do).
-        .withColumn("g", expr(
-          "filter(transform(sequence(1, size(q) - 3), " +
-            "i -> ((q[i-1]*256 + q[i])*256 + q[i+1])*256 + q[i+2]), " +
-            "x -> x % 16843009 != 0)"))
-        .select(col("media_id"), explode(expr(
-          "array_distinct(CASE WHEN size(g) >= 4 THEN " +
-            "transform(sequence(1, size(g) - 3), " +
-            "j -> array_min(slice(g, j, 4))) " +
-            "ELSE CAST(array() AS array<bigint>) END)")).as("h"))
+        .select(col("media_id"),
+          explode(expr("audio_winnow_fps(smp)")).as("h"))
       // Fused posting cap + pair enumeration (r15): the r14 A/B between
       // BHJ (duplicated mint+decode pipeline) and shuffle_hash (second
       // exchange read through byte-coalesced partitions) was a choice

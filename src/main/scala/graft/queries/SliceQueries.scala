@@ -154,9 +154,9 @@ object SliceQueries extends QueryBase {
         val hs = d.withColumn("hs", expr(
           "transform(sequence(1, greatest(length(t) - 7, 1)), " +
             "i -> murmur3_seeded(substring(t, i, 8), 7))"))
-        val fp = hs.select(col("doc_id"), explode(expr(
-          "array_distinct(transform(sequence(1, greatest(size(hs) - 3, 1)), " +
-            "j -> array_min(slice(hs, j, 4))))")).as("h"))
+        // winnow_min4 kernel (r15, mirrors dedup_winnowing).
+        val fp = hs.select(col("doc_id"),
+            explode(expr("winnow_min4(hs)")).as("h"))
           .distinct()
         // Fused posting cap + pair enumeration (r15, mirrors
         // dedup_winnowing).
